@@ -64,16 +64,19 @@ def _rho_nu_nonrelativistic(a, mnu, kT):
 
 
 def _rho_nu_integral(a, mnu, kT):
-    """Direct FD integration: integrand q^2 sqrt(q^2 + (a m)^2) f0(q/kT)."""
-    amnu = a * mnu
+    """Direct FD integration: integrand q^2 sqrt(q^2 + (a m)^2) f0(q/kT).
 
-    def integrand(q):
-        eps = np.sqrt(q * q + amnu * amnu)
-        f0 = 1.0 / (np.exp(q / kT) + 1.0)
-        return q * q * eps * f0
+    Non-dimensionalized with x = q/kT so the integrand is O(1) (the raw
+    integral is ~kT^4 ~ 1e-15 eV^4, far below scipy's default epsabs).
+    """
+    r = a * mnu / kT   # mass in units of kT
 
-    result, _ = quad(integrand, 0, 500 * kT, limit=200)
-    return result / a ** 4 * _rho_nu_conversion()
+    def integrand(x):
+        eps = np.sqrt(x * x + r * r)
+        return x * x * eps / (np.exp(x) + 1.0)
+
+    result, _ = quad(integrand, 0, 500.0, limit=200, epsrel=1e-12)
+    return result * kT ** 4 / a ** 4 * _rho_nu_conversion()
 
 
 class _RhoNuSingle:
@@ -101,15 +104,19 @@ class _RhoNuSingle:
 
     def rho(self, a: float) -> float:
         kT, mnu = self.kT, self.mnu
-        if mnu == 0 or mnu < 1e-6 * kT:
-            return _rho_nu_relativistic(a, kT)
-        if a * mnu > _NU_SW * kT:
+        amnu = a * mnu
+        # heavily non-relativistic: series converges for kT/amnu < 1/NU_SW
+        if amnu > _NU_SW * kT:
             return _rho_nu_nonrelativistic(a, mnu, kT)
+        # heavily relativistic (includes massless)
+        if amnu < 1e-6 * kT:
+            return _rho_nu_relativistic(a, kT)
         loga = np.log(a)
         if self.spline is not None and self.loga0 <= loga <= self.logaf:
             return float(self.spline(loga))
-        if self.spline is not None and loga > self.logaf:
-            return _rho_nu_nonrelativistic(a, mnu, kT)
+        # below the table: assume relativistic (early times, low accuracy ok)
+        if self.spline is not None and loga < self.loga0:
+            return _rho_nu_relativistic(a, kT)
         return _rho_nu_integral(a, mnu, kT)
 
 
