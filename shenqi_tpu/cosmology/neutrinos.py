@@ -105,6 +105,8 @@ class _RhoNuSingle:
     def rho(self, a: float) -> float:
         kT, mnu = self.kT, self.mnu
         amnu = a * mnu
+        if mnu == 0.0 or kT == 0.0:
+            return _rho_nu_relativistic(a, kT)
         # heavily non-relativistic: series converges for kT/amnu < 1/NU_SW
         if amnu > _NU_SW * kT:
             return _rho_nu_nonrelativistic(a, mnu, kT)
