@@ -1,0 +1,73 @@
+"""Cloud-in-cell mass assignment and readout on a periodic mesh.
+
+The XLA analog of the reference's pm_iterate CIC deposit/readout
+(libgadget/petapm.cpp): deposit is 8 scatter-adds (one per cell corner),
+readout is 8 gathers.  Positions arrive as uint32 fixed point; converting
+to cell coordinates is a single multiply.
+
+Weights are continuous across cell boundaries, so float32 cell fractions
+are safe even though the fixed-point -> float conversion rounds.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.particles import POS_SCALE
+
+
+def _cell_coords(ipos, nmesh):
+    """Fixed-point positions -> (base cell index [N,3], fraction [N,3])."""
+    # x in [0, nmesh): use f32; the product ipos * (nmesh / 2^32) < nmesh
+    x = ipos.astype(jnp.float32) * jnp.float32(nmesh / POS_SCALE)
+    i0 = jnp.floor(x)
+    frac = x - i0
+    i0 = i0.astype(jnp.int32)
+    # guard the pathological x == nmesh rounding case
+    i0 = jnp.where(i0 >= nmesh, nmesh - 1, i0)
+    return i0, frac
+
+
+def cic_deposit(ipos, weights, nmesh: int, mask=None) -> jax.Array:
+    """Deposit `weights` (e.g. masses) onto an [nmesh]^3 mesh with CIC.
+
+    Returns the mesh (float32).  Masked-out particles deposit nothing.
+    """
+    i0, f = _cell_coords(ipos, nmesh)
+    w = weights.astype(jnp.float32)
+    if mask is not None:
+        w = jnp.where(mask, w, 0.0)
+    mesh = jnp.zeros((nmesh, nmesh, nmesh), jnp.float32)
+    for dx in (0, 1):
+        wx = (1.0 - f[:, 0]) if dx == 0 else f[:, 0]
+        ix = (i0[:, 0] + dx) % nmesh
+        for dy in (0, 1):
+            wy = (1.0 - f[:, 1]) if dy == 0 else f[:, 1]
+            iy = (i0[:, 1] + dy) % nmesh
+            for dz in (0, 1):
+                wz = (1.0 - f[:, 2]) if dz == 0 else f[:, 2]
+                iz = (i0[:, 2] + dz) % nmesh
+                mesh = mesh.at[ix, iy, iz].add(
+                    w * wx * wy * wz, mode="promise_in_bounds")
+    return mesh
+
+
+def cic_readout(mesh, ipos, mask=None) -> jax.Array:
+    """Interpolate mesh values back to particle positions with CIC."""
+    nmesh = mesh.shape[0]
+    i0, f = _cell_coords(ipos, nmesh)
+    out = jnp.zeros(ipos.shape[0], jnp.float32)
+    for dx in (0, 1):
+        wx = (1.0 - f[:, 0]) if dx == 0 else f[:, 0]
+        ix = (i0[:, 0] + dx) % nmesh
+        for dy in (0, 1):
+            wy = (1.0 - f[:, 1]) if dy == 0 else f[:, 1]
+            iy = (i0[:, 1] + dy) % nmesh
+            for dz in (0, 1):
+                wz = (1.0 - f[:, 2]) if dz == 0 else f[:, 2]
+                iz = (i0[:, 2] + dz) % nmesh
+                out = out + mesh[ix, iy, iz] * (wx * wy * wz)
+    if mask is not None:
+        out = jnp.where(mask, out, 0.0)
+    return out

@@ -3,13 +3,22 @@
 Multi-chip sharding is validated without real hardware by running JAX on
 CPU with 8 virtual devices (the analog of the reference's
 `mpirun -np 4` unit-test strategy, libgadget/Makefile:25,145).
+
+Note: the axon sitecustomize imports jax and registers the TPU backend at
+interpreter start, so env vars alone are not enough — we must also update
+jax.config here (before any backend is initialized by first use).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_COMPILATION_CACHE", "true")
+
+# force CPU (override any pre-set platform) unless explicitly testing TPU
+if not os.environ.get("SHENQI_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
