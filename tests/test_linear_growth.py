@@ -1,0 +1,69 @@
+"""End-to-end PM-only simulation: P(k) must grow at the linear rate.
+
+The analog of the reference's travis CI check
+(examples/travis/check-results.py:85-105): evolve ICs forward and compare
+the measured large-scale P(k) against the input spectrum scaled by the
+linear growth factor, rtol ~4%.
+"""
+
+import numpy as np
+import pytest
+
+from shenqi_tpu.cosmology import Cosmology
+from shenqi_tpu.cosmology.power import InputPower
+from shenqi_tpu.utils.units import default_units
+from shenqi_tpu.core.timeline import Timeline
+from shenqi_tpu.genic.ic import generate_dm_ics
+from shenqi_tpu.run import PMSimulation
+
+CLASS_PK = "/root/reference/examples/dm-small/class_pk_9.dat"
+BOX = 64000.0
+NGRID = 32
+
+
+def test_linear_growth():
+    units = default_units()
+    cp = Cosmology(Omega0=0.288, OmegaLambda=0.712, OmegaBaryon=0.0472,
+                   HubbleParam=0.7, RadiationOn=1)
+    a_ic, a_end = 0.1, 0.2
+    cp.init(TimeBegin=a_ic, units=units)
+    power = InputPower.from_file(CLASS_PK, cp, units.UnitLength_in_cm)
+
+    pos, vel, ids, mass = generate_dm_ics(
+        NGRID, BOX, seed=181170, power=power, CP=cp, time_ic=a_ic,
+        unitary=True, use_peculiar=True)
+    # convert peculiar velocity to internal (v_int = a * v_pec)
+    vel_int = vel * a_ic
+
+    timeline = Timeline.setup([a_end], a_ic, a_end)
+    sim = PMSimulation.from_arrays(pos, vel_int, mass, ids, cp, BOX,
+                                   nmesh=2 * NGRID, timeline=timeline,
+                                   atime=a_ic)
+    # PM-only run: no short-range force exists to complement the
+    # long/short split, so disable the k-space smoothing
+    sim.asmth = 0.0
+    sim.run_steps(nsteps=200, dloga_max=0.02)
+    assert sim.atime() == pytest.approx(a_end, rel=1e-3)
+
+    # P(k) at start and end of the run
+    a0, k0, p0, n0 = sim.power_history[0]
+    a1, k1, p1, n1 = sim.power_history[-1]
+    assert a0 == pytest.approx(a_ic, rel=1e-3)
+    assert a1 == pytest.approx(a_end, rel=1e-3)
+
+    growth = cp.growth_factor(a_end, a_ic)  # D(a_end)/D(a_ic) > 1
+    assert growth > 1.5  # z=9 -> z=4 grows ~2x
+
+    # compare on large scales: k < 1/4 of particle nyquist.  Individual
+    # low-k bins hold only 6-30 modes (mode-coupling noise), so check the
+    # mode-count-weighted mean growth (travis-equivalent 4% tolerance).
+    mpc = 3.085678e24 / units.UnitLength_in_cm
+    boxsize_mpc = BOX / mpc
+    knyq = np.pi * NGRID / boxsize_mpc
+    sel = (k0 > 2 * 2 * np.pi / boxsize_mpc) & (k0 < 0.25 * knyq)
+    assert sel.sum() >= 3
+    ratio = p1[sel] / p0[sel] / growth ** 2
+    wmean = np.sum(ratio * n0[sel]) / np.sum(n0[sel])
+    assert wmean == pytest.approx(1.0, abs=0.04)
+    # every bin within 15% even at low mode counts
+    np.testing.assert_allclose(ratio, 1.0, atol=0.15)
