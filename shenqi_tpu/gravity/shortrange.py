@@ -48,8 +48,23 @@ class ShortRangeParams(NamedTuple):
     G: float = 43007.1
 
 
-def short_range_window(r, cellsize, asmth):
-    """(force_window, pot_window); zero beyond the table range."""
+def short_range_window(r, cellsize, asmth, tables=None):
+    """(force_window, pot_window); zero beyond the table range.
+
+    With `tables=(dx_cells, wf, wp)` (from window.window_arrays) uses the
+    PM-calibrated table with linear interpolation, mirroring the
+    reference's apply_short_range_window (gravity.h:44-60); otherwise the
+    analytic erfc window.
+    """
+    if tables is not None:
+        dx, wf, wp = tables
+        x = r / cellsize / dx
+        i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, wf.shape[0] - 2)
+        t = jnp.clip(x - i0, 0.0, 1.0)
+        fw = wf[i0] * (1 - t) + wf[i0 + 1] * t
+        pw = wp[i0] * (1 - t) + wp[i0 + 1] * t
+        inrange = x < wf.shape[0] - 1
+        return jnp.where(inrange, fw, 0.0), jnp.where(inrange, pw, 0.0)
     u = r / cellsize * (0.5 / asmth)
     fw = jax.lax.erfc(u) + 2.0 * u / np.sqrt(np.pi) * jnp.exp(-u * u)
     pw = jax.lax.erfc(u)
@@ -98,7 +113,7 @@ P2P_CHUNK = 64  # leaf particles processed per slice (contiguous)
 
 @partial(jax.jit, static_argnames=("params",))
 def treegrav_targets(tree: Octree, target_ipos, target_oldacc,
-                     params: ShortRangeParams):
+                     params: ShortRangeParams, window_tables=None):
     """Short-range force + potential at arbitrary target positions.
 
     Returns (accel [T,3], pot [T], ninteract [T]).  The result includes
@@ -139,7 +154,7 @@ def treegrav_targets(tree: Octree, target_ipos, target_oldacc,
                 fac, facpot = spline_force(r2, pm, params.softening)
                 r = jnp.sqrt(r2)
                 fw, pw = short_range_window(r, params.cellsize,
-                                            params.asmth)
+                                            params.asmth, window_tables)
                 acc = acc + jnp.sum(dx * (fac * fw)[:, None], axis=0)
                 pot = pot + jnp.sum(facpot * pw)
                 return acc, pot, nint + jnp.sum(live.astype(jnp.int32))
@@ -183,7 +198,8 @@ def treegrav_targets(tree: Octree, target_ipos, target_oldacc,
 
             fac, facpot = spline_force(r2, nmass, params.softening)
             r = jnp.sqrt(r2)
-            fw, pw = short_range_window(r, params.cellsize, params.asmth)
+            fw, pw = short_range_window(r, params.cellsize, params.asmth,
+                                        window_tables)
             acc = acc + jnp.where(use_mono, 1.0, 0.0) * dxc * (fac * fw)
             pot = pot + jnp.where(use_mono, facpot * pw, 0.0)
             nint = nint + use_mono.astype(jnp.int32)
@@ -210,6 +226,7 @@ def treegrav_targets(tree: Octree, target_ipos, target_oldacc,
     return jax.vmap(one_target)(target_ipos, target_oldacc)
 
 
-def treegrav(tree: Octree, ipos, oldacc, params: ShortRangeParams):
+def treegrav(tree: Octree, ipos, oldacc, params: ShortRangeParams,
+             window_tables=None):
     """Force at the (original-order) particle positions."""
-    return treegrav_targets(tree, ipos, oldacc, params)
+    return treegrav_targets(tree, ipos, oldacc, params, window_tables)

@@ -1,0 +1,235 @@
+"""SPH density with adaptive smoothing lengths (density2.cpp analog).
+
+Physics identical to the reference density walk
+(libgadget/densitytree2.hpp:362-425):
+  per neighbor j within H_i:   u = r/H,  wk, dwk from the spline kernel
+    Ngb      += wk * V(H)
+    Rho      += m_j wk
+    DhsmlRho += m_j dW/dH
+    EgyRho   += m_j A_j^{1/gamma} wk        (pressure-entropy SPH)
+    DhsmlEgy += m_j A_j^{1/gamma} dW/dH
+    Div      += -m_j dwk/r (dist . dv)      (dist: j->i, dv = v_i - v_j)
+    Rot      += m_j dwk/r (dv x dist)
+    GradRho  += m_j dwk/r dist
+
+and the adaptive-H loop (densitytree2.hpp:177-283 density_check_neighbours)
+as a masked fixpoint: bisection bounds per particle, geometric-mean
+updates, kernel-gradient bracket expansion.
+
+The TPU shape: one vectorized walk over ALL unconverged particles per
+iteration (the analog of the redo-queue in do_hsml_loop).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.tree import Octree, build_octree
+from ..ops.treewalk import run_walk
+from ..core.particles import POS_SCALE
+from .kernels import (KernelSpec, CUBIC, wk as kern_wk, dwk as kern_dwk,
+                      dW_dH, volume, desnumngb, NUMDIMS)
+
+MAXITER = 60
+
+
+class DensityResult(NamedTuple):
+    ngb: jax.Array          # kernel-weighted neighbor number
+    rho: jax.Array
+    dhsml_rho: jax.Array    # sum m dW/dH (raw)
+    egy_rho: jax.Array
+    dhsml_egy: jax.Array
+    div: jax.Array
+    rot: jax.Array          # [T,3]
+    grad_rho: jax.Array     # [T,3]
+
+
+def _density_accum(spec: KernelSpec):
+    def accumulate(carry, extra, tpos, src, dist, r2, live):
+        (ngb, rho, dh, egy, dhe, div, rot, grad) = carry
+        H = extra["hsml"]
+        vel_i = extra["vel"]
+        inside = live & (r2 < H * H) & (src["mass"] > 0)
+        w = jnp.where(inside, 1.0, 0.0)
+        r = jnp.sqrt(r2)
+        u = jnp.minimum(r / H, 1.0)
+        wkv = kern_wk(spec, u, H)
+        dwkv = kern_dwk(spec, u, H)
+        dWdH = -(NUMDIMS * wkv / H + u * dwkv)
+        m = src["mass"]
+        ngb = ngb + jnp.sum(w * wkv) * volume(H)
+        rho = rho + jnp.sum(w * m * wkv)
+        dh = dh + jnp.sum(w * m * dWdH)
+        entv = src["entvar"]
+        egy = egy + jnp.sum(w * m * entv * wkv)
+        dhe = dhe + jnp.sum(w * m * entv * dWdH)
+        # velocity derivatives (skip r == 0)
+        rpos = r > 0
+        fac = jnp.where(rpos, m * dwkv / jnp.maximum(r, 1e-30), 0.0) * w
+        dv = vel_i[None, :] - src["vel"]
+        div = div - jnp.sum(fac * jnp.sum(dist * dv, axis=-1))
+        cx = dv[:, 1] * dist[:, 2] - dv[:, 2] * dist[:, 1]
+        cy = dv[:, 2] * dist[:, 0] - dv[:, 0] * dist[:, 2]
+        cz = dv[:, 0] * dist[:, 1] - dv[:, 1] * dist[:, 0]
+        rot = rot + jnp.stack([jnp.sum(fac * cx), jnp.sum(fac * cy),
+                               jnp.sum(fac * cz)])
+        grad = grad + jnp.sum(fac[:, None] * dist, axis=0)
+        return (ngb, rho, dh, egy, dhe, div, rot, grad)
+
+    return accumulate
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def density_walk(tree: Octree, payload, target_ipos, target_vel,
+                 hsml, boxsize, spec: KernelSpec = CUBIC):
+    """One density evaluation at given smoothing lengths."""
+    t = target_ipos.shape[0]
+    z = lambda *s: jnp.zeros(s, jnp.float32)
+    carry0 = (z(t), z(t), z(t), z(t), z(t), z(t), z(t, 3), z(t, 3))
+    extra = {"hsml": hsml, "vel": target_vel}
+    out = run_walk(tree, payload, target_ipos, hsml, extra, carry0,
+                   _density_accum(spec), boxsize, symmetric=False)
+    return DensityResult(*out)
+
+
+class HsmlState(NamedTuple):
+    hsml: jax.Array
+    left: jax.Array
+    right: jax.Array
+    done: jax.Array
+
+
+def update_hsml(state: HsmlState, ngb, dhsml_rho, rho, des_numngb,
+                ngb_deviation, boxsize) -> HsmlState:
+    """Vectorized density_check_neighbours (densitytree2.hpp:196-283)."""
+    hsml, left, right, done = state
+    out_of_range = (ngb < des_numngb - ngb_deviation) | \
+                   (ngb > des_numngb + ngb_deviation)
+    need_update = out_of_range & (~done)
+
+    # degenerate bracket: accept Right
+    tight = (right - left) < 1e-5 * right
+    hsml_tight = right
+
+    left_n = jnp.where(need_update & (ngb < des_numngb), hsml, left)
+    right_n = jnp.where(need_update & (ngb >= des_numngb), hsml, right)
+
+    # geometric-mean bisection when bracketed
+    bracketed = (right_n < boxsize) & (left_n > 0)
+    hsml_bis = jnp.cbrt(0.5 * (left_n ** 3 + right_n ** 3))
+
+    # kernel-gradient guess when not bracketed
+    densfac_raw = dhsml_rho * hsml / (NUMDIMS * jnp.maximum(rho, 1e-35))
+    densfac = 1.0 / (1.0 + densfac_raw)
+    fac = jnp.where(ngb > 0,
+                    1.0 - (ngb - des_numngb) / (NUMDIMS
+                                                * jnp.maximum(ngb, 1e-35))
+                    * densfac, 1.26)
+    fac = jnp.where((right_n > 0.99 * boxsize) & (left_n > 0)
+                    & ((densfac <= 0)
+                       | (jnp.abs(ngb - des_numngb) >= 0.5 * des_numngb)
+                       | (fac > 1.26)),
+                    1.26, fac)
+    fac = jnp.where((right_n < 0.99 * boxsize) & (left_n == 0)
+                    & ((densfac <= 0) | (fac < 1.0 / 3)),
+                    1.0 / 3, fac)
+    hsml_grow = hsml * fac
+
+    hsml_new = jnp.where(bracketed | (hsml * 1.26 > 0.99 * boxsize),
+                         hsml_bis, hsml_grow)
+    hsml_new = jnp.where(tight, hsml_tight, hsml_new)
+    hsml_out = jnp.where(need_update & (~tight), hsml_new,
+                         jnp.where(need_update & tight, hsml_tight,
+                                   hsml))
+    done_out = done | (~out_of_range) | tight
+    return HsmlState(hsml=hsml_out, left=left_n, right=right_n,
+                     done=done_out)
+
+
+@dataclass
+class DensityOutput:
+    hsml: np.ndarray
+    numngb: np.ndarray
+    density: np.ndarray
+    dhsml_density_factor: np.ndarray
+    egy_wt_density: np.ndarray
+    dhsml_egy_density_factor: np.ndarray
+    div_vel: np.ndarray
+    curl_vel: np.ndarray
+    grad_rho: np.ndarray
+    dt_hsml: np.ndarray
+    niter: int
+
+
+def density(tree: Octree, payload, target_ipos, target_vel,
+            target_entvar, hsml0, boxsize, spec: KernelSpec = CUBIC,
+            eta: float = 1.0, ngb_deviation: float = 2.0,
+            do_egy_density: bool = True,
+            maxiter: int = MAXITER) -> DensityOutput:
+    """Full adaptive-H density loop (do_hsml_loop analog, host-driven).
+
+    payload must hold sorted (tree order) arrays: ipos, mass, vel,
+    entvar (A^{1/gamma} predictions; pass ones when not using
+    pressure-entropy SPH).
+    """
+    des = float(desnumngb(spec, eta))
+    t = target_ipos.shape[0]
+    state = HsmlState(hsml=jnp.asarray(hsml0, jnp.float32),
+                      left=jnp.zeros(t, jnp.float32),
+                      right=jnp.full(t, boxsize, jnp.float32),
+                      done=jnp.zeros(t, bool))
+    res = None
+    it = 0
+    for it in range(maxiter):
+        res = density_walk(tree, payload, target_ipos, target_vel,
+                           state.hsml, boxsize, spec)
+        state = update_hsml(state, res.ngb, res.dhsml_rho, res.rho,
+                            des, ngb_deviation, boxsize)
+        if bool(jnp.all(state.done)):
+            break
+    # recompute at final hsml if last update changed anything
+    res = density_walk(tree, payload, target_ipos, target_vel,
+                       state.hsml, boxsize, spec)
+
+    hsml = state.hsml
+    rho = jnp.maximum(res.rho, 1e-35)
+    dhsml_fac = res.dhsml_rho * hsml / (NUMDIMS * rho)
+    dhsml_fac = 1.0 / (1.0 + dhsml_fac)
+    div_vel = res.div / rho
+    curl_vel = jnp.linalg.norm(res.rot, axis=-1) / rho
+    dt_hsml = (1.0 / NUMDIMS) * div_vel * hsml
+
+    if do_egy_density:
+        egy_rho = jnp.maximum(res.egy_rho, 1e-35)
+        dhsml_egy = res.dhsml_egy * hsml / (NUMDIMS * egy_rho)
+        dhsml_egy = -dhsml_egy * dhsml_fac
+        egy_wt_density = egy_rho / jnp.maximum(target_entvar, 1e-35)
+    else:
+        dhsml_egy = dhsml_fac
+        egy_wt_density = rho
+
+    return DensityOutput(
+        hsml=hsml, numngb=res.ngb, density=res.rho,
+        dhsml_density_factor=dhsml_fac,
+        egy_wt_density=egy_wt_density,
+        dhsml_egy_density_factor=dhsml_egy,
+        div_vel=div_vel, curl_vel=curl_vel, grad_rho=res.grad_rho,
+        dt_hsml=dt_hsml, niter=it + 1)
+
+
+def make_gas_payload(tree: Octree, vel, entvar, extra=None):
+    """Sort per-particle gas fields into tree order for the walk."""
+    order = tree.order
+    payload = {"ipos": tree.ipos_s, "mass": tree.mass_s,
+               "vel": vel[order], "entvar": entvar[order]}
+    if extra:
+        for k, v in extra.items():
+            payload[k] = v[order]
+    return payload
