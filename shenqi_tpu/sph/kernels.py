@@ -23,9 +23,10 @@ class KernelSpec(NamedTuple):
     sigma: float
 
 
-CUBIC = KernelSpec("cubic", 4, 2.0 / 3)
-QUARTIC = KernelSpec("quartic", 5, 1.0 / 24)
-QUINTIC = KernelSpec("quintic", 6, 1.0 / 120)
+# 3D sigmas (Price 2011 table; reference cbsigma/quarsigma/quinsigma[2])
+CUBIC = KernelSpec("cubic", 4, 1.0 / np.pi)
+QUARTIC = KernelSpec("quartic", 5, 1.0 / (20 * np.pi))
+QUINTIC = KernelSpec("quintic", 6, 1.0 / (120 * np.pi))
 
 KERNELS = {k.name: k for k in (CUBIC, QUARTIC, QUINTIC)}
 
