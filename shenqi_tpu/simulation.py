@@ -1,0 +1,276 @@
+"""Full simulation driver: TreePM + individual timesteps (run.cpp analog).
+
+Implements the reference main loop protocol (run.cpp:331-822) for
+DM-only TreePM in this round; gas hooks (density/hydro/cooling) land on
+the same skeleton:
+
+  loop:
+    ti_next = min active-bin kick time (clamped to PM step end)
+    drift ALL particles to ti_next
+    active set from timebins
+    [forces: density/hydro for gas; PM on PM steps; tree for active]
+    apply_half_kick       (completes the previous half step)
+    update_kick_times
+    [PM step] apply_PM_half_kick  (completes the previous PM half)
+    [outputs at sync points]
+    find_timesteps -> new bins, new PM length
+    apply_half_kick       (starts the new half step)
+    [PM step] apply_PM_half_kick  (starts the new PM half)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.particles import (ParticleData, SimState, RegionLayout,
+                             float_to_ipos, POS_SCALE, DM, GAS)
+from .core.timeline import Timeline, TIMEBASE, TIMEBINS, dti_from_timebin, \
+    round_down_power_of_two
+from .core.integrate import (DriftKickTimes, TimestepParams,
+                             active_bins_mask, find_next_kick,
+                             gravity_dloga, long_range_dloga,
+                             assign_timebins, gravkick_tables,
+                             update_kick_times, kick_pm,
+                             is_timebin_active)
+from .cosmology.background import Cosmology
+from .gravity.treepm import (GravityConfig, get_window_tables,
+                             default_softening)
+from .gravity.pm import PMConfig, pm_forces, finalize_power
+from .gravity.shortrange import treegrav_targets
+from .ops.tree import build_octree
+from .utils.constants import CM_PER_MPC
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _drift(ipos, vel, alive, driftfac, pos_scale_over_box):
+    dx = vel * driftfac * pos_scale_over_box
+    newpos = ipos + dx.astype(jnp.int32).astype(jnp.uint32)
+    return jnp.where(alive[:, None], newpos, ipos)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _kick_tree(vel, accel_tree, timebin, gravkick_table, alive):
+    fac = gravkick_table[timebin.astype(jnp.int32)]
+    fac = jnp.where(alive, fac, 0.0)
+    return vel + accel_tree * fac[:, None]
+
+
+@dataclass
+class Simulation:
+    CP: Cosmology
+    boxsize: float
+    timeline: Timeline
+    times: DriftKickTimes
+    gravity: GravityConfig
+    tsp: TimestepParams
+    particles: ParticleData
+    fast_particle_type: int = 2
+    step_count: int = 0
+    power_history: list = field(default_factory=list)
+    snapshots: list = field(default_factory=list)
+    window_tables: object = None
+    _accel_tree: jax.Array = None
+    on_snapshot: object = None   # callback(sim, atime)
+
+    @classmethod
+    def from_arrays(cls, pos, vel, mass, ids, CP, boxsize, nmesh,
+                    timeline, atime, tsp: Optional[TimestepParams] = None,
+                    gravity_kw: Optional[dict] = None):
+        n = len(pos)
+        ncap = ((n + 127) // 128) * 128
+        ipos_np = np.zeros((ncap, 3), np.uint32)
+        ipos_np[:n] = float_to_ipos(pos, boxsize)
+        vel_np = np.zeros((ncap, 3), np.float32)
+        vel_np[:n] = vel
+        mass_np = np.zeros(ncap, np.float32)
+        mass_np[:n] = mass if np.ndim(mass) else np.full(n, mass)
+        mask_np = np.zeros(ncap, bool)
+        mask_np[:n] = True
+        ids_np = np.zeros(ncap, np.uint64)
+        ids_np[:n] = ids
+        p = ParticleData.zeros(ncap)
+        p = dataclasses.replace(
+            p, ipos=jnp.asarray(ipos_np), vel=jnp.asarray(vel_np),
+            mass=jnp.asarray(mass_np), mask=jnp.asarray(mask_np),
+            ptype=jnp.full(ncap, DM, jnp.int8),
+            timebin=jnp.ones(ncap, jnp.int8),
+            id_lo=jnp.asarray((ids_np & 0xFFFFFFFF).astype(np.uint32)),
+            id_hi=jnp.asarray((ids_np >> np.uint64(32)).astype(np.uint32)))
+        soft = default_softening(boxsize, n)
+        gkw = dict(boxsize=boxsize, nmesh=nmesh, G=CP.GravInternal,
+                   softening=soft,
+                   tree_nlevels=min(10, max(6, int(np.ceil(
+                       np.log(max(n, 8) / 16) / np.log(8))) + 3)),
+                   tree_ncrit=32)
+        if gravity_kw:
+            gkw.update(gravity_kw)
+        gravity = GravityConfig(**gkw)
+        ti = timeline.ti_from_loga(np.log(atime))
+        return cls(CP=CP, boxsize=boxsize, timeline=timeline,
+                   times=DriftKickTimes.init(ti), gravity=gravity,
+                   tsp=tsp or TimestepParams(), particles=p)
+
+    # ---------- pieces ----------
+    def atime(self) -> float:
+        return self.timeline.atime_from_ti(self.times.ti_current)
+
+    def _drift_all(self, ti_next: int):
+        fac = self.timeline.exact_drift_factor(self.CP,
+                                               self.times.ti_current,
+                                               ti_next)
+        self.particles = dataclasses.replace(
+            self.particles,
+            ipos=_drift(self.particles.ipos, self.particles.vel,
+                        self.particles.mask, jnp.float32(fac),
+                        jnp.float32(POS_SCALE / self.boxsize)))
+        self.times.ti_current = ti_next
+        for b in range(TIMEBINS + 1):
+            if is_timebin_active(b, ti_next):
+                self.times.ti_lastactivedrift[b] = ti_next
+
+    def _compute_pm(self, record_power=True):
+        p = self.particles
+        accel, pot, ps = pm_forces(p.ipos, p.mass, self.gravity.pm(),
+                                   mask=p.mask)
+        self.particles = dataclasses.replace(p, grav_pm=accel,
+                                             potential=pot)
+        if record_power:
+            mpc = CM_PER_MPC / 3.085678e21
+            kk, power, nmodes = finalize_power(
+                ps, self.gravity.pm(), self.boxsize / mpc)
+            self.power_history.append((self.atime(), kk, power, nmodes))
+
+    def _compute_tree(self, first_step: bool):
+        p = self.particles
+        if self.window_tables is None and \
+                self.gravity.window_type == "exact":
+            self.window_tables = get_window_tables(self.gravity)
+        tree = build_octree(p.ipos, p.mass, p.mask, self.boxsize,
+                            nlevels=self.gravity.tree_nlevels,
+                            ncrit=self.gravity.tree_ncrit)
+        sp = self.gravity.short(use_bh=1 if first_step else None)
+        acc, pot, nint = treegrav_targets(tree, p.ipos, p.old_acc, sp,
+                                          self.window_tables)
+        self.particles = dataclasses.replace(p, grav_accel=acc)
+
+    def _apply_half_kick(self):
+        gk, hk, dte = gravkick_tables(self.CP, self.timeline, self.times)
+        p = self.particles
+        vel = _kick_tree(p.vel, p.grav_accel, p.timebin, gk, p.mask)
+        self.particles = dataclasses.replace(p, vel=vel)
+
+    def _apply_pm_half_kick(self):
+        t0 = self.times.pm_kick
+        t1 = t0 + self.times.pm_length // 2
+        fac = self.timeline.exact_gravkick_factor(self.CP, t0, t1)
+        p = self.particles
+        vel = kick_pm(p.vel, p.grav_pm, p.mask, jnp.float32(fac))
+        self.particles = dataclasses.replace(p, vel=vel)
+        self.times.pm_kick = t1
+
+    def _find_timesteps(self, first_step: bool):
+        times = self.times
+        is_pm = times.is_pm()
+        p = self.particles
+        atime = self.atime()
+        if is_pm:
+            asmth_internal = (self.gravity.asmth * self.boxsize
+                              / self.gravity.nmesh)
+            dloga_pm = long_range_dloga(
+                p.vel, p.mass, p.ptype, np.asarray(p.mask), atime,
+                self.CP, self.boxsize, asmth_internal, self.tsp)
+            dti = self.timeline.dti_from_dloga(dloga_pm,
+                                               times.ti_current)
+            dti = round_down_power_of_two(dti)
+            dti_max = (self.timeline.find_next_ti_sync(times.ti_current)
+                       - times.pm_kick)
+            times.pm_length = min(dti, dti_max)
+            times.pm_start = times.pm_kick
+
+        hubble = float(self.CP.hubble_function(atime))
+        accel_tot = self.particles.grav_accel + self.particles.grav_pm
+        dloga = gravity_dloga(accel_tot, atime, hubble,
+                              self.gravity.softening,
+                              self.tsp.ErrTolIntAccuracy)
+        # store old_acc for next tree opening criterion
+        oldacc = jnp.linalg.norm(accel_tot, axis=-1) / self.gravity.G
+        self.particles = dataclasses.replace(self.particles,
+                                             old_acc=oldacc)
+        active = np.asarray(self._active_mask())
+        if first_step:
+            active = np.asarray(self.particles.mask)
+        newbins, bad = assign_timebins(
+            np.asarray(dloga), np.asarray(self.particles.timebin),
+            active & np.asarray(self.particles.mask), times,
+            self.timeline, self.tsp.MinSizeTimestep)
+        self.particles = dataclasses.replace(
+            self.particles, timebin=jnp.asarray(newbins.astype(np.int8)))
+        occupied = newbins[np.asarray(self.particles.mask)]
+        if occupied.size:
+            times.mintimebin = int(occupied.min())
+            times.maxtimebin = int(occupied.max())
+        # PM length never below the largest occupied bin
+        if is_pm and times.pm_length < dti_from_timebin(
+                times.maxtimebin):
+            times.pm_length = dti_from_timebin(times.maxtimebin)
+        return bad
+
+    def _active_mask(self):
+        bins_active = active_bins_mask(self.times.ti_current)
+        tb = np.asarray(self.particles.timebin)
+        return jnp.asarray(bins_active[tb] & np.asarray(
+            self.particles.mask))
+
+    # ---------- the main loop ----------
+    def run(self, max_steps: int = 10 ** 9):
+        """Evolve until the last sync point (or max_steps)."""
+        first = self.step_count == 0
+        while max_steps > 0:
+            max_steps -= 1
+            times = self.times
+            if not first:
+                ti_next = find_next_kick(times.ti_current,
+                                         times.mintimebin)
+                ti_next = min(ti_next, times.pm_start + times.pm_length)
+                self._drift_all(ti_next)
+            is_pm = times.is_pm()
+
+            # forces
+            if is_pm:
+                self._compute_pm()
+            self._compute_tree(first_step=first)
+
+            if not first:
+                self._apply_half_kick()
+            update_kick_times(times)
+            if is_pm and not first:
+                self._apply_pm_half_kick()
+
+            # sync point outputs
+            sp = self.timeline.find_current_sync_point(times.ti_current)
+            if sp is not None and sp.write_snapshot:
+                if self.on_snapshot:
+                    self.on_snapshot(self, self.atime())
+                self.snapshots.append(self.atime())
+
+            if self.timeline.find_next_sync_point(times.ti_current) \
+                    is None:
+                break
+
+            bad = self._find_timesteps(first_step=first)
+            if bad:
+                raise RuntimeError(f"{bad} bad timesteps at step "
+                                   f"{self.step_count}")
+            self._apply_half_kick()
+            if is_pm:
+                self._apply_pm_half_kick()
+            self.step_count += 1
+            first = False
+        return self
