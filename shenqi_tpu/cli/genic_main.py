@@ -1,0 +1,152 @@
+"""MP-GenIC equivalent CLI: paramfile -> bigfile IC snapshot.
+
+Usage: python -m shenqi_tpu.cli.genic_main paramfile.genic
+
+Reads the same parameter files as the reference genic (genic/params.cpp)
+and writes a format-compatible IC bigfile readable by both frameworks.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from .params import genic_params
+from ..utils.units import get_unitsystem
+from ..utils.constants import GAMMA_MINUS1, BOLTZMANN, PROTONMASS, \
+    HYDROGEN_MASSFRAC
+from ..cosmology.background import Cosmology
+from ..cosmology.power import InputPower
+from ..genic.ic import (setup_grid, gaussian_field, displacement_fields,
+                        ZeldovichResult)
+from ..io.bigfile import BigFile
+from ..io.snapshot import SnapshotHeader
+
+
+def run_genic(paramfile: str, strict: bool = False) -> str:
+    ps = genic_params()
+    ps.parse_file(paramfile, strict=strict)
+
+    units = get_unitsystem(ps.get_double("UnitLength_in_cm"),
+                           ps.get_double("UnitMass_in_g"),
+                           ps.get_double("UnitVelocity_in_cm_per_s"))
+    redshift = ps.get_double("Redshift")
+    time_ic = 1.0 / (1 + redshift)
+    cp = Cosmology(
+        Omega0=ps.get_double("Omega0"),
+        OmegaLambda=ps.get_double("OmegaLambda"),
+        OmegaBaryon=ps.get_double("OmegaBaryon"),
+        HubbleParam=ps.get_double("HubbleParam"),
+        CMBTemperature=ps.get_double("CMBTemperature"),
+        RadiationOn=ps.get_int("RadiationOn"),
+        MNu=(ps.get_double("MNue"), ps.get_double("MNum"),
+             ps.get_double("MNut")))
+    cp.init(time_ic, units)
+
+    boxsize = ps.get_double("BoxSize")
+    ngrid = ps.get_int("Ngrid")
+    nmesh = ps.get_int("Nmesh")
+    if nmesh <= 0:
+        nmesh = ngrid
+    seed = ps.get_int("Seed")
+    produce_gas = ps.get_int("ProduceGas")
+    use_peculiar = ps.get_int("UsePeculiarVelocity")
+
+    if ps.get_int("WhichSpectrum") == 2:
+        power = InputPower.from_file(ps.get_string("FileWithInputSpectrum"),
+                                     cp, units.UnitLength_in_cm)
+    else:
+        power = InputPower.analytic_eh(
+            cp, units.UnitLength_in_cm,
+            primordial_index=ps.get_double("PrimordialIndex"))
+    power.normalize(sigma8=ps.get_double("Sigma8"),
+                    input_power_redshift=ps.get_double(
+                        "InputPowerRedshift"),
+                    time_ic=time_ic)
+
+    g_k = gaussian_field(seed, nmesh,
+                         unitary=bool(ps.get_int("UnitaryAmplitude")),
+                         invert_phase=bool(ps.get_int("InvertPhase")))
+
+    total_mass = cp.Omega0 * cp.RhoCrit * boxsize ** 3
+    species = []   # (ptype, pos, vel, ids, mass)
+    if produce_gas:
+        # DM shifted by +1/2 cell, gas by -1/2 relative (reference grid
+        # offset convention); masses split by Omega fractions
+        mass_dm = ((cp.Omega0 - cp.OmegaBaryon) * cp.RhoCrit
+                   * boxsize ** 3 / ngrid ** 3)
+        mass_gas = cp.OmegaBaryon * cp.RhoCrit * boxsize ** 3 / ngrid ** 3
+        lattice_dm, ids_dm = setup_grid(ngrid, boxsize, id_offset=1,
+                                        shift_frac=0.5)
+        lattice_gas, ids_gas = setup_grid(ngrid, boxsize,
+                                          id_offset=ngrid ** 3 + 1,
+                                          shift_frac=0.0)
+        res_dm = displacement_fields(g_k, power, cp, lattice_dm, boxsize,
+                                     time_ic, use_peculiar=use_peculiar)
+        res_gas = displacement_fields(g_k, power, cp, lattice_gas,
+                                      boxsize, time_ic,
+                                      use_peculiar=use_peculiar)
+        species.append((1, res_dm.pos, res_dm.vel, ids_dm, mass_dm))
+        species.append((0, res_gas.pos, res_gas.vel, ids_gas, mass_gas))
+    else:
+        mass_dm = total_mass / ngrid ** 3
+        lattice, ids = setup_grid(ngrid, boxsize)
+        res = displacement_fields(g_k, power, cp, lattice, boxsize,
+                                  time_ic, use_peculiar=use_peculiar)
+        species.append((1, res.pos, res.vel, ids, mass_dm))
+
+    # write the IC snapshot
+    outdir = ps.get_string("OutputDir")
+    base = ps.get_string("FileBase")
+    os.makedirs(outdir, exist_ok=True)
+    path = os.path.join(outdir, base)
+    bf = BigFile(path, create=True)
+    totnumpart = np.zeros(6, dtype=np.uint64)
+    masstable = np.zeros(6)
+    for t, pos, vel, ids, mass in species:
+        totnumpart[t] = len(pos)
+        masstable[t] = mass
+    hdr = SnapshotHeader(
+        TotNumPart=totnumpart, MassTable=masstable, Time=time_ic,
+        BoxSize=boxsize, Omega0=cp.Omega0, OmegaLambda=cp.OmegaLambda,
+        OmegaBaryon=cp.OmegaBaryon, HubbleParam=cp.HubbleParam,
+        UnitLength_in_cm=units.UnitLength_in_cm,
+        UnitMass_in_g=units.UnitMass_in_g,
+        UnitVelocity_in_cm_per_s=units.UnitVelocity_in_cm_per_s,
+        UsePeculiarVelocity=use_peculiar, TimeIC=time_ic)
+    hdr.extra["Seed"] = np.array([seed], dtype="<i8")
+    hdr.extra["UnitaryAmplitude"] = np.array(
+        [ps.get_int("UnitaryAmplitude")], dtype="<i4")
+    hdr.extra["InvertPhase"] = np.array([ps.get_int("InvertPhase")],
+                                        dtype="<i4")
+    hdr.extra["FractionNuInParticles"] = np.array([0.0])
+    hdr.write(bf)
+    for t, pos, vel, ids, mass in species:
+        blk = bf.create_block(f"{t}/Position", "<f8", len(pos), nmemb=3)
+        blk.write(0, pos.astype("<f8"))
+        blk.flush()
+        blk = bf.create_block(f"{t}/Velocity", "<f4", len(pos), nmemb=3)
+        blk.write(0, vel.astype("<f4"))
+        blk.flush()
+        blk = bf.create_block(f"{t}/ID", "<u8", len(pos), nmemb=1)
+        blk.write(0, ids.astype("<u8"))
+        blk.flush()
+    print(f"Wrote ICs to {path}: "
+          + ", ".join(f"type{t}={len(p)}" for t, p, *_ in species))
+    return path
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) < 1:
+        print("usage: python -m shenqi_tpu.cli.genic_main paramfile",
+              file=sys.stderr)
+        return 1
+    run_genic(argv[0])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

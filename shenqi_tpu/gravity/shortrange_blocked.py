@@ -1,0 +1,142 @@
+"""Blocked short-range gravity: block traversal + dense masked evaluation.
+
+Production TPU path (see ops/blockwalk.py).  Physics identical to
+shortrange.py (same spline softening + short-range window); only the
+schedule differs: a conservative block MAC means every accepted node is
+evaluated as a monopole by all targets of the block, and every opened
+leaf contributes P2P pairs to all targets (masked).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.tree import Octree
+from ..ops.blockwalk import (block_traverse, make_blocks,
+                             gather_leaf_sources)
+from ..core.particles import POS_SCALE
+from .shortrange import (ShortRangeParams, spline_force,
+                         short_range_window)
+
+BLOCK = 128
+
+
+def _nearest(d, boxsize):
+    return d - boxsize * jnp.round(d / boxsize)
+
+
+@partial(jax.jit, static_argnames=("params", "maxi", "maxl", "ncrit",
+                                   "nblocks", "block"))
+def _blocked_eval(tree: Octree, lists, tgt_pos, params: ShortRangeParams,
+                  window_tables, maxi: int, maxl: int, ncrit: int,
+                  nblocks: int, block: int):
+    """Evaluate monopole + P2P lists. tgt_pos: [B, BLK, 3] float."""
+    box = params.boxsize
+
+    # ---- monopoles ----
+    safe = jnp.maximum(lists.node_ids, 0)
+    cofm = tree.cofm[safe]            # [B, MAXI, 3]
+    nmass = jnp.where(lists.node_ids >= 0, tree.mass[safe], 0.0)
+    nmask = (jnp.arange(maxi)[None, :]
+             < lists.n_nodes[:, None])  # [B, MAXI]
+    nmass = jnp.where(nmask, nmass, 0.0)
+
+    CH = 256
+
+    def mono_chunk(carry, c):
+        acc, pot = carry
+        sl = jax.lax.dynamic_slice_in_dim(cofm, c * CH, CH, axis=1)
+        sm = jax.lax.dynamic_slice_in_dim(nmass, c * CH, CH, axis=1)
+        dx = _nearest(sl[:, None, :, :] - tgt_pos[:, :, None, :], box)
+        r2 = jnp.sum(dx * dx, axis=-1)        # [B, BLK, CH]
+        fac, facpot = spline_force(r2, sm[:, None, :], params.softening)
+        r = jnp.sqrt(r2)
+        fw, pw = short_range_window(r, params.cellsize, params.asmth,
+                                    window_tables)
+        acc = acc + jnp.sum(dx * (fac * fw)[..., None], axis=2)
+        pot = pot + jnp.sum(facpot * pw, axis=2)
+        return (acc, pot), None
+
+    acc0 = jnp.zeros((nblocks, block, 3), jnp.float32)
+    pot0 = jnp.zeros((nblocks, block), jnp.float32)
+    (acc, pot), _ = jax.lax.scan(mono_chunk, (acc0, pot0),
+                                 jnp.arange(maxi // CH))
+
+    # ---- P2P over opened leaves ----
+    payload = {"ipos": tree.ipos_s, "mass": tree.mass_s}
+    src, valid = gather_leaf_sources(tree, lists.leaf_ids, ncrit,
+                                     payload)
+    # [B, MAXL*ncrit, ...]
+    smass = jnp.where(valid, src["mass"], 0.0)
+    spos = src["ipos"].astype(jnp.float32) * jnp.float32(
+        box / POS_SCALE)
+    total_src = maxl * ncrit
+    PCH = 512
+
+    def p2p_chunk(carry, c):
+        acc, pot = carry
+        sl = jax.lax.dynamic_slice_in_dim(spos, c * PCH, PCH, axis=1)
+        sm = jax.lax.dynamic_slice_in_dim(smass, c * PCH, PCH, axis=1)
+        dx = _nearest(sl[:, None, :, :] - tgt_pos[:, :, None, :], box)
+        r2 = jnp.sum(dx * dx, axis=-1)
+        fac, facpot = spline_force(r2, sm[:, None, :], params.softening)
+        r = jnp.sqrt(r2)
+        fw, pw = short_range_window(r, params.cellsize, params.asmth,
+                                    window_tables)
+        acc = acc + jnp.sum(dx * (fac * fw)[..., None], axis=2)
+        pot = pot + jnp.sum(facpot * pw, axis=2)
+        return (acc, pot), None
+
+    (acc, pot), _ = jax.lax.scan(p2p_chunk, (acc, pot),
+                                 jnp.arange(total_src // PCH))
+    return acc * params.G, pot * params.G
+
+
+def treegrav_blocked(tree: Octree, oldacc, params: ShortRangeParams,
+                     window_tables=None, n_targets: int = None,
+                     block: int = BLOCK, maxi: int = 2048,
+                     maxl: int = 512, ncrit: int = 32):
+    """Short-range force at the sorted particle positions.
+
+    oldacc: [N] |acc|/G in ORIGINAL order (gathered through tree.order).
+    Returns (accel [N,3], pot [N]) in ORIGINAL particle order.
+    Raises RuntimeError when the traversal caps overflow.
+    """
+    n = tree.ipos_s.shape[0]
+    if n_targets is None:
+        n_targets = n
+    bb_lo, bb_hi, nblocks, pad_n = make_blocks(tree, n_targets, block,
+                                               params.boxsize)
+    oldacc_s = oldacc[tree.order]
+    idx = jnp.minimum(jnp.arange(pad_n), n_targets - 1)
+    aold_blk = (params.err_tol_force_acc
+                * oldacc_s[idx].reshape(nblocks, block))
+    block_aold = jnp.min(aold_blk, axis=1)
+    lists = block_traverse(
+        tree, bb_lo, bb_hi, jnp.zeros(nblocks, jnp.float32), block_aold,
+        params.boxsize, params.rcut, params.bh_opening_angle ** 2,
+        params.use_bh, maxi=maxi, maxl=maxl, mode="gravity")
+    if bool(jnp.any(lists.overflow)):
+        raise RuntimeError(
+            f"block traversal overflow: nodes max {int(jnp.max(lists.n_nodes))}"
+            f"/{maxi}, leaves max {int(jnp.max(lists.n_leaves))}/{maxl}")
+
+    to_f = jnp.float32(params.boxsize / POS_SCALE)
+    tgt_pos = (tree.ipos_s[idx].astype(jnp.float32) * to_f
+               ).reshape(nblocks, block, 3)
+    acc_b, pot_b = _blocked_eval(tree, lists, tgt_pos, params,
+                                 window_tables, maxi, maxl, ncrit,
+                                 nblocks, block)
+    acc_s = acc_b.reshape(pad_n, 3)[:n_targets]
+    pot_s = pot_b.reshape(pad_n)[:n_targets]
+    # scatter back to original order
+    acc = jnp.zeros((n, 3), jnp.float32).at[
+        tree.order[:n_targets]].set(acc_s)
+    pot = jnp.zeros(n, jnp.float32).at[tree.order[:n_targets]].set(pot_s)
+    return acc, pot, lists

@@ -1,0 +1,95 @@
+"""End-to-end CLI test: genic paramfile -> IC -> gadget run -> outputs.
+
+The miniature of the reference CI pipeline (run MP-GenIC, run MP-Gadget,
+check outputs exist and parse)."""
+
+import os
+import numpy as np
+import pytest
+
+from shenqi_tpu.cli.genic_main import run_genic
+from shenqi_tpu.cli.gadget_main import run_gadget
+from shenqi_tpu.io.snapshot import read_snapshot
+from shenqi_tpu.io.fofio import load_fof
+
+GENIC_PARAM = """
+OutputDir = {out}/IC
+FileBase = IC
+Ngrid = 12
+BoxSize = 64000
+Omega0 = 0.288
+OmegaLambda = 0.712
+OmegaBaryon = 0.0472
+ProduceGas = 0
+HubbleParam = 0.7
+Redshift = 9
+FileWithInputSpectrum = /root/reference/examples/dm-small/class_pk_9.dat
+DifferentTransferFunctions = 0
+UsePeculiarVelocity = 1
+Seed = 181170
+UnitaryAmplitude = 1
+"""
+
+GADGET_PARAM = """
+InitCondFile = {out}/IC/IC
+OutputDir = {out}/output
+OutputList = 0.125
+TimeMax = 0.125
+Omega0 = 0.288
+MassiveNuLinRespOn = 0
+HydroOn = 0
+CoolingOn = 0
+StarformationOn = 0
+DensityIndependentSphOn = 0
+SnapshotWithFOF = 0
+PartAllocFactor = 2.0
+BlackHoleOn = 0
+MetalReturnOn = 0
+WindOn = 0
+Nmesh = 24
+"""
+
+
+@pytest.mark.slow
+def test_genic_gadget_pipeline(tmp_path):
+    out = str(tmp_path)
+    gp = tmp_path / "paramfile.genic"
+    gp.write_text(GENIC_PARAM.format(out=out))
+    icpath = run_genic(str(gp))
+    assert os.path.isdir(icpath)
+
+    hdr, blocks = read_snapshot(icpath)
+    assert hdr.Time == pytest.approx(0.1)
+    assert len(blocks[1]["Position"]) == 12 ** 3
+    # velocities are z=9-scale peculiar: tens to hundreds of km/s
+    v = np.linalg.norm(blocks[1]["Velocity"], axis=1)
+    assert 1 < np.median(v) < 1000
+
+    pp = tmp_path / "paramfile.gadget"
+    pp.write_text(GADGET_PARAM.format(out=out))
+    sim = run_gadget(str(pp))
+    # one snapshot written at a=0.125
+    snap = os.path.join(out, "output", "PART_000")
+    assert os.path.isdir(snap)
+    hdr2, blocks2 = read_snapshot(snap)
+    assert hdr2.Time == pytest.approx(0.125, rel=1e-3)
+    assert len(blocks2[1]["Position"]) == 12 ** 3
+    # IDs preserved
+    assert set(np.asarray(blocks2[1]["ID"])) == set(
+        np.asarray(blocks[1]["ID"]))
+    # power spectrum file written
+    psfile = os.path.join(out, "output", "powerspectrum-0.1250.txt")
+    assert os.path.exists(psfile)
+    dat = np.loadtxt(psfile)
+    assert dat.shape[1] == 4
+    assert (dat[:, 1] > 0).all()
+    # LastSnapNum bookkeeping
+    with open(os.path.join(out, "output", "LastSnapNum.txt")) as f:
+        assert int(f.read()) == 0
+
+    # FOF postprocessing mode (RestartFlag 3)
+    groups = run_gadget(str(pp), restart_flag=3, snapnum=0)
+    pig = os.path.join(out, "output", "PIG_000")
+    assert os.path.isdir(pig)
+    cat = load_fof(pig)
+    assert "Mass" in cat

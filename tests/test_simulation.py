@@ -16,7 +16,7 @@ from shenqi_tpu.simulation import Simulation
 
 CLASS_PK = "/root/reference/examples/dm-small/class_pk_9.dat"
 BOX = 64000.0
-NGRID = 24
+NGRID = 16
 
 
 @pytest.mark.slow
@@ -24,7 +24,7 @@ def test_treepm_simulation_growth():
     units = default_units()
     cp = Cosmology(Omega0=0.288, OmegaLambda=0.712, OmegaBaryon=0.0472,
                    HubbleParam=0.7, RadiationOn=1)
-    a_ic, a_end = 0.1, 0.2
+    a_ic, a_end = 0.1, 0.15
     cp.init(TimeBegin=a_ic, units=units)
     power = InputPower.from_file(CLASS_PK, cp, units.UnitLength_in_cm)
 
