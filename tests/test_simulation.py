@@ -50,7 +50,7 @@ def test_treepm_simulation_growth():
     mpc = 3.085678e24 / units.UnitLength_in_cm
     boxsize_mpc = BOX / mpc
     knyq = np.pi * NGRID / boxsize_mpc
-    sel = (k0 > 2 * 2 * np.pi / boxsize_mpc) & (k0 < 0.25 * knyq)
+    sel = (k0 > 1.4 * 2 * np.pi / boxsize_mpc) & (k0 < 0.4 * knyq)
     ratio = p1[sel] / p0[sel] / growth ** 2
     wmean = np.sum(ratio * n0[sel]) / np.sum(n0[sel])
     # TreePM with individual timesteps: linear growth on large scales
