@@ -171,7 +171,10 @@ def make_sharded_step(mesh: Mesh, cfg_pm: PMConfig,
     @partial(shard_map, mesh=mesh,
              in_specs=(P("dp", None), P("dp", None), P("dp"), P("dp"),
                        P(), P()),
-             out_specs=(P("dp", None), P("dp", None), P("dp")))
+             out_specs=(P("dp", None), P("dp", None), P("dp")),
+             # the traversal's conditional appends are data-dependent per
+             # device; disable the varying-manual-axes strictness check
+             check_vma=False)
     def step_local(ipos, vel, mass, oldacc, kick, drift):
         accel_pm = pm_forces_replicated_fft(ipos, mass, cfg_pm)
         accel_tree = tree_forces_sharded(
