@@ -123,10 +123,10 @@ def gadget_params() -> ParameterSet:
     d("QuickLymanAlphaProbability", OPTIONAL, 0,
       "Instant star conversion probability")
     # winds
-    e("WindModel", {"nowind": 1, "decouple": 2, "subgrid": 4,
-                    "fixedefficiency": 8, "sh03": 24, "vs08": 40,
-                    "ofjt10": 96, "isotropic": 128}, OPTIONAL,
-      "nowind", "Wind model flags")
+    e("WindModel", {"subgrid": 1, "decouple": 2, "halo": 4,
+                    "fixedefficiency": 8, "sh03": 11, "vs08": 8,
+                    "ofjt10": 6, "isotropic": 512}, OPTIONAL,
+      "ofjt10", "Wind model flags (winds.h values)")
     d("WindEfficiency", OPTIONAL, 2.0, "SH03 wind mass loading")
     d("WindEnergyFraction", OPTIONAL, 1.0, "Wind energy fraction")
     d("WindSigma0", OPTIONAL, 353, "VS08 velocity scale (km/s)")

@@ -47,7 +47,7 @@ def _blocked_eval(tree: Octree, lists, tgt_pos, params: ShortRangeParams,
              < lists.n_nodes[:, None])  # [B, MAXI]
     nmass = jnp.where(nmask, nmass, 0.0)
 
-    CH = 256
+    CH = 64
 
     def mono_chunk(carry, c):
         acc, pot = carry
@@ -77,7 +77,7 @@ def _blocked_eval(tree: Octree, lists, tgt_pos, params: ShortRangeParams,
     spos = src["ipos"].astype(jnp.float32) * jnp.float32(
         box / POS_SCALE)
     total_src = maxl * ncrit
-    PCH = 512
+    PCH = 128
 
     def p2p_chunk(carry, c):
         acc, pot = carry

@@ -1,0 +1,147 @@
+"""Kinetic stellar winds (winds.cpp analog).
+
+Round-1 scope: the SUBGRID wind path (winds_make_after_sf +
+wind_do_kick), where the star-forming gas particle itself receives the
+kick probabilistically — fully vectorizable with no neighbor walk.
+Both velocity scalings are implemented:
+  * SH03 fixed efficiency: eta = WindEfficiency,
+    v = WindSpeed * a with WindSpeed = sqrt(2 eps_w beta u_SN/(1-beta))
+  * VS08 halo-based: eta = sigma0^2/(vphys^2 + 2 utherm),
+    v = WindSpeedFactor * vdisp
+Decoupled wind particles (DelayTime > 0) skip hydro forces until they
+recouple (winds_is_particle_decoupled semantics).
+
+The non-subgrid neighbor-kick treewalk (stars kick surrounding gas)
+follows via the block walk engine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.constants import GAMMA_MINUS1, SEC_PER_MEGAYEAR
+
+# WindModel flags (winds.h:14-21)
+WIND_SUBGRID = 1
+WIND_DECOUPLE_SPH = 2
+WIND_USE_HALO = 4
+WIND_FIXED_EFFICIENCY = 8
+WIND_ISOTROPIC = 512
+# canonical combinations (gadget/params.cpp:234-243)
+WIND_MODEL_SH03 = WIND_SUBGRID | WIND_DECOUPLE_SPH | WIND_FIXED_EFFICIENCY
+WIND_MODEL_VS08 = WIND_FIXED_EFFICIENCY
+WIND_MODEL_OFJT10 = WIND_USE_HALO | WIND_DECOUPLE_SPH
+
+
+@dataclass
+class WindParams:
+    WindModel: int = 0
+    WindEfficiency: float = 2.0
+    WindEnergyFraction: float = 1.0
+    WindSigma0: float = 353.0
+    WindSpeedFactor: float = 3.7
+    WindThermalFactor: float = 0.0
+    MinWindVelocity: float = 0.0
+    WindFreeTravelLength: float = 20.0
+    WindFreeTravelDensFac: float = 0.1
+    MaxWindFreeTravelTime: float = 60.0    # Myr (converted in init)
+    # derived
+    WindSpeed: float = 0.0
+    WindFreeTravelDensThresh: float = 0.0
+
+    def init(self, factor_sn, egy_spec_sn, phys_dens_thresh,
+             unit_time_in_s):
+        self.WindSpeed = np.sqrt(2 * self.WindEnergyFraction * factor_sn
+                                 * egy_spec_sn / (1 - factor_sn))
+        self.MaxWindFreeTravelTime = (self.MaxWindFreeTravelTime
+                                      * SEC_PER_MEGAYEAR
+                                      / unit_time_in_s)
+        self.WindFreeTravelDensThresh = (self.WindFreeTravelDensFac
+                                         * phys_dens_thresh)
+        return self
+
+    def has(self, flag):
+        return (self.WindModel & flag) != 0
+
+
+def ever_decouple(wp: WindParams) -> bool:
+    return wp.has(WIND_DECOUPLE_SPH) and wp.MaxWindFreeTravelTime > 0
+
+
+def is_decoupled(delay_time, density, a3inv, wp: WindParams):
+    """winds_is_particle_decoupled: in the wind phase and still dense."""
+    if not ever_decouple(wp):
+        return jnp.zeros_like(delay_time, dtype=bool)
+    return ((delay_time > 0)
+            & (density * a3inv > wp.WindFreeTravelDensThresh))
+
+
+def wind_params_for(vdisp, atime, wp: WindParams):
+    """(kick velocity, efficiency, utherm) per particle
+    (get_wind_params math)."""
+    vphys = vdisp / atime
+    utherm = wp.WindThermalFactor * 1.5 * vphys * vphys
+    if wp.has(WIND_FIXED_EFFICIENCY):
+        windeff = jnp.full_like(vdisp, wp.WindEfficiency)
+        vel = jnp.full_like(vdisp, wp.WindSpeed * atime)
+    else:  # WIND_USE_HALO (VS08)
+        windeff = wp.WindSigma0 ** 2 / jnp.maximum(
+            vphys * vphys + 2 * utherm, 1e-35)
+        vel = wp.WindSpeedFactor * vdisp
+    vel = jnp.maximum(vel, wp.MinWindVelocity * atime)
+    return vel, windeff, utherm
+
+
+class WindResult(NamedTuple):
+    vel: jax.Array          # updated velocities [N,3]
+    entropy: jax.Array      # updated entropy
+    delay_time: jax.Array   # updated decoupling clocks
+
+
+def winds_subgrid_step(key, vel3, entropy, density, delay_time, mass,
+                       sm, vdisp, atime, a3inv, wp: WindParams,
+                       eligible) -> WindResult:
+    """Subgrid wind kicks after star formation (winds_make_after_sf).
+
+    sm: stellar mass formed this step per particle; eligible: gas mask.
+    """
+    if not wp.has(WIND_SUBGRID) or wp.WindModel == 1:  # nowind
+        return WindResult(vel3, entropy, delay_time)
+    kick_v, windeff, utherm = wind_params_for(vdisp, atime, wp)
+    pw = windeff * sm / jnp.maximum(mass, 1e-35)
+    prob = 1 - jnp.exp(-pw)
+    k1, k2 = jax.random.split(key)
+    do_kick = (jax.random.uniform(k1, mass.shape) < prob) & eligible \
+        & (kick_v > 0)
+    # random isotropic direction
+    dirs = jax.random.normal(k2, vel3.shape)
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1,
+                                              keepdims=True), 1e-20)
+    vel_new = vel3 + jnp.where(do_kick[:, None],
+                               kick_v[:, None] * dirs, 0.0)
+    enttou = (density * a3inv) ** GAMMA_MINUS1 / GAMMA_MINUS1
+    ent_new = entropy + jnp.where(do_kick, utherm
+                                  / jnp.maximum(enttou, 1e-35), 0.0)
+    if ever_decouple(wp):
+        delay = wp.WindFreeTravelLength / jnp.maximum(kick_v / atime,
+                                                      1e-35)
+        delay = jnp.minimum(delay, wp.MaxWindFreeTravelTime)
+        delay_new = jnp.where(do_kick, delay, delay_time)
+    else:
+        delay_new = delay_time
+    return WindResult(vel_new, ent_new, delay_new)
+
+
+def winds_decay(delay_time, density, a3inv, dtime, wp: WindParams):
+    """Advance decoupling clocks; recouple when diffuse
+    (winds_decoupled_hydro semantics)."""
+    if not ever_decouple(wp):
+        return delay_time
+    delay = jnp.maximum(delay_time - dtime, 0.0)
+    recouple = density * a3inv < wp.WindFreeTravelDensThresh
+    return jnp.where(recouple, 0.0, delay)
