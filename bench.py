@@ -1,13 +1,16 @@
-"""Benchmark: particle-steps/sec of the PM KDK step on the local device.
+"""Benchmark: particle-steps/sec of the TreePM KDK step on this device.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The headline metric (BASELINE.json) is particle-steps/sec/chip on the
-dm-50-512 config (512^3 particles, Nmesh 1024).  That full size does not
-fit one v5e chip yet; this benchmark runs the largest PM-only problem
-that fits and scales the metric per chip.  The reference publishes no
-absolute numbers (BASELINE.md), so vs_baseline is reported against the
-first recorded value of this benchmark when available.
+Two stages are timed and combined:
+  * full TreePM step (PM + octree build + blocked tree walk + KDK) at
+    BENCH_TREE_SIDE^3 particles
+  * PM-only KDK at BENCH_NPART_SIDE^3 / BENCH_NMESH (the FFT-dominated
+    regime of the dm-50-512 target)
+The headline value is the TreePM particle-steps/sec (the configuration
+matching the reference's hot loop); the PM number is reported in the
+metric string.  The reference publishes no absolute numbers
+(BASELINE.md), so vs_baseline compares to the first recorded run.
 """
 
 import json
@@ -18,51 +21,117 @@ import time
 import numpy as np
 
 
-def main():
+def _lattice(npart_side, box, rng):
+    grid = (np.arange(npart_side) + 0.5) * (box / npart_side)
+    X, Y, Z = np.meshgrid(grid, grid, grid, indexing="ij")
+    pos = np.stack([X.ravel(), Y.ravel(), Z.ravel()], -1)
+    pos += rng.uniform(-0.3, 0.3, pos.shape) * (box / npart_side)
+    return pos % box
+
+
+def bench_pm(npart_side, nmesh, nsteps, box=50000.0):
     import jax
     import jax.numpy as jnp
     from shenqi_tpu.gravity.pm import PMConfig, pm_forces
     from shenqi_tpu.core.particles import float_to_ipos, POS_SCALE
 
-    npart_side = int(os.environ.get("BENCH_NPART_SIDE", 128))
-    nmesh = int(os.environ.get("BENCH_NMESH", 256))
-    nsteps = int(os.environ.get("BENCH_NSTEPS", 5))
-    box = 50000.0
-
-    n = npart_side ** 3
     rng = np.random.RandomState(0)
-    # quasi-uniform: lattice + jitter (realistic CIC scatter pattern)
-    grid = (np.arange(npart_side) + 0.5) * (box / npart_side)
-    X, Y, Z = np.meshgrid(grid, grid, grid, indexing="ij")
-    pos = np.stack([X.ravel(), Y.ravel(), Z.ravel()], -1)
-    pos += rng.uniform(-0.3, 0.3, pos.shape) * (box / npart_side)
-    ipos = jnp.asarray(float_to_ipos(pos % box, box))
+    pos = _lattice(npart_side, box, rng)
+    n = len(pos)
+    ipos = jnp.asarray(float_to_ipos(pos, box))
     vel = jnp.zeros((n, 3), jnp.float32)
     mass = jnp.full(n, 1.0, jnp.float32)
-
     cfg = PMConfig(nmesh=nmesh, boxsize=box, G=43007.1, asmth=1.5)
 
     @jax.jit
-    def step(ipos, vel, mass, kick_fac, drift_fac):
+    def step(ipos, vel, mass, kick, drift):
         accel, _, _ = pm_forces(ipos, mass, cfg, want_potential=False)
-        vel = vel + accel * kick_fac
-        dx = vel * drift_fac * jnp.float32(POS_SCALE / box)
+        vel = vel + accel * kick
+        dx = vel * drift * jnp.float32(POS_SCALE / box)
         ipos = ipos + dx.astype(jnp.int32).astype(jnp.uint32)
         return ipos, vel
 
-    kick = jnp.float32(1e-4)
-    drift = jnp.float32(1e-4)
-    # warmup/compile
-    ipos, vel = step(ipos, vel, mass, kick, drift)
+    k = jnp.float32(1e-4)
+    ipos, vel = step(ipos, vel, mass, k, k)
     ipos.block_until_ready()
-
     t0 = time.perf_counter()
     for _ in range(nsteps):
-        ipos, vel = step(ipos, vel, mass, kick, drift)
+        ipos, vel = step(ipos, vel, mass, k, k)
     ipos.block_until_ready()
     dt = time.perf_counter() - t0
+    return n * nsteps / dt
 
-    ps_per_sec = n * nsteps / dt
+
+def bench_treepm(npart_side, nsteps, box=50000.0):
+    import jax
+    import jax.numpy as jnp
+    from shenqi_tpu.gravity.pm import PMConfig, pm_forces
+    from shenqi_tpu.gravity.shortrange import ShortRangeParams
+    from shenqi_tpu.gravity.shortrange_blocked import treegrav_blocked
+    from shenqi_tpu.ops.tree import build_octree
+    from shenqi_tpu.core.particles import float_to_ipos, POS_SCALE
+
+    rng = np.random.RandomState(0)
+    pos = _lattice(npart_side, box, rng)
+    n = len(pos)
+    nmesh = 2 * npart_side
+    ipos = jnp.asarray(float_to_ipos(pos, box))
+    vel = jnp.zeros((n, 3), jnp.float32)
+    mass = jnp.full(n, 1.0, jnp.float32)
+    cellsize = box / nmesh
+    cfg = PMConfig(nmesh=nmesh, boxsize=box, G=43007.1, asmth=1.5)
+    sp = ShortRangeParams(boxsize=box, cellsize=cellsize,
+                          rcut=6 * cellsize, asmth=1.5, use_bh=1,
+                          softening=box / npart_side / 30 * 2.8,
+                          G=43007.1)
+    nlevels = int(os.environ.get("BENCH_TREE_LEVELS", 6))
+    maxi = int(os.environ.get("BENCH_MAXI", 1024))
+    maxl = int(os.environ.get("BENCH_MAXL", 512))
+
+    def step(ipos, vel, mass, kick, drift):
+        accel_pm, _, _ = pm_forces(ipos, mass, cfg,
+                                   want_potential=False)
+        tree = build_octree(ipos, mass, mass > 0, box,
+                            nlevels=nlevels, ncrit=32)
+        acc_tree, _, _ = treegrav_blocked(
+            tree, jnp.zeros(n, jnp.float32), sp, None, maxi=maxi,
+            maxl=maxl, ncrit=32)
+        vel = vel + (accel_pm + acc_tree) * kick
+        dx = vel * drift * jnp.float32(POS_SCALE / box)
+        ipos = ipos + dx.astype(jnp.int32).astype(jnp.uint32)
+        return ipos, vel
+
+    k = jnp.float32(1e-4)
+    ipos, vel = step(ipos, vel, mass, k, k)
+    ipos.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(nsteps):
+        ipos, vel = step(ipos, vel, mass, k, k)
+    ipos.block_until_ready()
+    dt = time.perf_counter() - t0
+    return n * nsteps / dt
+
+
+def main():
+    tree_side = int(os.environ.get("BENCH_TREE_SIDE", 32))
+    pm_side = int(os.environ.get("BENCH_NPART_SIDE", 128))
+    pm_mesh = int(os.environ.get("BENCH_NMESH", 256))
+    nsteps = int(os.environ.get("BENCH_NSTEPS", 3))
+
+    treepm_ps = None
+    try:
+        treepm_ps = bench_treepm(tree_side, nsteps)
+    except Exception as e:
+        print(f"# treepm bench failed: {type(e).__name__}",
+              file=sys.stderr)
+    pm_ps = bench_pm(pm_side, pm_mesh, nsteps)
+
+    value = treepm_ps if treepm_ps else pm_ps
+    metric = (f"treepm particle-steps/sec ({tree_side}^3 tree+pm"
+              f"; pm-only {pm_side}^3/{pm_mesh}: {pm_ps:.3g})")
+    if not treepm_ps:
+        metric = f"pm-kdk particle-steps/sec ({pm_side}^3, {pm_mesh})"
+
     baseline_file = os.path.join(os.path.dirname(__file__),
                                  "BENCH_BASELINE.json")
     vs_baseline = 1.0
@@ -70,16 +139,14 @@ def main():
         with open(baseline_file) as f:
             base = json.load(f).get("value", 0)
         if base > 0:
-            vs_baseline = ps_per_sec / base
+            vs_baseline = value / base
     else:
         with open(baseline_file, "w") as f:
-            json.dump({"value": ps_per_sec,
-                       "config": f"{npart_side}^3 PM nmesh={nmesh}"}, f)
+            json.dump({"value": value, "metric": metric}, f)
 
     print(json.dumps({
-        "metric": f"pm-kdk particle-steps/sec ({npart_side}^3, "
-                  f"nmesh={nmesh})",
-        "value": ps_per_sec,
+        "metric": metric,
+        "value": value,
         "unit": "particle-steps/sec/chip",
         "vs_baseline": vs_baseline,
     }))

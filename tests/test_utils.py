@@ -1,0 +1,71 @@
+"""Walltime, HCI, stats utility tests (test_hci analog with fake clock)."""
+
+import io
+import os
+import time
+
+import numpy as np
+import pytest
+
+from shenqi_tpu.utils.walltime import Walltime
+from shenqi_tpu.utils.hci import (HCI, HCI_NO_ACTION, HCI_STOP,
+                                  HCI_CHECKPOINT, HCI_TERMINATE,
+                                  HCI_TIMEOUT, HCI_AUTO_CHECKPOINT)
+
+
+def test_walltime_accumulates():
+    w = Walltime()
+    time.sleep(0.01)
+    dt = w.measure("/Grav/Tree")
+    assert dt >= 0.01
+    time.sleep(0.005)
+    w.measure("/SPH/Density")
+    assert w.total_acc["/Grav/Tree"] >= 0.01
+    assert w.total_acc["/SPH/Density"] >= 0.005
+    buf = io.StringIO()
+    w.write_cpu_log(buf, atime=0.5)
+    out = buf.getvalue()
+    assert "/Grav/Tree" in out and "Step 0" in out
+    w.reset_step()
+    assert w.step_acc == {}
+    assert w.total_acc["/Grav/Tree"] >= 0.01
+
+
+def test_hci_files(tmp_path):
+    h = HCI(str(tmp_path), time_limit_cpu=1e9)
+    assert h.query() == HCI_NO_ACTION
+    (tmp_path / "checkpoint").touch()
+    assert h.query() == HCI_CHECKPOINT
+    assert not (tmp_path / "checkpoint").exists()  # consumed
+    (tmp_path / "stop").touch()
+    assert h.query() == HCI_STOP
+    (tmp_path / "terminate").touch()
+    assert h.query() == HCI_TERMINATE
+
+
+def test_hci_timeout_fake_clock(tmp_path):
+    """The timeout fires when the longest PM gap no longer fits
+    (hci_override_now-style fake clock)."""
+    h = HCI(str(tmp_path), time_limit_cpu=100.0)
+    h.override_now(0.0)
+    h._t_begin = 0.0
+    h._t_last_query = 0.0
+    h._t_last_checkpoint = 0.0
+    assert h.query() == HCI_NO_ACTION
+    h.override_now(40.0)   # a 40s PM step observed
+    assert h.query() == HCI_NO_ACTION   # 40 + 40 < 100
+    h.override_now(80.0)
+    assert h.query() == HCI_TIMEOUT     # 80 + 40 > 100
+
+
+def test_hci_auto_checkpoint(tmp_path):
+    h = HCI(str(tmp_path), time_limit_cpu=1e9, auto_checkpoint_time=50)
+    h.override_now(0.0)
+    h._t_begin = 0.0
+    h._t_last_query = 0.0
+    h._t_last_checkpoint = 0.0
+    assert h.query() == HCI_NO_ACTION
+    h.override_now(60.0)
+    assert h.query() == HCI_AUTO_CHECKPOINT
+    h.override_now(70.0)
+    assert h.query() == HCI_NO_ACTION
