@@ -18,6 +18,14 @@ import os
 import sys
 import time
 
+# persistent XLA compilation cache: TPU compiles go through a slow
+# remote helper here, so cache them across bench invocations
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import numpy as np
 
 

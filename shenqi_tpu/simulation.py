@@ -78,6 +78,8 @@ class Simulation:
     window_tables: object = None
     _accel_tree: jax.Array = None
     on_snapshot: object = None   # callback(sim, atime)
+    gas: object = None           # GasState (simulation_gas.py)
+    gas_physics: object = None   # GasPhysics
 
     @classmethod
     def from_arrays(cls, pos, vel, mass, ids, CP, boxsize, nmesh,
@@ -116,6 +118,63 @@ class Simulation:
         return cls(CP=CP, boxsize=boxsize, timeline=timeline,
                    times=DriftKickTimes.init(ti), gravity=gravity,
                    tsp=tsp or TimestepParams(), particles=p)
+
+    @classmethod
+    def from_species(cls, species, CP, boxsize, nmesh, timeline, atime,
+                     tsp=None, gravity_kw=None, gas_u0=None,
+                     gas_physics=None):
+        """Build a simulation from per-type particle sets.
+
+        species: list of (ptype, pos, vel, mass, ids); gas (type 0)
+        rows are placed first so gas fields align to the array prefix.
+        gas_u0: initial specific internal energy for gas (internal
+        units); converted to entropy after the first density pass.
+        """
+        species = sorted(species, key=lambda s: s[0])
+        pos = np.concatenate([s[1] for s in species])
+        vel = np.concatenate([s[2] for s in species])
+        mass = np.concatenate([
+            np.full(len(s[1]), s[3]) if np.ndim(s[3]) == 0 else s[3]
+            for s in species])
+        ids = np.concatenate([s[4] for s in species])
+        ptypes = np.concatenate([
+            np.full(len(s[1]), s[0], dtype=np.int8) for s in species])
+        sim = cls.from_arrays(pos, vel, mass, ids, CP, boxsize, nmesh,
+                              timeline, atime, tsp=tsp,
+                              gravity_kw=gravity_kw)
+        ptype_arr = np.full(sim.particles.n, 1, dtype=np.int8)
+        ptype_arr[:len(ptypes)] = ptypes
+        sim.particles = dataclasses.replace(
+            sim.particles, ptype=jnp.asarray(ptype_arr))
+        ngas = int((ptypes == 0).sum())
+        if ngas > 0:
+            from .simulation_gas import GasState
+            # initial hsml guess: mean gas separation
+            sep = boxsize / max(ngas, 1) ** (1.0 / 3)
+            hsml0 = np.array(sim.particles.hsml)
+            hsml0[:ngas] = 2.0 * sep
+            sim.particles = dataclasses.replace(
+                sim.particles, hsml=jnp.asarray(hsml0))
+            ent0 = np.full(ngas, 1.0, np.float32) if gas_u0 is None \
+                else np.full(ngas, gas_u0, np.float32)
+            sim.gas = GasState.create(ngas, ent0)
+            sim._gas_entropy_is_u = gas_u0 is not None
+            sim.gas_physics = gas_physics
+        return sim
+
+    def init_gas_entropy(self):
+        """After the first density pass, convert the stored u0 into
+        entropy A = u (gamma-1) / (rho a^-3)^(gamma-1)
+        (init.cpp uniform-temperature setup)."""
+        if self.gas is None or not getattr(self, "_gas_entropy_is_u",
+                                           False):
+            return
+        from .utils.constants import GAMMA_MINUS1
+        a3inv = 1.0 / self.atime() ** 3
+        rho = jnp.maximum(self.gas.density, 1e-35) * a3inv
+        ent = self.gas.entropy * GAMMA_MINUS1 / rho ** GAMMA_MINUS1
+        self.gas = dataclasses.replace(self.gas, entropy=ent)
+        self._gas_entropy_is_u = False
 
     # ---------- pieces ----------
     def atime(self) -> float:
@@ -164,6 +223,17 @@ class Simulation:
         gk, hk, dte = gravkick_tables(self.CP, self.timeline, self.times)
         p = self.particles
         vel = _kick_tree(p.vel, p.grav_accel, p.timebin, gk, p.mask)
+        # hydro kick for gas rows (do_hydro_kick analog)
+        if self.gas is not None:
+            ng = self.gas.ngas
+            is_gas = (p.mask & (p.ptype == 0))[:ng]
+            bins = p.timebin[:ng].astype(jnp.int32)
+            hkf = jnp.where(is_gas, hk[bins], 0.0)
+            dtef = jnp.where(is_gas, dte[bins], 0.0)
+            vel = vel.at[:ng].add(self.gas.hydro_accel
+                                  * hkf[:, None])
+            ent = self.gas.entropy + dtef * self.gas.dt_entropy
+            self.gas = dataclasses.replace(self.gas, entropy=ent)
         self.particles = dataclasses.replace(p, vel=vel)
 
     def _apply_pm_half_kick(self):
@@ -199,6 +269,17 @@ class Simulation:
         dloga = gravity_dloga(accel_tot, atime, hubble,
                               self.gravity.softening,
                               self.tsp.ErrTolIntAccuracy)
+        if self.gas is not None:
+            from .core.integrate import hydro_dloga
+            ng = self.gas.ngas
+            dl_h = hydro_dloga(self.particles.hsml[:ng],
+                               self.gas.max_signal_vel,
+                               self.gas.dt_hsml, atime, hubble,
+                               self.tsp.CourantFac)
+            is_gas = (self.particles.ptype == 0)[:ng]
+            dloga = dloga.at[:ng].set(
+                jnp.where(is_gas, jnp.minimum(dloga[:ng], dl_h),
+                          dloga[:ng]))
         # store old_acc for next tree opening criterion
         oldacc = jnp.linalg.norm(accel_tot, axis=-1) / self.gravity.G
         self.particles = dataclasses.replace(self.particles,
@@ -242,7 +323,14 @@ class Simulation:
                 self._drift_all(ti_next)
             is_pm = times.is_pm()
 
-            # forces
+            # forces: gas first (density w/ adaptive hsml + hydro,
+            # run.cpp:482-505), then gravity
+            if self.gas is not None and self.gas_physics is not None:
+                self.gas = self.gas_physics.density_hydro(self, self.gas)
+                if getattr(self, "_gas_entropy_is_u", False):
+                    # first pass: convert initial u to entropy and
+                    # recompute the pressure-dependent parts next step
+                    self.init_gas_entropy()
             if is_pm:
                 self._compute_pm()
             self._compute_tree(first_step=first)
@@ -252,6 +340,17 @@ class Simulation:
             update_kick_times(times)
             if is_pm and not first:
                 self._apply_pm_half_kick()
+
+            # Strang-split source terms (cooling/SFR/winds,
+            # run.cpp:604-681)
+            if self.gas is not None and self.gas_physics is not None \
+                    and not first:
+                dloga = self.timeline.get_dloga_for_bin(
+                    max(times.mintimebin, 1), times.ti_current)
+                hubble = float(self.CP.hubble_function(self.atime()))
+                dtime = dloga / hubble
+                self.gas, nstars = self.gas_physics.source_terms(
+                    self, self.gas, dtime)
 
             # sync point outputs
             sp = self.timeline.find_current_sync_point(times.ti_current)

@@ -1,0 +1,279 @@
+"""Gas physics stages for the Simulation driver (run.cpp gas sections).
+
+Extends the DM TreePM loop with, per step (matching run.cpp:458-681):
+  * gas-tree density with adaptive smoothing lengths  (run.cpp:488)
+  * hydro accelerations                               (run.cpp:505)
+  * hydro kick + entropy update in apply_half_kick
+  * Strang-split source terms after the kick: cooling, star formation
+    (gas->star conversion via ptype flip), subgrid winds
+    (run.cpp:604-681)
+
+Gas rows occupy the array prefix [0, ngas); stars converted from gas
+keep their row (ptype 0 -> 4) so all shapes stay static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.particles import GAS, STAR
+from .utils.constants import GAMMA, GAMMA_MINUS1, HYDROGEN_MASSFRAC
+from .ops.tree import build_octree
+from .sph.kernels import CUBIC, KERNELS, desnumngb
+from .sph.density import density as sph_density, make_gas_payload
+from .sph.hydro import (HydroParams, hydro_walk, balsara_f1,
+                        pressure_predict)
+from .physics.cooling_rates import CoolingParams, TreeCool, UVBG
+from .physics.sfr import (SFRParams, CoolingUnits, starformation_step,
+                          entropy_to_u)
+from .physics.winds import WindParams, winds_subgrid_step, winds_decay, \
+    is_decoupled
+
+
+@dataclass
+class GasState:
+    """SoA gas fields for the [0, ngas) prefix rows."""
+
+    ngas: int
+    entropy: jax.Array
+    density: jax.Array
+    egy_wt_density: jax.Array
+    dhsml_egy: jax.Array
+    div_vel: jax.Array
+    curl_vel: jax.Array
+    hydro_accel: jax.Array
+    dt_entropy: jax.Array
+    max_signal_vel: jax.Array
+    dt_hsml: jax.Array
+    ne: jax.Array
+    metallicity: jax.Array
+    sfr: jax.Array
+    delay_time: jax.Array
+    generation: jax.Array
+    vdisp: jax.Array
+
+    @classmethod
+    def create(cls, ngas: int, entropy0) -> "GasState":
+        z = lambda: jnp.zeros(ngas, jnp.float32)
+        return cls(
+            ngas=ngas, entropy=jnp.asarray(entropy0, jnp.float32),
+            density=z(), egy_wt_density=z(), dhsml_egy=z(),
+            div_vel=z(), curl_vel=z(),
+            hydro_accel=jnp.zeros((ngas, 3), jnp.float32),
+            dt_entropy=z(), max_signal_vel=z(), dt_hsml=z(),
+            ne=jnp.ones(ngas, jnp.float32), metallicity=z(), sfr=z(),
+            delay_time=z(), generation=jnp.zeros(ngas, jnp.int32),
+            vdisp=jnp.full(ngas, 100.0, jnp.float32))
+
+
+@dataclass
+class GasPhysics:
+    """Configuration + stage implementations for gas."""
+
+    cooling_on: bool = False
+    sfr_on: bool = False
+    winds_on: bool = False
+    density_independent_sph: bool = True
+    eta: float = 1.0
+    ngb_deviation: float = 2.0
+    art_bulk_visc: float = 0.75
+    density_contrast_limit: float = 100.0
+    kernel: object = CUBIC
+    coolpar: Optional[CoolingParams] = None
+    treecool: Optional[TreeCool] = None
+    sfrpar: Optional[SFRParams] = None
+    windpar: Optional[WindParams] = None
+    coolunits: Optional[CoolingUnits] = None
+    rng_key: jax.Array = None
+
+    def __post_init__(self):
+        if self.rng_key is None:
+            self.rng_key = jax.random.PRNGKey(42)
+
+    def next_key(self):
+        self.rng_key, sub = jax.random.split(self.rng_key)
+        return sub
+
+    # ---------- density + hydro ----------
+    def density_hydro(self, sim, gas: GasState):
+        """Gas-tree density (adaptive hsml) then hydro force."""
+        p = sim.particles
+        ng = gas.ngas
+        gas_alive = (p.mask & (p.ptype == GAS))[:ng]
+        ipos_g = p.ipos[:ng]
+        vel_g = p.vel[:ng]
+        mass_g = jnp.where(gas_alive, p.mass[:ng], 0.0)
+        entvar = jnp.maximum(gas.entropy, 1e-35) ** (1.0 / GAMMA)
+
+        tree = build_octree(ipos_g, mass_g, gas_alive, sim.boxsize,
+                            nlevels=sim.gravity.tree_nlevels,
+                            ncrit=sim.gravity.tree_ncrit,
+                            hsml=p.hsml[:ng])
+        payload = make_gas_payload(tree, vel_g, entvar)
+        dout = sph_density(tree, payload, ipos_g, vel_g, entvar,
+                           np.asarray(p.hsml[:ng]), sim.boxsize,
+                           self.kernel, eta=self.eta,
+                           ngb_deviation=self.ngb_deviation,
+                           do_egy_density=self.density_independent_sph)
+        hsml = jnp.asarray(dout.hsml)
+        gas = dataclasses.replace(
+            gas, density=jnp.asarray(dout.density),
+            egy_wt_density=jnp.asarray(dout.egy_wt_density),
+            dhsml_egy=jnp.asarray(dout.dhsml_egy_density_factor),
+            div_vel=jnp.asarray(dout.div_vel),
+            curl_vel=jnp.asarray(dout.curl_vel),
+            dt_hsml=jnp.asarray(dout.dt_hsml))
+        # store hsml back on particles
+        new_hsml = p.hsml.at[:ng].set(hsml)
+        sim.particles = dataclasses.replace(p, hsml=new_hsml)
+
+        # ---- hydro force ----
+        atime = sim.atime()
+        hubble = float(sim.CP.hubble_function(atime))
+        par = HydroParams(boxsize=sim.boxsize, atime=atime,
+                          hubble=hubble,
+                          art_bulk_visc_const=self.art_bulk_visc,
+                          density_contrast_limit=(
+                              self.density_contrast_limit),
+                          density_independent_sph=(
+                              self.density_independent_sph))
+        eom_dens = (gas.egy_wt_density
+                    if self.density_independent_sph else gas.density)
+        press = pressure_predict(jnp.maximum(eom_dens, 1e-35), entvar)
+        cs = jnp.sqrt(GAMMA * press / jnp.maximum(eom_dens, 1e-35))
+        f1 = balsara_f1(gas.div_vel, gas.curl_vel, cs, hsml,
+                        par.fac_mu)
+        a3inv = 1.0 / atime ** 3
+        decoupled = (is_decoupled(gas.delay_time, gas.density, a3inv,
+                                  self.windpar)
+                     if (self.winds_on and self.windpar) else
+                     jnp.zeros(ng, bool))
+
+        # rebuild the tree with final hsml for correct hmax culling
+        tree = build_octree(ipos_g, mass_g, gas_alive, sim.boxsize,
+                            nlevels=sim.gravity.tree_nlevels,
+                            ncrit=sim.gravity.tree_ncrit, hsml=hsml)
+        order = tree.order
+        dloga_tab = jnp.zeros(ng, jnp.float32)  # viscosity limiter off
+        payload_h = {
+            "ipos": tree.ipos_s, "mass": tree.mass_s,
+            "hsml": hsml[order], "vel": vel_g[order],
+            "density": gas.density[order],
+            "eomdensity": eom_dens[order],
+            "entvar": entvar[order], "pressure": press[order],
+            "divvel": gas.div_vel[order],
+            "curlvel": gas.curl_vel[order],
+            "dhsml_egy": gas.dhsml_egy[order],
+            "dloga": dloga_tab[order],
+            "decoupled": decoupled[order],
+        }
+        targets = {
+            "ipos": ipos_g, "vel": vel_g, "hsml": hsml,
+            "mass": mass_g, "density": gas.density,
+            "egyrho": eom_dens, "entvar": entvar, "pressure": press,
+            "f1": f1, "dhsml": gas.dhsml_egy, "dloga": dloga_tab,
+        }
+        hres = hydro_walk(tree, payload_h, targets, par, self.kernel)
+        accel = jnp.where((gas_alive & ~decoupled)[:, None],
+                          hres.accel, 0.0)
+        dts = jnp.where(gas_alive & ~decoupled, hres.dt_entropy, 0.0)
+        gas = dataclasses.replace(
+            gas, hydro_accel=accel, dt_entropy=dts,
+            max_signal_vel=jnp.asarray(hres.max_signal_vel))
+        return gas
+
+    # ---------- source terms (Strang split) ----------
+    def source_terms(self, sim, gas: GasState, dtime: float):
+        """Cooling + star formation + winds after the kick."""
+        if not (self.cooling_on or self.sfr_on):
+            return gas, 0
+        p = sim.particles
+        ng = gas.ngas
+        gas_alive = (p.mask & (p.ptype == GAS))[:ng]
+        atime = sim.atime()
+        a3inv = 1.0 / atime ** 3
+        redshift = 1.0 / atime - 1.0
+        uvbg = (self.treecool.uvbg(redshift, self.coolpar)
+                if self.treecool else UVBG())
+
+        if self.sfr_on:
+            res = starformation_step(
+                self.next_key(), gas.density, gas.egy_wt_density,
+                gas.entropy, p.mass[:ng], gas.ne, gas.metallicity,
+                gas.generation, dtime, a3inv, redshift, uvbg,
+                self.sfrpar, self.coolpar, self.coolunits, gas_alive)
+            gas = dataclasses.replace(
+                gas, entropy=res.entropy, ne=res.ne,
+                metallicity=res.metallicity, sfr=res.sfr)
+            nstars = self._convert_stars(sim, gas, res, atime)
+
+            if self.winds_on and self.windpar:
+                sm = res.sfr * dtime / jnp.maximum(
+                    self.sfrpar.UnitSfr_in_solar_per_year, 1e-35)
+                wres = winds_subgrid_step(
+                    self.next_key(), sim.particles.vel[:ng],
+                    gas.entropy, gas.density, gas.delay_time,
+                    sim.particles.mass[:ng], sm, gas.vdisp, atime,
+                    a3inv, self.windpar,
+                    eligible=gas_alive & res.form_star)
+                vel_new = sim.particles.vel.at[:ng].set(wres.vel)
+                sim.particles = dataclasses.replace(sim.particles,
+                                                    vel=vel_new)
+                delay = winds_decay(wres.delay_time, gas.density,
+                                    a3inv, dtime, self.windpar)
+                gas = dataclasses.replace(gas, entropy=wres.entropy,
+                                          delay_time=delay)
+            return gas, nstars
+        elif self.cooling_on:
+            # pure radiative cooling via the implicit solver
+            from .physics.cooling_rates import do_cooling
+            cu = self.coolunits
+            dens_phys = gas.density * a3inv
+            u = gas.entropy * entropy_to_u(
+                jnp.maximum(gas.egy_wt_density
+                            if self.density_independent_sph
+                            else gas.density, 1e-35), a3inv)
+            u_cgs, ne = do_cooling(
+                u * cu.uu_in_cgs, dens_phys * cu.density_in_phys_cgs,
+                dtime * cu.tt_in_s, 1 - HYDROGEN_MASSFRAC, redshift,
+                uvbg, self.coolpar,
+                min_egyspec_cgs=self.sfrpar.min_egyspec()
+                * cu.uu_in_cgs if self.sfrpar else 0.0,
+                ne_init=gas.ne)
+            u_new = u_cgs / cu.uu_in_cgs
+            dfac = entropy_to_u(jnp.maximum(
+                gas.egy_wt_density if self.density_independent_sph
+                else gas.density, 1e-35), a3inv)
+            ent = jnp.where(gas_alive & (dfac > 0),
+                            u_new / jnp.maximum(dfac, 1e-35),
+                            gas.entropy)
+            return dataclasses.replace(gas, entropy=ent, ne=ne), 0
+        return gas, 0
+
+    def _convert_stars(self, sim, gas: GasState, res, atime) -> int:
+        """Flip converting gas rows to stars (whole-particle conversion;
+        mass splitting spawns handled as whole conversions this round)."""
+        convert = np.asarray(res.form_star)
+        if not convert.any():
+            return 0
+        ng = gas.ngas
+        p = sim.particles
+        idx = np.nonzero(convert)[0]
+        ptype = np.array(p.ptype)
+        ptype[idx] = STAR
+        sim.particles = dataclasses.replace(
+            p, ptype=jnp.asarray(ptype))
+        # dead gas rows: zero their SFR so statistics stay clean
+        sfr = np.array(gas.sfr)
+        sfr[idx] = 0.0
+        gas.sfr = jnp.asarray(sfr)
+        if not hasattr(sim, "star_formation_times"):
+            sim.star_formation_times = []
+        sim.star_formation_times.extend([atime] * len(idx))
+        return len(idx)
