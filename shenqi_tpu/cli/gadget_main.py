@@ -147,24 +147,142 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
         window_type=("exact" if ps.get_enum(
             "ShortRangeForceWindowType") == 0 else "erfc"))
 
-    sim = Simulation.from_arrays(pos, vel, mass, ids, cp, boxsize,
-                                 nmesh, timeline, atime, tsp=tsp,
-                                 gravity_kw=gravity_kw)
+    has_gas = bool((ptype == 0).any()) and ps.get_int("HydroOn")
+    if has_gas:
+        from ..simulation_gas import GasPhysics
+        from ..physics.cooling_rates import CoolingParams, TreeCool
+        from ..physics.sfr import SFRParams, CoolingUnits
+        from ..physics.winds import WindParams
+        from ..sph.kernels import KERNELS
+        cooling_on = bool(ps.get_int("CoolingOn"))
+        sfr_on = bool(ps.get_int("StarformationOn"))
+        winds_on = bool(ps.get_int("WindOn"))
+        coolpar = CoolingParams(
+            CMBTemperature=ps.get_double("CMBTemperature"),
+            MinGasTemp=ps.get_double("MinGasTemp"),
+            PhotoIonizeFactor=ps.get_double("PhotoIonizeFactor"),
+            SelfShieldingOn=bool(ps.get_int("SelfShieldingOn")),
+            PhotoIonizationOn=bool(ps.get_int("PhotoIonizationOn")),
+            UVRedshiftThreshold=ps.get_double("UVRedshiftThreshold"),
+            fBar=cp.OmegaBaryon / max(cp.OmegaCDM, 1e-10))
+        treecool = None
+        tcf = ps.get_string("TreeCoolFile")
+        if cooling_on and tcf:
+            treecool = TreeCool(tcf, coolpar.PhotoIonizeFactor)
+        cu = CoolingUnits.create(units, cp.HubbleParam)
+        sfrpar = None
+        windpar = None
+        if sfr_on:
+            avg_bar = float(np.median(mass[ptype == 0]))
+            sfrpar = SFRParams(
+                CritOverDensity=ps.get_double("CritOverDensity"),
+                CritPhysDensity=ps.get_double("CritPhysDensity"),
+                FactorSN=ps.get_double("FactorSN"),
+                FactorEVP=ps.get_double("FactorEVP"),
+                TempSupernova=ps.get_double("TempSupernova"),
+                TempClouds=ps.get_double("TempClouds"),
+                MaxSfrTimescale=ps.get_double("MaxSfrTimescale"),
+                Generations=int(ps.get_double("Generations")),
+                MinGasTemp=ps.get_double("MinGasTemp"))
+            from ..physics.cooling_rates import UVBG
+            sfrpar.init(cp, units, avg_bar, UVBG(), coolpar)
+            if winds_on:
+                windpar = WindParams(
+                    WindModel=ps.get_enum("WindModel") | 1,  # subgrid
+                    WindEfficiency=ps.get_double("WindEfficiency"),
+                    WindEnergyFraction=ps.get_double(
+                        "WindEnergyFraction"),
+                    WindSigma0=ps.get_double("WindSigma0"),
+                    WindSpeedFactor=ps.get_double("WindSpeedFactor"),
+                    WindFreeTravelLength=ps.get_double(
+                        "WindFreeTravelLength"),
+                    WindFreeTravelDensFac=ps.get_double(
+                        "WindFreeTravelDensFac"),
+                    MinWindVelocity=ps.get_double("MinWindVelocity"),
+                    WindThermalFactor=ps.get_double(
+                        "WindThermalFactor"))
+                windpar.init(sfrpar.FactorSN, sfrpar.EgySpecSN,
+                             sfrpar.PhysDensThresh, units.UnitTime_in_s)
+        kern = {0: "cubic", 1: "quintic", 2: "quartic"}[
+            ps.get_enum("DensityKernelType")]
+        gp = GasPhysics(
+            cooling_on=cooling_on, sfr_on=sfr_on, winds_on=winds_on,
+            density_independent_sph=bool(
+                ps.get_int("DensityIndependentSphOn")),
+            eta=ps.get_double("DensityResolutionEta"),
+            ngb_deviation=ps.get_double("MaxNumNgbDeviation"),
+            art_bulk_visc=ps.get_double("ArtBulkViscConst"),
+            density_contrast_limit=ps.get_double(
+                "DensityContrastLimit"),
+            kernel=KERNELS[kern], coolpar=coolpar, treecool=treecool,
+            sfrpar=sfrpar, windpar=windpar, coolunits=cu)
+        # initial gas temperature -> specific internal energy
+        init_temp = ps.get_double("InitGasTemp")
+        if init_temp < 0:
+            # CMB-derived like the reference init.cpp
+            init_temp = cp.CMBTemperature / atime
+        from ..utils.constants import (BOLTZMANN, PROTONMASS,
+                                       GAMMA_MINUS1, HYDROGEN_MASSFRAC)
+        mw = 4.0 / (1 + 3 * HYDROGEN_MASSFRAC)
+        u0 = (BOLTZMANN * init_temp / mw / PROTONMASS / GAMMA_MINUS1
+              / units.UnitInternalEnergy_in_cgs)
+        species = []
+        for t in sorted(set(ptype.tolist())):
+            sel = ptype == t
+            species.append((int(t), pos[sel], vel[sel], mass[sel],
+                            ids[sel]))
+        sim = Simulation.from_species(
+            species, cp, boxsize, nmesh, timeline, atime, tsp=tsp,
+            gravity_kw=gravity_kw, gas_u0=u0, gas_physics=gp)
+    else:
+        sim = Simulation.from_arrays(pos, vel, mass, ids, cp, boxsize,
+                                     nmesh, timeline, atime, tsp=tsp,
+                                     gravity_kw=gravity_kw)
     snap_counter = [0]
     base = ps.get_string("SnapshotFileBase")
 
     def on_snapshot(s, a):
         path = os.path.join(outdir, f"{base}_{snap_counter[0]:03d}")
-        from ..core.particles import SimState, RegionLayout
-        layout = RegionLayout(offsets=np.zeros(6, dtype=np.int64),
-                              capacities=np.array(
-                                  [0, s.particles.n, 0, 0, 0, 0]))
-        state = SimState(particles=s.particles, layout=layout)
-        blocks = state_to_blocks(state, boxsize, a, use_peculiar=True)
-        nlive = int(np.asarray(s.particles.mask).sum())
+        p = s.particles
+        maskv = np.asarray(p.mask)
+        tys = np.asarray(p.ptype)
+        posn = np.asarray(p.ipos, dtype=np.float64) * (boxsize / 2**32)
+        veln = np.asarray(p.vel, dtype=np.float32) / a  # peculiar
+        massn = np.asarray(p.mass, dtype=np.float32)
+        idsn = p.ids64()
+        blocks = {}
+        totnum = np.zeros(6, dtype=np.uint64)
+        for t in range(6):
+            sel = maskv & (tys == t)
+            if not sel.any():
+                continue
+            totnum[t] = sel.sum()
+            d = {"Position": posn[sel], "Velocity": veln[sel],
+                 "Mass": massn[sel], "ID": idsn[sel]}
+            if t == 0 and s.gas is not None:
+                ng = s.gas.ngas
+                gsel = sel[:ng]
+                from ..utils.constants import GAMMA_MINUS1
+                dens = np.asarray(s.gas.density)[gsel]
+                entr = np.asarray(s.gas.entropy)[gsel]
+                d["SmoothingLength"] = np.asarray(p.hsml)[:ng][gsel]
+                d["Density"] = dens
+                d["EgyWtDensity"] = np.asarray(
+                    s.gas.egy_wt_density)[gsel]
+                a3inv = 1.0 / a ** 3
+                with np.errstate(invalid="ignore"):
+                    u = (entr * np.maximum(dens * a3inv, 1e-35)
+                         ** GAMMA_MINUS1 / GAMMA_MINUS1)
+                d["InternalEnergy"] = np.nan_to_num(u).astype(
+                    np.float32)
+                d["ElectronAbundance"] = np.asarray(s.gas.ne)[gsel]
+                d["StarFormationRate"] = np.asarray(s.gas.sfr)[gsel]
+                d["Metallicity"] = np.asarray(
+                    s.gas.metallicity)[gsel]
+                d["DelayTime"] = np.asarray(s.gas.delay_time)[gsel]
+            blocks[t] = d
         shdr = SnapshotHeader(
-            TotNumPart=np.array([0, nlive, 0, 0, 0, 0],
-                                dtype=np.uint64),
+            TotNumPart=totnum,
             MassTable=np.zeros(6), Time=a, BoxSize=boxsize,
             Omega0=cp.Omega0, OmegaLambda=cp.OmegaLambda,
             OmegaBaryon=cp.OmegaBaryon, HubbleParam=cp.HubbleParam,

@@ -93,3 +93,38 @@ def test_genic_gadget_pipeline(tmp_path):
     assert os.path.isdir(pig)
     cat = load_fof(pig)
     assert "Mass" in cat
+
+
+GENIC_GAS = GENIC_PARAM.replace("ProduceGas = 0", "ProduceGas = 1"
+                                ).replace("Ngrid = 12", "Ngrid = 8")
+
+GADGET_GAS = GADGET_PARAM.replace("HydroOn = 0", "HydroOn = 1"
+                                  ).replace("Nmesh = 24", "Nmesh = 16")
+
+
+@pytest.mark.slow
+def test_gas_pipeline(tmp_path):
+    """genic ProduceGas=1 -> gadget HydroOn=1: the hydro example mini."""
+    out = str(tmp_path)
+    gp = tmp_path / "paramfile.genic"
+    gp.write_text(GENIC_GAS.format(out=out))
+    icpath = run_genic(str(gp))
+    hdr, blocks = read_snapshot(icpath)
+    assert 0 in blocks and 1 in blocks
+    assert len(blocks[0]["Position"]) == 8 ** 3
+
+    pp = tmp_path / "paramfile.gadget"
+    pp.write_text(GADGET_GAS.format(out=out))
+    sim = run_gadget(str(pp))
+    assert sim.gas is not None
+    snap = os.path.join(out, "output", "PART_000")
+    hdr2, blocks2 = read_snapshot(snap)
+    assert hdr2.TotNumPart[0] == 8 ** 3
+    assert hdr2.TotNumPart[1] == 8 ** 3
+    g = blocks2[0]
+    for name in ["SmoothingLength", "Density", "InternalEnergy",
+                 "ElectronAbundance"]:
+        assert name in g, name
+        assert np.isfinite(np.asarray(g[name])).all()
+    assert (np.asarray(g["Density"]) > 0).all()
+    assert (np.asarray(g["InternalEnergy"]) > 0).all()
