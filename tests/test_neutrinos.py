@@ -64,7 +64,8 @@ def test_delta_nu_scale_dependence():
 
     # potential factor: > 1 on large scales, -> 1 at small scales
     fac = tab.potential_factor(0.333, d0 * growth)
-    onu_frac = (cp.ONu.get_omega_nu(1.0)
+    a = 0.333
+    onu_frac = (cp.ONu.get_omega_nu_nopart(a) * a ** 3
                 / (cp.Omega0 - cp.ONu.get_omega_nu(1.0)))
     assert fac[0] == pytest.approx(1 + onu_frac * ratio[0], rel=1e-6)
     assert fac[0] > fac[-1] >= 1.0
