@@ -103,7 +103,7 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
     if restart_flag == 3:
         # FOF postprocessing
         from ..core.particles import float_to_ipos
-        import jax.numpy as jnp
+        import jax.numpy as jnp  # noqa: used below
         npart_tot = int(sum(hdr.TotNumPart))
         mean_sep = boxsize / np.cbrt(
             hdr.TotNumPart[1] if hdr.TotNumPart[1] > 0 else npart_tot)
@@ -112,10 +112,28 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
                      ptype, np.ones(len(pos), bool), boxsize, mean_sep,
                      linking_length=ps.get_double("FOFHaloLinkingLength"),
                      min_length=ps.get_int("FOFHaloMinLength"))
-        from ..io.fofio import save_fof
+        from ..io.fofio import save_fof, save_fof_particles
         path = os.path.join(outdir, f"{ps.get_string('FOFFileBase')}"
                             f"_{max(snapnum, 0):03d}")
         save_fof(path, groups, hdr, atime)
+        if ps.get_int("FOFSaveParticles"):
+            import dataclasses as _dc
+            from ..core.particles import ParticleData
+            n = len(pos)
+            pd = ParticleData.zeros(n)
+            pd = _dc.replace(
+                pd, ipos=jnp.asarray(float_to_ipos(pos, boxsize)),
+                vel=jnp.asarray(vel.astype(np.float32)),
+                mass=jnp.asarray(mass.astype(np.float32)),
+                ptype=jnp.asarray(ptype),
+                mask=jnp.ones(n, bool),
+                id_lo=jnp.asarray((ids.astype(np.uint64)
+                                   & np.uint64(0xFFFFFFFF)).astype(
+                                       np.uint32)),
+                id_hi=jnp.asarray((ids.astype(np.uint64)
+                                   >> np.uint64(32)).astype(np.uint32)))
+            save_fof_particles(path, groups, pd, boxsize=boxsize,
+                               atime=atime)
         print(f"FOF: {groups.ngroups} groups -> {path}")
         return groups
 
@@ -308,8 +326,65 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
                                 f"{pk[j] / d1 ** 2:g}\n")
         snap_counter[0] += 1
 
-    sim.on_snapshot = on_snapshot
+    # FOF at snapshot time (SnapshotWithFOF)
+    snapshot_with_fof = bool(ps.get_int("SnapshotWithFOF"))
+    base_on_snapshot = on_snapshot
+
+    def on_snapshot_with_fof(s, a):
+        base_on_snapshot(s, a)
+        if not snapshot_with_fof:
+            return
+        import jax.numpy as _jnp
+        p = s.particles
+        npart_tot = int(np.asarray(p.mask).sum())
+        ndm = int((np.asarray(p.ptype)[np.asarray(p.mask)] == 1).sum())
+        mean_sep = boxsize / np.cbrt(max(ndm, npart_tot, 1))
+        groups = fof(p.ipos, np.asarray(p.vel), np.asarray(p.mass),
+                     np.asarray(p.ptype), np.asarray(p.mask), boxsize,
+                     mean_sep,
+                     linking_length=ps.get_double(
+                         "FOFHaloLinkingLength"),
+                     min_length=ps.get_int("FOFHaloMinLength"),
+                     sfr=(np.pad(np.asarray(s.gas.sfr),
+                                 (0, p.n - s.gas.ngas))
+                          if s.gas is not None else None))
+        from ..io.fofio import save_fof, save_fof_particles
+        pig = os.path.join(outdir, f"{ps.get_string('FOFFileBase')}"
+                           f"_{snap_counter[0] - 1:03d}")
+        save_fof(pig, groups, hdr, a)
+        if ps.get_int("FOFSaveParticles"):
+            save_fof_particles(pig, groups, p, boxsize=boxsize,
+                               atime=a)
+        print(f"FOF at a={a:g}: {groups.ngroups} groups -> {pig}")
+
+    sim.on_snapshot = on_snapshot_with_fof
+
+    # per-step statistics: energy.txt, sfr.txt, cpu.txt
+    from ..utils.walltime import Walltime
+    from ..utils.stats import energy_statistics, sfr_statistics
+    wt = Walltime()
+    fd_energy = open(os.path.join(outdir,
+                                  ps.get_string("EnergyFile")), "a")
+    fd_cpu = open(os.path.join(outdir, ps.get_string("CpuFile")), "a")
+    fd_sfr = (open(os.path.join(outdir, "sfr.txt"), "a")
+              if has_gas and ps.get_int("StarformationOn") else None)
+
+    def on_step(s):
+        a = s.atime()
+        wt.measure("/Step")
+        energy_statistics(fd_energy, a, s.particles)
+        if fd_sfr is not None and s.gas is not None:
+            total_sfr = float(np.asarray(s.gas.sfr).sum())
+            sfr_statistics(fd_sfr, a, 0.0, total_sfr, 0.0)
+        wt.write_cpu_log(fd_cpu, a)
+        wt.reset_step()
+
+    sim.on_step = on_step
     sim.run(max_steps=max_steps)
+    for f in (fd_energy, fd_cpu):
+        f.close()
+    if fd_sfr:
+        fd_sfr.close()
     return sim
 
 

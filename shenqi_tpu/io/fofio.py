@@ -50,6 +50,43 @@ def save_fof(path: str, groups, header: SnapshotHeader, atime: float):
     return path
 
 
+def save_fof_particles(bf_path: str, groups, particles, gas=None,
+                       boxsize: float = None, atime: float = 1.0):
+    """Append member-particle blocks to a PIG catalog
+    (fofpetaio.cpp fof_save_particles): particles sorted so each
+    group's members are contiguous, ordered by group number."""
+    import numpy as np
+    from .bigfile import BigFile
+    from ..core.particles import POS_SCALE
+    gid = np.asarray(groups.group_id)
+    sel = gid > 0
+    order = np.argsort(gid[sel], kind="stable")
+    idx = np.nonzero(sel)[0][order]
+    bf = BigFile(bf_path, create=True)
+    pos = (np.asarray(particles.ipos, dtype=np.float64)
+           * (boxsize / POS_SCALE))[idx]
+    vel = (np.asarray(particles.vel, dtype=np.float32) / atime)[idx]
+    mass = np.asarray(particles.mass, dtype=np.float32)[idx]
+    ptype = np.asarray(particles.ptype)[idx]
+    ids = particles.ids64()[idx]
+    grnr = gid[idx].astype("<u4")
+    for t in np.unique(ptype):
+        tsel = ptype == t
+        n = int(tsel.sum())
+        for name, data, dtype, nmemb in [
+                ("Position", pos[tsel], "<f8", 3),
+                ("Velocity", vel[tsel], "<f4", 3),
+                ("Mass", mass[tsel], "<f4", 1),
+                ("ID", ids[tsel], "<u8", 1),
+                ("GroupID", grnr[tsel], "<u4", 1)]:
+            blk = bf.create_block(f"{int(t)}/{name}", dtype, n,
+                                  nmemb=nmemb)
+            if n:
+                blk.write(0, data)
+            blk.flush()
+    return bf_path
+
+
 def load_fof(path: str):
     """Read a PIG catalog (ours or the reference's)."""
     bf = BigFile(path)

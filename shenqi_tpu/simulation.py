@@ -78,6 +78,7 @@ class Simulation:
     window_tables: object = None
     _accel_tree: jax.Array = None
     on_snapshot: object = None   # callback(sim, atime)
+    on_step: object = None       # callback(sim) at end of each step
     gas: object = None           # GasState (simulation_gas.py)
     gas_physics: object = None   # GasPhysics
 
@@ -372,4 +373,6 @@ class Simulation:
                 self._apply_pm_half_kick()
             self.step_count += 1
             first = False
+            if self.on_step:
+                self.on_step(self)
         return self

@@ -128,3 +128,33 @@ def test_gas_pipeline(tmp_path):
         assert np.isfinite(np.asarray(g[name])).all()
     assert (np.asarray(g["Density"]) > 0).all()
     assert (np.asarray(g["InternalEnergy"]) > 0).all()
+
+
+@pytest.mark.slow
+def test_snapshot_with_fof_and_stats(tmp_path):
+    """SnapshotWithFOF writes PIG_* alongside snapshots; stats files
+    are produced per step."""
+    out = str(tmp_path)
+    gp = tmp_path / "paramfile.genic"
+    gp.write_text(GENIC_PARAM.format(out=out))
+    run_genic(str(gp))
+    pp = tmp_path / "paramfile.gadget"
+    pp.write_text(GADGET_PARAM.format(out=out)
+                  + "\nSnapshotWithFOF = 1\nFOFSaveParticles = 1\n")
+    run_gadget(str(pp))
+    pig = os.path.join(out, "output", "PIG_000")
+    assert os.path.isdir(pig)
+    cat = load_fof(pig)
+    assert "Mass" in cat
+    # member particle blocks exist
+    from shenqi_tpu.io.bigfile import BigFile
+    bf = BigFile(pig)
+    assert "1/GroupID" in bf
+    gid = bf["1/GroupID"].read()
+    if len(gid):
+        assert (np.diff(gid) >= 0).all()  # group-contiguous ordering
+    # stats files
+    for fn in ["energy.txt", "cpu.txt"]:
+        p = os.path.join(out, "output", fn)
+        assert os.path.exists(p)
+        assert len(open(p).read()) > 0
