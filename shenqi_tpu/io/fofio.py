@@ -70,7 +70,11 @@ def save_fof_particles(bf_path: str, groups, particles, gas=None,
     ptype = np.asarray(particles.ptype)[idx]
     ids = particles.ids64()[idx]
     grnr = gid[idx].astype("<u4")
-    for t in np.unique(ptype):
+    # write all types present among LIVE particles (empty blocks for
+    # types with no grouped members, like the reference's collective IO)
+    all_types = np.unique(np.asarray(particles.ptype)[
+        np.asarray(particles.mask)])
+    for t in all_types:
         tsel = ptype == t
         n = int(tsel.sum())
         for name, data, dtype, nmemb in [
