@@ -2,24 +2,29 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Two stages are timed and combined:
-  * full TreePM step (PM + octree build + blocked tree walk + KDK) at
-    BENCH_TREE_SIDE^3 particles
-  * PM-only KDK at BENCH_NPART_SIDE^3 / BENCH_NMESH (the FFT-dominated
-    regime of the dm-50-512 target)
-The headline value is the TreePM particle-steps/sec (the configuration
-matching the reference's hot loop); the PM number is reported in the
-metric string.  The reference publishes no absolute numbers
-(BASELINE.md), so vs_baseline compares to the first recorded run.
+Stages run in SUBPROCESSES with timeouts and one retry each — the axon
+TPU tunnel can transiently wedge or throw UNIMPLEMENTED, and a stage
+failure must never lose the final JSON line.
+
+  * treepm: full step (PM + octree build + blocked walk + KDK) at
+    BENCH_TREE_SIDE^3
+  * pm: PM-only KDK at BENCH_NPART_SIDE^3 / BENCH_NMESH (the
+    FFT-dominated regime of the dm-50-512 target)
+
+The headline value is the TreePM particle-steps/sec; the PM value is
+noted in the metric string.  The reference publishes no absolute
+numbers (BASELINE.md) so vs_baseline compares to the first recorded
+run of this benchmark.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-# persistent XLA compilation cache: TPU compiles go through a slow
-# remote helper here, so cache them across bench invocations
+# persistent XLA compilation cache (TPU compiles go through a slow
+# remote helper here; cache across invocations)
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -120,68 +125,56 @@ def bench_treepm(npart_side, nsteps, box=50000.0):
     return n * nsteps / dt
 
 
-def _alarm_guard(seconds):
-    """Hard wall-clock guard: the axon TPU tunnel can wedge
-    indefinitely; never let one stage consume the whole budget."""
-    import signal
-
-    class _Timeout(Exception):
-        pass
-
-    def handler(signum, frame):
-        raise _Timeout()
-
-    signal.signal(signal.SIGALRM, handler)
-    signal.alarm(seconds)
-    return _Timeout
+def _run_stage(stage: str, timeout_s: int, extra_env=None):
+    """Run one stage in a subprocess; returns value or None."""
+    env = dict(os.environ)
+    if extra_env:
+        env.update(extra_env)
+    for attempt in range(2):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--stage", stage],
+                capture_output=True, text=True, timeout=timeout_s,
+                env=env)
+            for line in out.stdout.splitlines():
+                if line.startswith("STAGE_RESULT "):
+                    return float(line.split()[1])
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"# stage {stage} attempt {attempt} failed",
+              file=sys.stderr)
+    return None
 
 
 def main():
     tree_side = int(os.environ.get("BENCH_TREE_SIDE", 32))
     pm_side = int(os.environ.get("BENCH_NPART_SIDE", 128))
     pm_mesh = int(os.environ.get("BENCH_NMESH", 256))
-    nsteps = int(os.environ.get("BENCH_NSTEPS", 3))
     stage_budget = int(os.environ.get("BENCH_STAGE_SECONDS", 420))
 
-    treepm_ps = None
-    pm_ps = None
-    Timeout = _alarm_guard(stage_budget)
-    try:
-        treepm_ps = bench_treepm(tree_side, nsteps)
-    except (Exception, Timeout) as e:
-        print(f"# treepm bench failed: {type(e).__name__}",
-              file=sys.stderr)
-    Timeout = _alarm_guard(stage_budget)
-    try:
-        pm_ps = bench_pm(pm_side, pm_mesh, nsteps)
-    except (Exception, Timeout) as e:
-        print(f"# pm bench failed: {type(e).__name__}", file=sys.stderr)
-    import signal
-    signal.alarm(0)
+    treepm_ps = _run_stage("treepm", stage_budget)
+    pm_ps = _run_stage("pm", stage_budget)
 
-    if not treepm_ps and not pm_ps:
+    if treepm_ps is None and pm_ps is None:
         # TPU unreachable: still emit a valid line, measured on CPU
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        import jax
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
-        pm_ps = bench_pm(32, 64, 2)
+        cpu = _run_stage("pm_small_cpu", 300,
+                         extra_env={"JAX_PLATFORMS": "cpu"})
         print(json.dumps({
             "metric": "pm-kdk particle-steps/sec (32^3/64, CPU "
                       "fallback: TPU unreachable)",
-            "value": pm_ps,
+            "value": cpu or 0.0,
             "unit": "particle-steps/sec/chip",
             "vs_baseline": 0.0,
         }))
         return
 
     value = treepm_ps if treepm_ps else pm_ps
-    metric = (f"treepm particle-steps/sec ({tree_side}^3 tree+pm"
-              f"; pm-only {pm_side}^3/{pm_mesh}: "
-              f"{pm_ps if pm_ps else float('nan'):.3g})")
-    if not treepm_ps:
+    if treepm_ps:
+        metric = (f"treepm particle-steps/sec ({tree_side}^3 tree+pm"
+                  + (f"; pm-only {pm_side}^3/{pm_mesh}: {pm_ps:.3g}"
+                     if pm_ps else "") + ")")
+    else:
         metric = f"pm-kdk particle-steps/sec ({pm_side}^3, {pm_mesh})"
 
     baseline_file = os.path.join(os.path.dirname(__file__),
@@ -193,8 +186,11 @@ def main():
         if base > 0:
             vs_baseline = value / base
     else:
-        with open(baseline_file, "w") as f:
-            json.dump({"value": value, "metric": metric}, f)
+        try:
+            with open(baseline_file, "w") as f:
+                json.dump({"value": value, "metric": metric}, f)
+        except OSError:
+            pass
 
     print(json.dumps({
         "metric": metric,
@@ -204,5 +200,29 @@ def main():
     }))
 
 
+def stage_main(stage: str):
+    tree_side = int(os.environ.get("BENCH_TREE_SIDE", 32))
+    pm_side = int(os.environ.get("BENCH_NPART_SIDE", 128))
+    pm_mesh = int(os.environ.get("BENCH_NMESH", 256))
+    nsteps = int(os.environ.get("BENCH_NSTEPS", 3))
+    if stage == "treepm":
+        v = bench_treepm(tree_side, nsteps)
+    elif stage == "pm":
+        v = bench_pm(pm_side, pm_mesh, nsteps)
+    elif stage == "pm_small_cpu":
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+        v = bench_pm(32, 64, 2)
+    else:
+        raise SystemExit(f"unknown stage {stage}")
+    print(f"STAGE_RESULT {v}")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
+        stage_main(sys.argv[2])
+    else:
+        main()

@@ -182,6 +182,22 @@ class Cosmology:
                       a0, a1, epsrel=1e-12, limit=100)
         return val
 
+    def age_myr(self, a0: float, a1: float) -> float:
+        """Cosmic time elapsed between scale factors, in Myr.
+
+        t = int da / (a H(a)); internal time -> seconds via
+        UnitTime_in_s / h (the internal time unit carries 1/h, as the
+        length unit is kpc/h; cf. the reference's atime_integ usage in
+        libgadget/metal_return.cpp:258).
+        """
+        if a1 <= a0:
+            return 0.0
+        val, _ = quad(lambda a: 1.0 / (self.hubble_function(a) * a),
+                      a0, a1, epsrel=1e-8, limit=100)
+        from ..utils.constants import SEC_PER_MEGAYEAR
+        return (val * self.UnitTime_in_s / self.HubbleParam
+                / SEC_PER_MEGAYEAR)
+
     def comoving_distance(self, a0: float, a1: float,
                           UnitVelocity_in_cm_per_s: float) -> float:
         """Comoving distance between scale factors in internal length."""

@@ -346,12 +346,19 @@ class Simulation:
             # run.cpp:604-681)
             if self.gas is not None and self.gas_physics is not None \
                     and not first:
+                if is_pm:
+                    # sigma-based winds refresh vdisp once per PM step
+                    # (run.cpp:662-663)
+                    self.gas = self.gas_physics.update_vdisp(self,
+                                                             self.gas)
                 dloga = self.timeline.get_dloga_for_bin(
                     max(times.mintimebin, 1), times.ti_current)
                 hubble = float(self.CP.hubble_function(self.atime()))
                 dtime = dloga / hubble
                 self.gas, nstars = self.gas_physics.source_terms(
                     self, self.gas, dtime)
+                # stellar mass + metal return (metal_return.cpp)
+                self.gas = self.gas_physics.metal_return(self, self.gas)
 
             # sync point outputs
             sp = self.timeline.find_current_sync_point(times.ti_current)

@@ -57,6 +57,11 @@ class GasState:
     delay_time: jax.Array
     generation: jax.Array
     vdisp: jax.Array
+    # star rows (gas rows flipped to ptype STAR keep their row):
+    birth_a: jax.Array          # formation scale factor (0 = not star)
+    last_enrich_myr: jax.Array  # stellar age already enriched, Myr
+    mass0: jax.Array            # stellar mass at formation
+    total_returned: jax.Array   # cumulative returned mass fraction
 
     @classmethod
     def create(cls, ngas: int, entropy0) -> "GasState":
@@ -69,7 +74,9 @@ class GasState:
             dt_entropy=z(), max_signal_vel=z(), dt_hsml=z(),
             ne=jnp.ones(ngas, jnp.float32), metallicity=z(), sfr=z(),
             delay_time=z(), generation=jnp.zeros(ngas, jnp.int32),
-            vdisp=jnp.full(ngas, 100.0, jnp.float32))
+            vdisp=jnp.full(ngas, 100.0, jnp.float32),
+            birth_a=z(), last_enrich_myr=z(), mass0=z(),
+            total_returned=z())
 
 
 @dataclass
@@ -90,6 +97,9 @@ class GasPhysics:
     sfrpar: Optional[SFRParams] = None
     windpar: Optional[WindParams] = None
     coolunits: Optional[CoolingUnits] = None
+    metal_return_on: bool = False
+    metals: object = None        # physics.metal_return.MetalReturn
+    min_enrich_window_myr: float = 1.0
     rng_key: jax.Array = None
 
     def __post_init__(self):
@@ -256,6 +266,137 @@ class GasPhysics:
             return dataclasses.replace(gas, entropy=ent, ne=ne), 0
         return gas, 0
 
+    # ---------- metal return (metal_return.cpp analog) ----------
+    def _age_myr(self, sim, a0, a1):
+        """Vectorized cosmic-time difference via a cached t(a) grid."""
+        grid = getattr(self, "_t_grid", None)
+        if grid is None:
+            a_lo = min(float(np.min(a0[a0 > 0])) if np.any(a0 > 0)
+                       else 0.01, 0.01)
+            ag = np.geomspace(a_lo, 1.0, 257)
+            tg = np.zeros_like(ag)
+            for i in range(1, len(ag)):
+                tg[i] = tg[i - 1] + sim.CP.age_myr(ag[i - 1], ag[i])
+            grid = (ag, tg)
+            self._t_grid = grid
+        ag, tg = grid
+        t0 = np.interp(np.maximum(a0, ag[0]), ag, tg)
+        t1 = np.interp(np.maximum(a1, ag[0]), ag, tg)
+        return t1 - t0
+
+    def metal_return(self, sim, gas: GasState) -> GasState:
+        """Return stellar ejecta mass+metals to neighbouring gas.
+
+        Mirrors libgadget/metal_return.cpp: per star, integrate the
+        IMF-weighted AGB+SNII yields plus the Sn1a DTD over the age
+        window since the last enrichment, then scatter the returned
+        mass kernel-weighted onto gas within the star's smoothing
+        length (stellar density pass approximated by the stored hsml
+        of the progenitor gas particle this round).
+        """
+        if not (self.metal_return_on and self.metals):
+            return gas
+        p = sim.particles
+        ng = gas.ngas
+        atime = sim.atime()
+        star = (np.asarray(p.mask[:ng])
+                & (np.asarray(p.ptype[:ng]) == STAR)
+                & (np.asarray(gas.birth_a) > 0))
+        if not star.any():
+            return gas
+        birth = np.asarray(gas.birth_a)
+        last = np.array(gas.last_enrich_myr)
+        age_now = np.zeros(ng)
+        age_now[star] = self._age_myr(sim, birth[star],
+                                      np.full(star.sum(), atime))
+        # only stars with a meaningful new window enrich this call
+        act = star & (age_now - last > self.min_enrich_window_myr)
+        if not act.any():
+            return gas
+        idx = np.nonzero(act)[0]
+
+        # kernel-weight environment first: a star with no gas inside
+        # its hsml cannot scatter; defer its enrichment to a later
+        # step so returned mass is conserved by construction
+        from .physics.blackhole import bh_gas_environment
+        from .physics.metal_return import metal_return_step
+        gas_alive = (p.mask & (p.ptype == GAS))[:ng]
+        star_ipos = p.ipos[idx]
+        star_hsml = jnp.maximum(p.hsml[idx], 1e-3)
+        gmass = jnp.where(gas_alive, p.mass[:ng], 0.0)
+        env = bh_gas_environment(star_ipos, star_hsml, p.ipos[:ng],
+                                 gmass, gas.density,
+                                 p.vel[:ng], gas_alive, sim.boxsize)
+        fw = np.asarray(env.feedback_weight)
+        has_ngb = fw > 1e-30
+
+        h = sim.CP.HubbleParam
+        zmet = np.asarray(gas.metallicity)
+        m0 = np.asarray(gas.mass0)
+        totret = np.array(gas.total_returned)
+        mret = np.zeros(len(idx), np.float32)
+        zret = np.zeros(len(idx), np.float32)
+        for j, i in enumerate(idx):
+            if not has_ngb[j]:
+                continue
+            mfrac, zfrac, _ = self.metals.star_return(
+                float(zmet[i]), float(last[i]), float(age_now[i]), h)
+            # cap: never return more than 90% of the birth mass total
+            mfrac = min(mfrac, max(0.9 - totret[i], 0.0))
+            mret[j] = mfrac * m0[i]
+            zret[j] = min(zfrac, mfrac) * m0[i]
+            totret[i] += mfrac
+            last[i] = age_now[i]
+        gas.last_enrich_myr = jnp.asarray(last)
+        gas.total_returned = jnp.asarray(totret)
+        if mret.sum() <= 0:
+            return gas
+
+        dm, dz = metal_return_step(
+            star_ipos, star_hsml, jnp.asarray(mret),
+            jnp.asarray(zret), env.feedback_weight, p.ipos[:ng],
+            gmass, gas_alive, sim.boxsize, self.kernel)
+        # apply: gas gains mass+metals; stars lose the ejected mass
+        old_gmass = jnp.maximum(gmass, 1e-35)
+        new_metal = jnp.where(
+            gas_alive,
+            (gas.metallicity * gmass + dz) / (old_gmass + dm),
+            gas.metallicity)
+        new_mass = p.mass.at[:ng].add(jnp.where(gas_alive, dm, 0.0))
+        mass_after = np.array(new_mass)
+        for j, i in enumerate(idx):
+            mass_after[i] = max(mass_after[i] - mret[j],
+                                0.1 * m0[i])
+        sim.particles = dataclasses.replace(
+            p, mass=jnp.asarray(mass_after))
+        return dataclasses.replace(gas, metallicity=new_metal)
+
+    # ---------- DM velocity dispersion (veldisp2.cpp analog) ----------
+    def update_vdisp(self, sim, gas: GasState) -> GasState:
+        """Refresh the per-gas DM velocity dispersion used by the
+        sigma-based wind models (run.cpp:662-663: once per PM step)."""
+        from .physics.winds import WIND_FIXED_EFFICIENCY
+        if not (self.winds_on and self.windpar) or \
+                self.windpar.has(WIND_FIXED_EFFICIENCY):
+            return gas
+        from .physics.veldisp import dm_velocity_dispersion
+        p = sim.particles
+        ng = gas.ngas
+        dm_rows = np.asarray(p.mask & (p.ptype == 1))
+        if not dm_rows.any():
+            return gas
+        didx = np.nonzero(dm_rows)[0]
+        gas_alive = (p.mask & (p.ptype == GAS))[:ng]
+        sigma, _ = dm_velocity_dispersion(
+            p.ipos[didx], p.vel[didx], p.mass[didx],
+            jnp.ones(len(didx), bool), p.ipos[:ng],
+            np.maximum(np.asarray(p.hsml[:ng]) * 2, 1e-3),
+            sim.boxsize, sim.atime(),
+            nlevels=sim.gravity.tree_nlevels,
+            ncrit=sim.gravity.tree_ncrit)
+        vd = jnp.where(gas_alive, sigma, gas.vdisp)
+        return dataclasses.replace(gas, vdisp=vd)
+
     def _convert_stars(self, sim, gas: GasState, res, atime) -> int:
         """Flip converting gas rows to stars (whole-particle conversion;
         mass splitting spawns handled as whole conversions this round)."""
@@ -269,6 +410,16 @@ class GasPhysics:
         ptype[idx] = STAR
         sim.particles = dataclasses.replace(
             p, ptype=jnp.asarray(ptype))
+        # record stellar birth data for metal return
+        birth = np.array(gas.birth_a)
+        birth[idx] = atime
+        gas.birth_a = jnp.asarray(birth)
+        enr = np.array(gas.last_enrich_myr)
+        enr[idx] = 0.0
+        gas.last_enrich_myr = jnp.asarray(enr)
+        m0 = np.array(gas.mass0)
+        m0[idx] = np.array(p.mass)[idx]
+        gas.mass0 = jnp.asarray(m0)
         # dead gas rows: zero their SFR so statistics stay clean
         sfr = np.array(gas.sfr)
         sfr[idx] = 0.0
