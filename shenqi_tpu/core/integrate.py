@@ -268,6 +268,41 @@ def gravkick_tables(CP, timeline: Timeline, times: DriftKickTimes):
             jnp.asarray(dte, jnp.float32))
 
 
+def predictor_tables(CP, timeline: Timeline, times: DriftKickTimes):
+    """Per-bin drift-time predictor factors (density.c VelPred /
+    EntVarPred semantics).
+
+    With individual timesteps, an inactive particle's velocity and
+    entropy sit at its last half-kick time Ti_kick[bin], not at the
+    current drift time; neighbour interactions must use values
+    predicted forward (or backward: factors are signed) to ti_current:
+
+      v_pred = v + GravAccel * gk[bin] + GravPM * gk_pm
+                 + HydroAccel * hk[bin]
+      entvar_pred = (Entropy + DtEntropy * dloga[bin])^(1/gamma)
+
+    Returns (gravkick[TB+1], hydrokick[TB+1], dloga[TB+1], gk_pm).
+    """
+    grav = np.zeros(TIMEBINS + 1)
+    hyd = np.zeros(TIMEBINS + 1)
+    dte = np.zeros(TIMEBINS + 1)
+    for b in range(TIMEBINS + 1):
+        t0 = times.ti_kick[b]
+        if t0 == times.ti_current:
+            continue
+        grav[b] = timeline.exact_gravkick_factor(CP, t0,
+                                                 times.ti_current)
+        hyd[b] = timeline.exact_hydrokick_factor(CP, t0,
+                                                 times.ti_current)
+        dte[b] = timeline.dloga_from_dti(times.ti_current - t0,
+                                         times.ti_current)
+    gk_pm = timeline.exact_gravkick_factor(CP, times.pm_kick,
+                                           times.ti_current)
+    return (jnp.asarray(grav, jnp.float32),
+            jnp.asarray(hyd, jnp.float32),
+            jnp.asarray(dte, jnp.float32), float(gk_pm))
+
+
 def update_kick_times(times: DriftKickTimes):
     """Advance Ti_kick for active bins by half their step."""
     if times.mintimebin == 0 and times.maxtimebin == 0:

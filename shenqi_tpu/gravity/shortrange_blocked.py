@@ -32,70 +32,95 @@ def _nearest(d, boxsize):
 
 
 @partial(jax.jit, static_argnames=("params", "maxi", "maxl", "ncrit",
-                                   "nblocks", "block"))
+                                   "nblocks", "block", "block_batch"))
 def _blocked_eval(tree: Octree, lists, tgt_pos, params: ShortRangeParams,
                   window_tables, maxi: int, maxl: int, ncrit: int,
-                  nblocks: int, block: int):
-    """Evaluate monopole + P2P lists. tgt_pos: [B, BLK, 3] float."""
+                  nblocks: int, block: int, block_batch: int = 256):
+    """Evaluate monopole + P2P lists. tgt_pos: [B, BLK, 3] float.
+
+    Blocks are processed in batches of `block_batch` via lax.map so
+    peak HBM is bounded by the batch, not the whole block set: the
+    gathered leaf-source tables ([batch, maxl*ncrit, ...]) and the
+    pairwise temporaries ([batch, BLK, CH, 3]) dominate; batching
+    keeps a 64^3+ walk inside a single v5e's 16 GB.
+    """
     box = params.boxsize
-
-    # ---- monopoles ----
-    safe = jnp.maximum(lists.node_ids, 0)
-    cofm = tree.cofm[safe]            # [B, MAXI, 3]
-    nmass = jnp.where(lists.node_ids >= 0, tree.mass[safe], 0.0)
-    nmask = (jnp.arange(maxi)[None, :]
-             < lists.n_nodes[:, None])  # [B, MAXI]
-    nmass = jnp.where(nmask, nmass, 0.0)
-
     CH = 64
-
-    def mono_chunk(carry, c):
-        acc, pot = carry
-        sl = jax.lax.dynamic_slice_in_dim(cofm, c * CH, CH, axis=1)
-        sm = jax.lax.dynamic_slice_in_dim(nmass, c * CH, CH, axis=1)
-        dx = _nearest(sl[:, None, :, :] - tgt_pos[:, :, None, :], box)
-        r2 = jnp.sum(dx * dx, axis=-1)        # [B, BLK, CH]
-        fac, facpot = spline_force(r2, sm[:, None, :], params.softening)
-        r = jnp.sqrt(r2)
-        fw, pw = short_range_window(r, params.cellsize, params.asmth,
-                                    window_tables)
-        acc = acc + jnp.sum(dx * (fac * fw)[..., None], axis=2)
-        pot = pot + jnp.sum(facpot * pw, axis=2)
-        return (acc, pot), None
-
-    acc0 = jnp.zeros((nblocks, block, 3), jnp.float32)
-    pot0 = jnp.zeros((nblocks, block), jnp.float32)
-    (acc, pot), _ = jax.lax.scan(mono_chunk, (acc0, pot0),
-                                 jnp.arange(maxi // CH))
-
-    # ---- P2P over opened leaves ----
-    payload = {"ipos": tree.ipos_s, "mass": tree.mass_s}
-    src, valid = gather_leaf_sources(tree, lists.leaf_ids, ncrit,
-                                     payload)
-    # [B, MAXL*ncrit, ...]
-    smass = jnp.where(valid, src["mass"], 0.0)
-    spos = src["ipos"].astype(jnp.float32) * jnp.float32(
-        box / POS_SCALE)
-    total_src = maxl * ncrit
     PCH = 128
+    total_src = maxl * ncrit
 
-    def p2p_chunk(carry, c):
-        acc, pot = carry
-        sl = jax.lax.dynamic_slice_in_dim(spos, c * PCH, PCH, axis=1)
-        sm = jax.lax.dynamic_slice_in_dim(smass, c * PCH, PCH, axis=1)
-        dx = _nearest(sl[:, None, :, :] - tgt_pos[:, :, None, :], box)
-        r2 = jnp.sum(dx * dx, axis=-1)
-        fac, facpot = spline_force(r2, sm[:, None, :], params.softening)
-        r = jnp.sqrt(r2)
-        fw, pw = short_range_window(r, params.cellsize, params.asmth,
-                                    window_tables)
-        acc = acc + jnp.sum(dx * (fac * fw)[..., None], axis=2)
-        pot = pot + jnp.sum(facpot * pw, axis=2)
-        return (acc, pot), None
+    bb = min(block_batch, nblocks)
+    while nblocks % bb:
+        bb //= 2
+    nbatch = nblocks // bb
 
-    (acc, pot), _ = jax.lax.scan(p2p_chunk, (acc, pot),
-                                 jnp.arange(total_src // PCH))
-    return acc * params.G, pot * params.G
+    def eval_batch(args):
+        node_ids, n_nodes, leaf_ids, tgt = args
+        # ---- monopoles ----
+        safe = jnp.maximum(node_ids, 0)
+        cofm = tree.cofm[safe]            # [bb, MAXI, 3]
+        nmass = jnp.where(node_ids >= 0, tree.mass[safe], 0.0)
+        nmask = (jnp.arange(maxi)[None, :] < n_nodes[:, None])
+        nmass = jnp.where(nmask, nmass, 0.0)
+
+        def mono_chunk(carry, c):
+            acc, pot = carry
+            sl = jax.lax.dynamic_slice_in_dim(cofm, c * CH, CH, axis=1)
+            sm = jax.lax.dynamic_slice_in_dim(nmass, c * CH, CH, axis=1)
+            dx = _nearest(sl[:, None, :, :] - tgt[:, :, None, :], box)
+            r2 = jnp.sum(dx * dx, axis=-1)        # [bb, BLK, CH]
+            fac, facpot = spline_force(r2, sm[:, None, :],
+                                       params.softening)
+            r = jnp.sqrt(r2)
+            fw, pw = short_range_window(r, params.cellsize,
+                                        params.asmth, window_tables)
+            acc = acc + jnp.sum(dx * (fac * fw)[..., None], axis=2)
+            pot = pot + jnp.sum(facpot * pw, axis=2)
+            return (acc, pot), None
+
+        acc0 = jnp.zeros((bb, block, 3), jnp.float32)
+        pot0 = jnp.zeros((bb, block), jnp.float32)
+        (acc, pot), _ = jax.lax.scan(mono_chunk, (acc0, pot0),
+                                     jnp.arange(maxi // CH))
+
+        # ---- P2P over opened leaves ----
+        payload = {"ipos": tree.ipos_s, "mass": tree.mass_s}
+        src, valid = gather_leaf_sources(tree, leaf_ids, ncrit,
+                                         payload)
+        smass = jnp.where(valid, src["mass"], 0.0)
+        spos = src["ipos"].astype(jnp.float32) * jnp.float32(
+            box / POS_SCALE)
+
+        def p2p_chunk(carry, c):
+            acc, pot = carry
+            sl = jax.lax.dynamic_slice_in_dim(spos, c * PCH, PCH,
+                                              axis=1)
+            sm = jax.lax.dynamic_slice_in_dim(smass, c * PCH, PCH,
+                                              axis=1)
+            dx = _nearest(sl[:, None, :, :] - tgt[:, :, None, :], box)
+            r2 = jnp.sum(dx * dx, axis=-1)
+            fac, facpot = spline_force(r2, sm[:, None, :],
+                                       params.softening)
+            r = jnp.sqrt(r2)
+            fw, pw = short_range_window(r, params.cellsize,
+                                        params.asmth, window_tables)
+            acc = acc + jnp.sum(dx * (fac * fw)[..., None], axis=2)
+            pot = pot + jnp.sum(facpot * pw, axis=2)
+            return (acc, pot), None
+
+        (acc, pot), _ = jax.lax.scan(p2p_chunk, (acc, pot),
+                                     jnp.arange(total_src // PCH))
+        return acc, pot
+
+    batched = (
+        lists.node_ids.reshape(nbatch, bb, maxi),
+        lists.n_nodes.reshape(nbatch, bb),
+        lists.leaf_ids.reshape(nbatch, bb, maxl),
+        tgt_pos.reshape(nbatch, bb, block, 3),
+    )
+    acc, pot = jax.lax.map(eval_batch, batched)
+    return (acc.reshape(nblocks, block, 3) * params.G,
+            pot.reshape(nblocks, block) * params.G)
 
 
 def treegrav_blocked(tree: Octree, oldacc, params: ShortRangeParams,

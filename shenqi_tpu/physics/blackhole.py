@@ -195,6 +195,124 @@ def bh_thermal_feedback(bh_ipos, bh_hsml, bh_energy, bh_fw, gas_ipos,
     return du / jnp.maximum(enttou, 1e-35)
 
 
+def bh_swallow_gas(key, bh_ipos, bh_hsml, bh_mass_subgrid, bh_mass_dyn,
+                   env: BHEnv, gas_ipos, gas_mass, gas_alive, boxsize,
+                   spec: KernelSpec = CUBIC):
+    """Stochastic gas swallowing (blackhole.cpp accretion ngbiter).
+
+    When the subgrid mass runs ahead of the dynamic mass, each gas
+    neighbour is swallowed with probability
+        p_j = (M_subgrid - M_dyn) * wk_j / rho_bh
+    so the expected swallowed mass closes the gap.  A gas particle can
+    be claimed by at most one BH (first in array order, the smaller-ID
+    analog of the reference's swallow-ID arbitration).
+
+    Returns (swallowed_by [Ng] int32: BH index or -1,
+             dyn_mass_gain [Nb]).
+    """
+    nb = bh_ipos.shape[0]
+    ng = gas_ipos.shape[0]
+    to_f = jnp.float32(boxsize / POS_SCALE)
+    deficit = jnp.maximum(bh_mass_subgrid - bh_mass_dyn, 0.0)
+    rho = jnp.maximum(env.density, 1e-35)
+
+    dist = (gas_ipos[:, None, :] - bh_ipos[None, :, :]).astype(
+        jnp.int32).astype(jnp.float32) * to_f
+    r2 = jnp.sum(dist * dist, axis=-1)           # [Ng, Nb]
+    H = bh_hsml[None, :]
+    inside = (r2 < H * H) & gas_alive[:, None] & (gas_mass[:, None] > 0)
+    u = jnp.minimum(jnp.sqrt(r2) / jnp.maximum(H, 1e-35), 1.0)
+    w = jnp.where(inside, kern_wk(spec, u, jnp.maximum(H, 1e-35)), 0.0)
+    p = jnp.clip(deficit[None, :] * w / rho[None, :], 0.0, 1.0)
+    draw = jax.random.uniform(key, (ng, nb))
+    hit = draw < p                                 # [Ng, Nb]
+    any_hit = jnp.any(hit, axis=1)
+    first = jnp.argmax(hit, axis=1).astype(jnp.int32)
+    swallowed_by = jnp.where(any_hit, first, -1)
+    gain = jnp.zeros(nb, jnp.float32).at[first].add(
+        jnp.where(any_hit, gas_mass, 0.0))
+    return swallowed_by, gain
+
+
+def bh_mergers(pos, vel, hsml, mass_subgrid, mass_dyn, ids, atime,
+               csnd, boxsize):
+    """Host-side BH-BH mergers (blackhole.cpp swallow-BH logic).
+
+    BHs are rare, so an O(Nb^2) numpy pass suffices: BH j is swallowed
+    by i when their separation is inside either kernel and the physical
+    relative velocity is below the local sound speed (the reference's
+    boundness proxy); ties resolve to the smaller ID (which survives).
+    Swallow chains are flattened so mass lands on the final survivor.
+
+    Returns (eaten_by [Nb] int: survivor index or -1,
+             new_subgrid_mass, new_dyn_mass) as numpy arrays.
+    """
+    pos = np.asarray(pos, dtype=np.float64)
+    vel = np.asarray(vel)
+    hsml = np.asarray(hsml)
+    msub = np.array(mass_subgrid, dtype=np.float64)
+    mdyn = np.array(mass_dyn, dtype=np.float64)
+    ids = np.asarray(ids)
+    csnd = np.asarray(csnd)
+    nb = len(pos)
+    eaten_by = np.full(nb, -1, np.int64)
+    for j in range(nb):
+        best = -1
+        for i in range(nb):
+            if i == j or ids[i] >= ids[j]:
+                continue
+            d = pos[i] - pos[j]
+            d -= boxsize * np.round(d / boxsize)
+            r = np.linalg.norm(d)
+            if r > max(hsml[i], hsml[j]):
+                continue
+            dv = np.linalg.norm(vel[i] - vel[j]) / atime
+            if dv > max(csnd[i], csnd[j], 1e-30):
+                continue
+            if best < 0 or ids[i] < ids[best]:
+                best = i
+        eaten_by[j] = best
+    # flatten chains (a->b->c: a lands on c)
+    for j in range(nb):
+        k = eaten_by[j]
+        seen = set()
+        while k >= 0 and eaten_by[k] >= 0 and k not in seen:
+            seen.add(k)
+            k = eaten_by[k]
+        if eaten_by[j] >= 0:
+            eaten_by[j] = k
+    for j in range(nb):
+        k = eaten_by[j]
+        if k >= 0:
+            msub[k] += msub[j]
+            mdyn[k] += mdyn[j]
+            msub[j] = 0.0
+            mdyn[j] = 0.0
+    return eaten_by, msub.astype(np.float32), mdyn.astype(np.float32)
+
+
+def dynamical_friction(bh_vel, star_dm_density, sigma_1d, bh_mass,
+                       atime, G, coulomb_log=4.0):
+    """Chandrasekhar dynamical friction (bhdynfric.cpp math).
+
+    a_DF = -4 pi G^2 M_BH rho ln(Lambda)
+           [erf(x) - 2x/sqrt(pi) exp(-x^2)] v / |v|^3
+    with x = |v| / (sqrt(2) sigma), everything in physical units;
+    converts back to the internal a^2 dx/dt velocity convention.
+    """
+    from jax.scipy.special import erf
+    vphys = bh_vel / atime                         # [Nb,3] physical
+    vmag = jnp.linalg.norm(vphys, axis=-1)
+    sig = jnp.maximum(sigma_1d, 1e-10)
+    x = vmag / (jnp.sqrt(2.0) * sig)
+    fx = erf(x) - 2.0 * x / jnp.sqrt(jnp.pi) * jnp.exp(-x * x)
+    rho_phys = star_dm_density / atime ** 3
+    amag = (4 * jnp.pi * G * G * bh_mass * rho_phys * coulomb_log
+            * fx / jnp.maximum(vmag, 1e-20) ** 3)
+    # physical accel -> internal kick units (dv_int = a dt * atime)
+    return -amag[:, None] * vphys * atime
+
+
 def seed_black_holes(groups, star_mass_by_group, bh_count_by_group,
                      par: BHParams):
     """Host-side FOF seeding decision (blackhole.cpp fof_seed):

@@ -59,7 +59,9 @@ def dm_velocity_dispersion(dm_ipos, dm_vel, dm_mass, dm_alive,
     """1-D physical velocity dispersion of DM around each gas target.
 
     radius0: initial search radii (e.g. 2x gas hsml).
-    Returns (sigma_1d [T] physical internal units, radius [T]).
+    Returns (sigma_1d [T] physical internal units, radius [T],
+    density [T] comoving mean DM density inside the radius — used by
+    BH dynamical friction).
     """
     tree = build_octree(dm_ipos, dm_mass, dm_alive, boxsize,
                         nlevels=nlevels, ncrit=ncrit)
@@ -89,4 +91,5 @@ def dm_velocity_dispersion(dm_ipos, dm_vel, dm_mass, dm_alive,
     var3d = jnp.maximum(v2mean - jnp.sum(vmean ** 2, axis=-1), 0.0)
     # internal velocity v = a^2 dx/dt; peculiar v_pec = v/a
     sigma_1d = jnp.sqrt(var3d / 3.0) / atime
-    return sigma_1d, state.hsml
+    vol = 4.0 / 3.0 * jnp.pi * jnp.maximum(state.hsml, 1e-35) ** 3
+    return sigma_1d, state.hsml, msum / vol

@@ -357,6 +357,9 @@ class Simulation:
                 dtime = dloga / hubble
                 self.gas, nstars = self.gas_physics.source_terms(
                     self, self.gas, dtime)
+                # black holes: accretion/feedback/swallow/mergers
+                self.gas = self.gas_physics.blackhole_step(
+                    self, self.gas, dtime)
                 # stellar mass + metal return (metal_return.cpp)
                 self.gas = self.gas_physics.metal_return(self, self.gas)
 

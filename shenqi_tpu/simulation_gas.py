@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .core.particles import GAS, STAR
-from .utils.constants import GAMMA, GAMMA_MINUS1, HYDROGEN_MASSFRAC
+from .utils.constants import (GAMMA, GAMMA_MINUS1, HYDROGEN_MASSFRAC,
+                              LIGHTCGS)
 from .ops.tree import build_octree
 from .sph.kernels import CUBIC, KERNELS, desnumngb
 from .sph.density import density as sph_density, make_gas_payload
@@ -62,6 +63,9 @@ class GasState:
     last_enrich_myr: jax.Array  # stellar age already enriched, Myr
     mass0: jax.Array            # stellar mass at formation
     total_returned: jax.Array   # cumulative returned mass fraction
+    # black hole rows (gas rows flipped to ptype BH keep their row):
+    bh_mass: jax.Array          # subgrid BH mass (0 = not BH)
+    bh_mdot: jax.Array          # last accretion rate
 
     @classmethod
     def create(cls, ngas: int, entropy0) -> "GasState":
@@ -76,7 +80,7 @@ class GasState:
             delay_time=z(), generation=jnp.zeros(ngas, jnp.int32),
             vdisp=jnp.full(ngas, 100.0, jnp.float32),
             birth_a=z(), last_enrich_myr=z(), mass0=z(),
-            total_returned=z())
+            total_returned=z(), bh_mass=z(), bh_mdot=z())
 
 
 @dataclass
@@ -100,6 +104,9 @@ class GasPhysics:
     metal_return_on: bool = False
     metals: object = None        # physics.metal_return.MetalReturn
     min_enrich_window_myr: float = 1.0
+    bh_on: bool = False
+    bhpar: object = None         # physics.blackhole.BHParams
+    bh_dynfric_on: bool = False
     rng_key: jax.Array = None
 
     def __post_init__(self):
@@ -112,14 +119,31 @@ class GasPhysics:
 
     # ---------- density + hydro ----------
     def density_hydro(self, sim, gas: GasState):
-        """Gas-tree density (adaptive hsml) then hydro force."""
+        """Gas-tree density (adaptive hsml) then hydro force.
+
+        Uses drift-time-predicted velocity and entropy (VelPred /
+        EntVarPred, density.c semantics): with individual timesteps
+        neighbours' kicked quantities live at their own Ti_kick, so
+        they are advanced to the common drift time by signed kick
+        factors before entering the walks.
+        """
+        from .core.integrate import predictor_tables
         p = sim.particles
         ng = gas.ngas
         gas_alive = (p.mask & (p.ptype == GAS))[:ng]
         ipos_g = p.ipos[:ng]
-        vel_g = p.vel[:ng]
+        gk, hk, de, gk_pm = predictor_tables(sim.CP, sim.timeline,
+                                             sim.times)
+        bins = p.timebin[:ng].astype(jnp.int32)
+        vel_g = (p.vel[:ng]
+                 + p.grav_accel[:ng] * gk[bins][:, None]
+                 + p.grav_pm[:ng] * jnp.float32(gk_pm)
+                 + gas.hydro_accel * hk[bins][:, None])
+        ent_pred = gas.entropy + gas.dt_entropy * de[bins]
+        # floor: prediction must never drive entropy negative
+        ent_pred = jnp.maximum(ent_pred, 0.25 * gas.entropy)
         mass_g = jnp.where(gas_alive, p.mass[:ng], 0.0)
-        entvar = jnp.maximum(gas.entropy, 1e-35) ** (1.0 / GAMMA)
+        entvar = jnp.maximum(ent_pred, 1e-35) ** (1.0 / GAMMA)
 
         tree = build_octree(ipos_g, mass_g, gas_alive, sim.boxsize,
                             nlevels=sim.gravity.tree_nlevels,
@@ -371,6 +395,134 @@ class GasPhysics:
             p, mass=jnp.asarray(mass_after))
         return dataclasses.replace(gas, metallicity=new_metal)
 
+    # ---------- black holes (blackhole.cpp analog) ----------
+    def seed_bh(self, sim, gas: GasState, rows) -> GasState:
+        """Convert the given gas rows to black holes (fof_seed
+        conversion step: the chosen gas particle becomes the BH and
+        keeps its dynamic mass; subgrid mass starts at the seed)."""
+        from .core.particles import BH
+        rows = np.atleast_1d(np.asarray(rows, dtype=np.int64))
+        if rows.size == 0:
+            return gas
+        p = sim.particles
+        ptype = np.array(p.ptype)
+        ptype[rows] = BH
+        sim.particles = dataclasses.replace(p,
+                                            ptype=jnp.asarray(ptype))
+        bhm = np.array(gas.bh_mass)
+        bhm[rows] = self.bhpar.SeedBlackHoleMass
+        return dataclasses.replace(gas, bh_mass=jnp.asarray(bhm))
+
+    def blackhole_step(self, sim, gas: GasState, dtime: float):
+        """Accretion, feedback, swallowing, mergers, dyn. friction.
+
+        BH rows live in the gas prefix (gas flipped to ptype BH via
+        seed_bh).  Mirrors blackhole.cpp's three passes: environment
+        gather -> accretion/feedback scatter -> swallow arbitration.
+        """
+        from .core.particles import BH
+        from .physics.blackhole import (
+            bh_gas_environment, bh_accretion, bh_thermal_feedback,
+            bh_swallow_gas, bh_mergers, bh_soundspeed,
+            dynamical_friction)
+        if not (self.bh_on and self.bhpar):
+            return gas
+        p = sim.particles
+        ng = gas.ngas
+        bh_rows = (np.asarray(p.mask[:ng])
+                   & (np.asarray(p.ptype[:ng]) == BH))
+        if not bh_rows.any():
+            return gas
+        idx = np.nonzero(bh_rows)[0]
+        atime = sim.atime()
+        a3inv = 1.0 / atime ** 3
+        gas_alive = (p.mask & (p.ptype == GAS))[:ng]
+        gmass = jnp.where(gas_alive, p.mass[:ng], 0.0)
+        hsml_bh = jnp.maximum(
+            p.hsml[idx] * self.bhpar.BlackHoleNgbFactor, 1e-3)
+        hsml_bh = jnp.minimum(
+            hsml_bh, self.bhpar.BlackHoleMaxAccretionRadius)
+
+        env = bh_gas_environment(p.ipos[idx], hsml_bh, p.ipos[:ng],
+                                 gmass, gas.entropy, p.vel[:ng],
+                                 gas_alive, sim.boxsize)
+        bhm = gas.bh_mass[idx]
+        mdot = bh_accretion(bhm, p.vel[idx], env, atime,
+                            sim.gravity.G, self.bhpar)
+        bhm_new = bhm + mdot * dtime
+        bh_mass = gas.bh_mass.at[idx].set(bhm_new)
+        bh_mdot = gas.bh_mdot.at[idx].set(mdot)
+
+        # thermal feedback: E = eps_f * 0.1 Mdot c^2 dt (internal)
+        c_int = LIGHTCGS / self.bhpar.UnitVelocity_in_cm_per_s
+        energy = (self.bhpar.BlackHoleFeedbackFactor * 0.1 * mdot
+                  * dtime * c_int ** 2)
+        dent = bh_thermal_feedback(p.ipos[idx], hsml_bh, energy,
+                                   env.feedback_weight, p.ipos[:ng],
+                                   gmass, jnp.maximum(gas.density,
+                                                      1e-35),
+                                   gas_alive, sim.boxsize, a3inv)
+        entropy = jnp.where(gas_alive, gas.entropy + dent, gas.entropy)
+
+        # stochastic swallowing closes the subgrid/dynamic mass gap
+        swallowed_by, gain = bh_swallow_gas(
+            self.next_key(), p.ipos[idx], hsml_bh, bhm_new,
+            p.mass[idx], env, p.ipos[:ng], gmass, gas_alive,
+            sim.boxsize)
+        sw = np.asarray(swallowed_by)
+        mass_np = np.array(p.mass)
+        mask_np = np.array(p.mask)
+        eaten_gas = np.nonzero(sw >= 0)[0]
+        if eaten_gas.size:
+            mass_np[idx] += np.asarray(gain)
+            mask_np[eaten_gas] = False
+            mass_np[eaten_gas] = 0.0
+
+        # BH-BH mergers (host-side; BHs are rare)
+        from .core.particles import ipos_to_float
+        ids64 = (np.asarray(p.id_hi[idx]).astype(np.uint64) << np.uint64(32)) \
+            | np.asarray(p.id_lo[idx]).astype(np.uint64)
+        cs = bh_soundspeed(env.entropy, env.density, atime)
+        eaten_by, msub2, mdyn2 = bh_mergers(
+            ipos_to_float(np.asarray(p.ipos[idx]), sim.boxsize),
+            np.asarray(p.vel[idx]), np.asarray(hsml_bh),
+            np.asarray(bhm_new), mass_np[idx], ids64, atime,
+            np.asarray(cs), sim.boxsize)
+        if (eaten_by >= 0).any():
+            bh_mass = bh_mass.at[idx].set(jnp.asarray(msub2))
+            mass_np[idx] = mdyn2
+            dead = idx[eaten_by >= 0]
+            mask_np[dead] = False
+            mass_np[dead] = 0.0
+
+        sim.particles = dataclasses.replace(
+            p, mass=jnp.asarray(mass_np), mask=jnp.asarray(mask_np))
+
+        # dynamical friction from the collisionless background
+        if self.bh_dynfric_on:
+            from .physics.veldisp import dm_velocity_dispersion
+            pall = sim.particles
+            coll = np.asarray(pall.mask & (pall.ptype != GAS)
+                              & (pall.ptype != BH))
+            didx = np.nonzero(coll)[0]
+            if didx.size:
+                sep = sim.boxsize / max(didx.size, 1) ** (1 / 3)
+                sigma, _, rho = dm_velocity_dispersion(
+                    pall.ipos[didx], pall.vel[didx], pall.mass[didx],
+                    jnp.ones(len(didx), bool), pall.ipos[idx],
+                    np.full(idx.size, 2 * sep, np.float32),
+                    sim.boxsize, atime,
+                    nlevels=sim.gravity.tree_nlevels,
+                    ncrit=sim.gravity.tree_ncrit)
+                adf = dynamical_friction(pall.vel[idx], rho, sigma,
+                                         gas.bh_mass[idx], atime,
+                                         sim.gravity.G)
+                vel = pall.vel.at[idx].add(adf * jnp.float32(dtime))
+                sim.particles = dataclasses.replace(pall, vel=vel)
+
+        return dataclasses.replace(gas, entropy=entropy,
+                                   bh_mass=bh_mass, bh_mdot=bh_mdot)
+
     # ---------- DM velocity dispersion (veldisp2.cpp analog) ----------
     def update_vdisp(self, sim, gas: GasState) -> GasState:
         """Refresh the per-gas DM velocity dispersion used by the
@@ -387,7 +539,7 @@ class GasPhysics:
             return gas
         didx = np.nonzero(dm_rows)[0]
         gas_alive = (p.mask & (p.ptype == GAS))[:ng]
-        sigma, _ = dm_velocity_dispersion(
+        sigma, _, _ = dm_velocity_dispersion(
             p.ipos[didx], p.vel[didx], p.mass[didx],
             jnp.ones(len(didx), bool), p.ipos[:ng],
             np.maximum(np.asarray(p.hsml[:ng]) * 2, 1e-3),

@@ -92,3 +92,36 @@ def test_drift_factor_matches_cosmology():
     a0, a1 = tl.atime_from_ti(ti0), tl.atime_from_ti(ti1)
     assert tl.exact_drift_factor(cp, ti0, ti1) == pytest.approx(
         cp.exact_drift_factor(a0, a1))
+
+
+def test_predictor_tables_signs():
+    """predictor_tables: factors are signed integrals from Ti_kick[bin]
+    to the drift time (VelPred semantics)."""
+    from shenqi_tpu.core.integrate import (DriftKickTimes,
+                                           predictor_tables)
+    from shenqi_tpu.cosmology import Cosmology
+    from shenqi_tpu.utils.units import default_units
+    import numpy as np
+
+    cp = Cosmology(Omega0=1.0, OmegaLambda=0.0, OmegaBaryon=0.05,
+                   HubbleParam=0.7, RadiationOn=0, CMBTemperature=0.0)
+    cp.init(TimeBegin=0.1, units=default_units())
+    tl = Timeline.setup([1.0], 0.1, 1.0)
+    ti = TIMEBASE // 4
+    times = DriftKickTimes.init(ti)
+    # bin 3 kicked half-step ahead; bin 5 lags behind
+    from shenqi_tpu.core.timeline import dti_from_timebin
+    times.ti_kick[3] = ti + dti_from_timebin(3) // 2
+    times.ti_kick[5] = ti - dti_from_timebin(5) // 2
+    gk, hk, de, gk_pm = predictor_tables(cp, tl, times)
+    gk, hk, de = np.asarray(gk), np.asarray(hk), np.asarray(de)
+    # ahead of drift time -> negative (roll back), behind -> positive
+    assert gk[3] < 0 and hk[3] < 0 and de[3] < 0
+    assert gk[5] > 0 and hk[5] > 0 and de[5] > 0
+    # exact values match the quadrature directly
+    a0 = tl.atime_from_ti(times.ti_kick[3])
+    a1 = tl.atime_from_ti(ti)
+    assert gk[3] == pytest.approx(cp.exact_gravkick_factor(a0, a1),
+                                  rel=1e-5)
+    # in-sync bins predict zero
+    assert gk[1] == 0 and de[1] == 0 and gk_pm == 0.0

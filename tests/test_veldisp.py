@@ -24,7 +24,7 @@ def test_veldisp_recovers_sigma():
     ngas = 64
     gas_pos = rng.uniform(0.2 * BOX, 0.8 * BOX, (ngas, 3))
     sep = BOX / ndm ** (1 / 3)
-    sigma, radius = dm_velocity_dispersion(
+    sigma, radius, rho = dm_velocity_dispersion(
         jnp.asarray(float_to_ipos(pos, BOX)), jnp.asarray(vel),
         jnp.asarray(mass), jnp.ones(ndm, bool),
         jnp.asarray(float_to_ipos(gas_pos, BOX)),
@@ -38,6 +38,10 @@ def test_veldisp_recovers_sigma():
     r = np.asarray(radius)
     nin = 4 / 3 * np.pi * r ** 3 * ndm / BOX ** 3
     assert 15 < np.median(nin) < 100
+    # returned density matches mean density within sampling noise
+    mean_rho = ndm * 1.0 / BOX ** 3
+    assert np.median(np.asarray(rho)) == pytest.approx(mean_rho,
+                                                       rel=0.5)
 
 
 def test_veldisp_cold_flow():
@@ -48,7 +52,7 @@ def test_veldisp_cold_flow():
     vel = np.tile(np.array([100., -50., 25.], np.float32), (ndm, 1))
     gas_pos = rng.uniform(0.3 * BOX, 0.7 * BOX, (16, 3))
     sep = BOX / ndm ** (1 / 3)
-    sigma, _ = dm_velocity_dispersion(
+    sigma, _, _ = dm_velocity_dispersion(
         jnp.asarray(float_to_ipos(pos, BOX)), jnp.asarray(vel),
         jnp.ones(ndm, jnp.float32), jnp.ones(ndm, bool),
         jnp.asarray(float_to_ipos(gas_pos, BOX)),
