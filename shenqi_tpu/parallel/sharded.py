@@ -168,6 +168,12 @@ def make_sharded_step(mesh: Mesh, cfg_pm: PMConfig,
     with particle arrays sharded over 'dp'.
     """
 
+    # pencil-distributed FFT when the mesh divides evenly (the usual
+    # case); replicated FFT as fallback for odd device counts
+    ndev = mesh.devices.size
+    use_pencil = (cfg_pm.nmesh % ndev == 0
+                  and (cfg_pm.nmesh // ndev) % ndev == 0)
+
     @partial(shard_map, mesh=mesh,
              in_specs=(P("dp", None), P("dp", None), P("dp"), P("dp"),
                        P(), P()),
@@ -176,7 +182,11 @@ def make_sharded_step(mesh: Mesh, cfg_pm: PMConfig,
              # device; disable the varying-manual-axes strictness check
              check_vma=False)
     def step_local(ipos, vel, mass, oldacc, kick, drift):
-        accel_pm = pm_forces_replicated_fft(ipos, mass, cfg_pm)
+        if use_pencil:
+            from .pfft import pm_forces_pencil
+            accel_pm = pm_forces_pencil(ipos, mass, cfg_pm)
+        else:
+            accel_pm = pm_forces_replicated_fft(ipos, mass, cfg_pm)
         accel_tree = tree_forces_sharded(
             ipos, mass, oldacc, sp, window_tables, tree_nlevels,
             tree_ncrit, maxi, maxl, block)
