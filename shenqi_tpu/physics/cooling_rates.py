@@ -302,11 +302,16 @@ def get_equilib_ne(nh_total, u_cgs, helium, uvbg: UVBG,
 
 def get_heatingcooling_rate(rho_cgs, u_cgs, helium, redshift,
                             uvbg: UVBG, params: CoolingParams,
-                            ne_init=None):
+                            ne_init=None, metallicity=None,
+                            metal_cool=None, extra_heat=0.0):
     """Net heating - cooling in erg/s/g (reference return convention).
 
     rho_cgs: physical density in g/cm^3 (converted internally to
     protons/cm^3 like the reference caller).
+    metallicity + metal_cool (a MetalCoolingTable): subtract the
+    cloudy net metal cooling scaled by Z (cooling_rates.cpp:1154).
+    extra_heat: additional uniform heating in erg/s/g (the
+    long-mean-free-path HeII term, cooling.cpp:46-50).
     Returns (lambda_net, ne/nh).
     """
     density = rho_cgs / PROTONMASS   # protons/cm^3
@@ -342,7 +347,10 @@ def get_heatingcooling_rate(rho_cgs, u_cgs, helium, redshift,
     # (scaled) erg/s cm^3 per proton -> erg/s/g; the scale constant is
     # computed in python f64 so no f32 intermediate leaves [1e-10, 1e10]
     conv = (1 - helium) ** 2 / (LAMSCALE * PROTONMASS)
-    return lambda_net * conv * density, nebynh
+    out = lambda_net * conv * density
+    if metal_cool is not None and metallicity is not None:
+        out = out - metallicity * metal_cool.eval(redshift, temp, nh)
+    return out + extra_heat, nebynh
 
 
 def get_neutral_fraction(rho_cgs, u_cgs, helium, uvbg: UVBG,
@@ -363,19 +371,23 @@ BRACKET_ITERS = 45
 
 
 def do_cooling(u_old_cgs, rho_cgs, dt_s, helium, redshift, uvbg: UVBG,
-               params: CoolingParams, min_egyspec_cgs=0.0, ne_init=None):
+               params: CoolingParams, min_egyspec_cgs=0.0, ne_init=None,
+               metallicity=None, metal_cool=None, extra_heat=0.0):
     """Implicit cooling update: solve u = u_old + LambdaNet(u) dt.
 
     Vectorized version of the reference bisection (cooling.cpp:57-135):
     geometric bracket growth by 1.1x, then fixed-count bisection.
+    metallicity/metal_cool/extra_heat are forwarded to the rate (metal
+    cooling + HeII long-MFP heating).
     Returns (u_new_cgs, ne/nh at the solution).
     """
     u_old = jnp.maximum(u_old_cgs, min_egyspec_cgs)
 
     def lamdt(u, ne):
-        ln, nebynh = get_heatingcooling_rate(rho_cgs, u, helium,
-                                             redshift, uvbg, params,
-                                             ne_init=ne)
+        ln, nebynh = get_heatingcooling_rate(
+            rho_cgs, u, helium, redshift, uvbg, params, ne_init=ne,
+            metallicity=metallicity, metal_cool=metal_cool,
+            extra_heat=extra_heat)
         return ln * dt_s, nebynh
 
     ne = (jnp.ones_like(u_old) if ne_init is None else ne_init)

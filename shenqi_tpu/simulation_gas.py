@@ -66,6 +66,8 @@ class GasState:
     # black hole rows (gas rows flipped to ptype BH keep their row):
     bh_mass: jax.Array          # subgrid BH mass (0 = not BH)
     bh_mdot: jax.Array          # last accretion rate
+    # helium reionization flag (cooling_qso_lightup)
+    heiii: jax.Array = None     # bool: HeIII-ionized
 
     @classmethod
     def create(cls, ngas: int, entropy0) -> "GasState":
@@ -80,7 +82,8 @@ class GasState:
             delay_time=z(), generation=jnp.zeros(ngas, jnp.int32),
             vdisp=jnp.full(ngas, 100.0, jnp.float32),
             birth_a=z(), last_enrich_myr=z(), mass0=z(),
-            total_returned=z(), bh_mass=z(), bh_mdot=z())
+            total_returned=z(), bh_mass=z(), bh_mdot=z(),
+            heiii=jnp.zeros(ngas, bool))
 
 
 @dataclass
@@ -107,6 +110,9 @@ class GasPhysics:
     bh_on: bool = False
     bhpar: object = None         # physics.blackhole.BHParams
     bh_dynfric_on: bool = False
+    zreion_table: object = None  # uv_fluctuations.ZreionTable
+    metal_cool: object = None    # uv_fluctuations.MetalCoolingTable
+    helium: object = None        # helium_reion.HeliumReion
     rng_key: jax.Array = None
 
     def __post_init__(self):
@@ -235,6 +241,24 @@ class GasPhysics:
         redshift = 1.0 / atime - 1.0
         uvbg = (self.treecool.uvbg(redshift, self.coolpar)
                 if self.treecool else UVBG())
+        if self.zreion_table is not None:
+            # fluctuating UVB: per-particle rates gated on z_reion
+            from .core.particles import ipos_to_float
+            from .physics.uv_fluctuations import local_uvbg
+            pos = ipos_to_float(p.ipos[:ng], sim.boxsize)
+            uvbg = local_uvbg(uvbg, self.zreion_table.zreion(pos),
+                              redshift)
+        # HeII long-mean-free-path heating for not-yet-ionized gas
+        extra_heat = 0.0
+        if self.helium is not None and self.helium.during(redshift):
+            from .utils.constants import GRAVITY, HUBBLE
+            h0 = sim.CP.HubbleParam * HUBBLE
+            rho_crit_b = (3 * h0 * h0 / (8 * np.pi * GRAVITY)
+                          * sim.CP.OmegaBaryon)
+            lm = self.helium.lmfp_heating_per_gram(redshift,
+                                                   rho_crit_b)
+            extra_heat = jnp.where(gas.heiii, 0.0,
+                                   jnp.float32(lm))
 
         if self.sfr_on:
             res = starformation_step(
@@ -279,7 +303,8 @@ class GasPhysics:
                 uvbg, self.coolpar,
                 min_egyspec_cgs=self.sfrpar.min_egyspec()
                 * cu.uu_in_cgs if self.sfrpar else 0.0,
-                ne_init=gas.ne)
+                ne_init=gas.ne, metallicity=gas.metallicity,
+                metal_cool=self.metal_cool, extra_heat=extra_heat)
             u_new = u_cgs / cu.uu_in_cgs
             dfac = entropy_to_u(jnp.maximum(
                 gas.egy_wt_density if self.density_independent_sph
@@ -394,6 +419,35 @@ class GasPhysics:
         sim.particles = dataclasses.replace(
             p, mass=jnp.asarray(mass_after))
         return dataclasses.replace(gas, metallicity=new_metal)
+
+    # ---------- HeII reionization (cooling_qso_lightup analog) -----
+    def helium_step(self, sim, gas: GasState, group_masses,
+                    group_cm) -> GasState:
+        """QSO bubble HeIII ionization at FOF cadence
+        (do_heiii_reionization).  group_masses/group_cm: FOF catalog.
+        """
+        if self.helium is None or self.coolunits is None:
+            return gas
+        atime = sim.atime()
+        redshift = 1.0 / atime - 1.0
+        if not self.helium.during(redshift):
+            return gas
+        p = sim.particles
+        ng = gas.ngas
+        gas_alive = np.asarray(p.mask[:ng]) & (
+            np.asarray(p.ptype[:ng]) == GAS)
+        from .core.particles import ipos_to_float
+        pos = np.asarray(ipos_to_float(p.ipos[:ng], sim.boxsize))
+        rng = np.random.RandomState(
+            int(jax.random.randint(self.next_key(), (), 0, 2 ** 31)))
+        heiii, ent, nion = self.helium.turn_on_quasars(
+            rng, atime, group_masses, group_cm, pos, gas.density,
+            gas_alive, gas.heiii, gas.entropy, sim.boxsize,
+            self.coolunits.uu_in_cgs)
+        if nion == 0:
+            return gas
+        return dataclasses.replace(gas, heiii=jnp.asarray(heiii),
+                                   entropy=jnp.asarray(ent))
 
     # ---------- black holes (blackhole.cpp analog) ----------
     def seed_bh(self, sim, gas: GasState, rows) -> GasState:
