@@ -351,6 +351,13 @@ class Simulation:
                     # (run.cpp:662-663)
                     self.gas = self.gas_physics.update_vdisp(self,
                                                              self.gas)
+                    # excursion-set J21 recomputed at PM cadence when
+                    # halo masses are available (uvbg.cpp via gravpm)
+                    hm = getattr(self, "halo_mass", None)
+                    if hm is not None and getattr(
+                            self.gas_physics, "excursion", None):
+                        self.gas = self.gas_physics.excursion_step(
+                            self, self.gas, hm)
                 dloga = self.timeline.get_dloga_for_bin(
                     max(times.mintimebin, 1), times.ti_current)
                 hubble = float(self.CP.hubble_function(self.atime()))

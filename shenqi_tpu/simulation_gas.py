@@ -68,6 +68,9 @@ class GasState:
     bh_mdot: jax.Array          # last accretion rate
     # helium reionization flag (cooling_qso_lightup)
     heiii: jax.Array = None     # bool: HeIII-ionized
+    # excursion-set reionization (uvbg.cpp)
+    local_j21: jax.Array = None  # per-gas J21
+    zreion_p: jax.Array = None   # per-gas reionization redshift (-1)
 
     @classmethod
     def create(cls, ngas: int, entropy0) -> "GasState":
@@ -83,7 +86,8 @@ class GasState:
             vdisp=jnp.full(ngas, 100.0, jnp.float32),
             birth_a=z(), last_enrich_myr=z(), mass0=z(),
             total_returned=z(), bh_mass=z(), bh_mdot=z(),
-            heiii=jnp.zeros(ngas, bool))
+            heiii=jnp.zeros(ngas, bool), local_j21=z(),
+            zreion_p=jnp.full(ngas, -1.0, jnp.float32))
 
 
 @dataclass
@@ -113,6 +117,10 @@ class GasPhysics:
     zreion_table: object = None  # uv_fluctuations.ZreionTable
     metal_cool: object = None    # uv_fluctuations.MetalCoolingTable
     helium: object = None        # helium_reion.HeliumReion
+    excursion: object = None     # excursion.ExcursionSetParams
+    j21_coeffs: object = None    # uv_fluctuations.J21Coeffs
+    excursion_zstop: float = 5.0
+    units: object = None         # utils.units.UnitSystem
     rng_key: jax.Array = None
 
     def __post_init__(self):
@@ -241,7 +249,17 @@ class GasPhysics:
         redshift = 1.0 / atime - 1.0
         uvbg = (self.treecool.uvbg(redshift, self.coolpar)
                 if self.treecool else UVBG())
-        if self.zreion_table is not None:
+        if (self.excursion is not None and self.j21_coeffs is not None
+                and redshift > self.excursion_zstop):
+            # excursion-set per-particle J21 UVB (cooling_uvfluc.cpp
+            # get_local_UVBG_from_J21 branch)
+            from .physics.uv_fluctuations import uvbg_from_j21
+            uvbg = uvbg_from_j21(uvbg, gas.local_j21, gas.zreion_p,
+                                 redshift, self.excursion.AlphaUV,
+                                 self.j21_coeffs,
+                                 fbar=self.coolpar.fBar
+                                 if self.coolpar else 0.17)
+        elif self.zreion_table is not None:
             # fluctuating UVB: per-particle rates gated on z_reion
             from .core.particles import ipos_to_float
             from .physics.uv_fluctuations import local_uvbg
@@ -419,6 +437,41 @@ class GasPhysics:
         sim.particles = dataclasses.replace(
             p, mass=jnp.asarray(mass_after))
         return dataclasses.replace(gas, metallicity=new_metal)
+
+    # ---------- excursion-set reionization (uvbg.cpp analog) -------
+    def excursion_step(self, sim, gas: GasState,
+                       halo_mass) -> GasState:
+        """Run one find_HII_bubbles pass (PM-step cadence while
+        redshift > ExcursionSetZStop).  halo_mass: [N] per-particle
+        FOF halo mass (0 outside halos), used for escape fractions.
+        Updates per-gas local_j21 (max over CIC cells, monotone per
+        particle) and zreion_p at first ionization."""
+        if self.excursion is None:
+            return gas
+        atime = sim.atime()
+        redshift = 1.0 / atime - 1.0
+        if redshift <= self.excursion_zstop:
+            return gas
+        from .physics.excursion import calculate_uvbg, escape_fractions
+        from .utils.units import default_units
+        p = sim.particles
+        ng = gas.ngas
+        units = self.units or default_units()
+        fesc = escape_fractions(jnp.asarray(halo_mass), self.excursion,
+                                units.UnitMass_in_g,
+                                sim.CP.HubbleParam)
+        sfr = jnp.zeros(p.n, jnp.float32).at[:ng].set(gas.sfr)
+        res = calculate_uvbg(p.ipos, p.mass, p.ptype, sfr, fesc,
+                             atime, sim.CP, units,
+                             sim.boxsize, self.excursion, mask=p.mask)
+        j21g = res.j21_particles[:ng]
+        # readout keeps the particle's maximum J21 (uvbg.cpp:461-472)
+        newj = jnp.maximum(gas.local_j21, j21g)
+        newz = jnp.where((gas.zreion_p < 0) & (j21g > 0),
+                         jnp.float32(redshift), gas.zreion_p)
+        sim.excursion_xhi = (float(res.vol_weighted_xhi),
+                             float(res.mass_weighted_xhi))
+        return dataclasses.replace(gas, local_j21=newj, zreion_p=newz)
 
     # ---------- HeII reionization (cooling_qso_lightup analog) -----
     def helium_step(self, sim, gas: GasState, group_masses,
