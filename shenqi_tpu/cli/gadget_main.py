@@ -100,6 +100,19 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
     cp = load_cosmology(ps, hdr, atime, units)
     boxsize = hdr.BoxSize
 
+    if restart_flag == 99:
+        # built-in force accuracy tests (runtests.cpp analog)
+        from ..runtests import run_gravity_test
+        nmesh = ps.get_int("Nmesh")
+        if nmesh <= 0:
+            nmesh = 2 * int(round(np.cbrt(sum(hdr.TotNumPart))))
+        return run_gravity_test(
+            pos, mass, cp, boxsize, nmesh,
+            asmth=ps.get_double("Asmth"),
+            rcut_cells=ps.get_double("TreeRcut"),
+            err_tol_force_acc=ps.get_double("ErrTolForceAcc"),
+            bh_opening_angle=ps.get_double("BHOpeningAngle"))
+
     if restart_flag == 3:
         # FOF postprocessing
         from ..core.particles import float_to_ipos

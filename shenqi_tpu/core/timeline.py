@@ -24,6 +24,7 @@ MAXSNAPSHOTS = 1 << (62 - TIMEBINS)
 
 
 def dti_from_timebin(bin: int) -> int:
+    bin = int(bin)   # numpy int32 shifts overflow past bin 31
     return (1 << bin) if bin > 0 else 0
 
 

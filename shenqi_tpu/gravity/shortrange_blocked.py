@@ -126,12 +126,16 @@ def _blocked_eval(tree: Octree, lists, tgt_pos, params: ShortRangeParams,
 def treegrav_blocked(tree: Octree, oldacc, params: ShortRangeParams,
                      window_tables=None, n_targets: int = None,
                      block: int = BLOCK, maxi: int = 2048,
-                     maxl: int = 512, ncrit: int = 32):
+                     maxl: int = 512, ncrit: int = 32,
+                     auto_grow: int = 3):
     """Short-range force at the sorted particle positions.
 
     oldacc: [N] |acc|/G in ORIGINAL order (gathered through tree.order).
     Returns (accel [N,3], pot [N]) in ORIGINAL particle order.
-    Raises RuntimeError when the traversal caps overflow.
+    On traversal cap overflow, retries up to `auto_grow` times with the
+    overflowed cap doubled (small-N runs have few, large Morton blocks
+    whose conservative MAC opens most of the tree); raises RuntimeError
+    if the caps still overflow.
     """
     n = tree.ipos_s.shape[0]
     if n_targets is None:
@@ -143,14 +147,23 @@ def treegrav_blocked(tree: Octree, oldacc, params: ShortRangeParams,
     aold_blk = (params.err_tol_force_acc
                 * oldacc_s[idx].reshape(nblocks, block))
     block_aold = jnp.min(aold_blk, axis=1)
-    lists = block_traverse(
-        tree, bb_lo, bb_hi, jnp.zeros(nblocks, jnp.float32), block_aold,
-        params.boxsize, params.rcut, params.bh_opening_angle ** 2,
-        params.use_bh, maxi=maxi, maxl=maxl, mode="gravity")
-    if bool(jnp.any(lists.overflow)):
-        raise RuntimeError(
-            f"block traversal overflow: nodes max {int(jnp.max(lists.n_nodes))}"
-            f"/{maxi}, leaves max {int(jnp.max(lists.n_leaves))}/{maxl}")
+    for attempt in range(auto_grow + 1):
+        lists = block_traverse(
+            tree, bb_lo, bb_hi, jnp.zeros(nblocks, jnp.float32),
+            block_aold, params.boxsize, params.rcut,
+            params.bh_opening_angle ** 2, params.use_bh, maxi=maxi,
+            maxl=maxl, mode="gravity")
+        if not bool(jnp.any(lists.overflow)):
+            break
+        if attempt == auto_grow:
+            raise RuntimeError(
+                f"block traversal overflow: nodes max "
+                f"{int(jnp.max(lists.n_nodes))}/{maxi}, leaves max "
+                f"{int(jnp.max(lists.n_leaves))}/{maxl}")
+        if int(jnp.max(lists.n_nodes)) >= maxi:
+            maxi *= 2
+        if int(jnp.max(lists.n_leaves)) >= maxl:
+            maxl *= 2
 
     to_f = jnp.float32(params.boxsize / POS_SCALE)
     tgt_pos = (tree.ipos_s[idx].astype(jnp.float32) * to_f

@@ -76,6 +76,7 @@ class Simulation:
     power_history: list = field(default_factory=list)
     snapshots: list = field(default_factory=list)
     window_tables: object = None
+    hierarchical: bool = False   # Gadget-4 split gravity timesteps
     _accel_tree: jax.Array = None
     on_snapshot: object = None   # callback(sim, atime)
     on_step: object = None       # callback(sim) at end of each step
@@ -220,10 +221,186 @@ class Simulation:
                                           self.window_tables)
         self.particles = dataclasses.replace(p, grav_accel=acc)
 
-    def _apply_half_kick(self):
+    # ---------- hierarchical (split) gravity, Gadget-4 scheme ----------
+    def _largest_active_bin(self) -> int:
+        times = self.times
+        for b in range(TIMEBINS, -1, -1):
+            if is_timebin_active(b, times.ti_current) and \
+                    dti_from_timebin(b) <= max(times.pm_length, 1):
+                return b
+        return TIMEBINS
+
+    def _active_source_accel(self, sel):
+        """Tree gravity with ONLY the selected particles as sources
+        (force_tree_active_moments semantics: at each level both the
+        sources and the kicked targets are the active set, which is
+        what makes the scheme momentum-conserving)."""
+        p = self.particles
+        selj = jnp.asarray(sel)
+        mass = jnp.where(selj, p.mass, 0.0)
+        if self.window_tables is None and \
+                self.gravity.window_type == "exact":
+            self.window_tables = get_window_tables(self.gravity)
+        tree = build_octree(p.ipos, mass, selj & p.mask, self.boxsize,
+                            nlevels=self.gravity.tree_nlevels,
+                            ncrit=self.gravity.tree_ncrit)
+        sp = self.gravity.short()
+        acc, _, _ = treegrav_targets(tree, p.ipos, p.old_acc, sp,
+                                     self.window_tables)
+        return acc
+
+    def _hier_grav_kick(self, sel, accel, ti: int, largest: int):
+        """Half-step forward for bin ti, half-step back for ti+1
+        (apply_hierarchical_grav_kick, timestep.cpp:247-289)."""
+        times = self.times
+        dti = dti_from_timebin(ti)
+        gk = self.timeline.exact_gravkick_factor(
+            self.CP, times.ti_kick[ti], times.ti_kick[ti] + dti // 2)
+        if ti < largest:
+            lower = dti_from_timebin(ti + 1)
+            gk -= self.timeline.exact_gravkick_factor(
+                self.CP, times.ti_kick[ti + 1],
+                times.ti_kick[ti + 1] + lower // 2)
+        p = self.particles
+        fac = jnp.where(jnp.asarray(sel) & p.mask, jnp.float32(gk), 0.0)
+        self.particles = dataclasses.replace(
+            p, vel=p.vel + accel * fac[:, None])
+
+    def _hier_second_half(self):
+        """Closing gravity kicks with per-level active-source trees
+        (hierarchical_gravity_accelerations, timestep.cpp:483-566)."""
+        largest = self._largest_active_bin()
+        active = np.asarray(self._active_mask())
+        tb = np.asarray(self.particles.timebin)
+        accel = None
+        last_count = -1
+        for ti in range(largest, max(self.times.mintimebin, 1) - 1,
+                        -1):
+            sel = active & (tb <= ti)
+            cnt = int(sel.sum())
+            if cnt == 0:
+                break
+            if cnt != last_count:
+                accel = self._active_source_accel(sel)
+                last_count = cnt
+            self._hier_grav_kick(sel, accel, ti, largest)
+            if ti == largest:
+                # the top-level (all-active) force is the stored one
+                # used for tree opening + timesteps next step
+                self.particles = dataclasses.replace(
+                    self.particles, grav_accel=accel)
+
+    def _hier_first_half(self, first_step: bool) -> int:
+        """Assign gravity timebins and do the opening kicks
+        (hierarchical_gravity_and_timesteps, timestep.cpp:307-480).
+        Returns the count of bad timesteps.
+
+        This round uses a single per-particle timebin (gravity and
+        hydro share it; the hydro Courant limit is folded in via min),
+        rather than the reference's fully split TimeBinGravity /
+        TimeBinHydro pair."""
+        times = self.times
+        is_pm = times.is_pm()
+        p = self.particles
+        atime = self.atime()
+        if is_pm:
+            asmth_internal = (self.gravity.asmth * self.boxsize
+                              / self.gravity.nmesh)
+            dloga_pm = long_range_dloga(
+                p.vel, p.mass, p.ptype, np.asarray(p.mask), atime,
+                self.CP, self.boxsize, asmth_internal, self.tsp)
+            dti = round_down_power_of_two(
+                self.timeline.dti_from_dloga(dloga_pm,
+                                             times.ti_current))
+            dti_max = (self.timeline.find_next_ti_sync(times.ti_current)
+                       - times.pm_kick)
+            times.pm_length = min(dti, dti_max)
+            times.pm_start = times.pm_kick
+
+        largest = self._largest_active_bin()
+        hubble = float(self.CP.hubble_function(atime))
+        accel_tot = p.grav_accel + p.grav_pm
+        dloga = gravity_dloga(accel_tot, atime, hubble,
+                              self.gravity.softening,
+                              self.tsp.ErrTolIntAccuracy)
+        if self.gas is not None:
+            from .core.integrate import hydro_dloga
+            ng = self.gas.ngas
+            dl_h = hydro_dloga(p.hsml[:ng], self.gas.max_signal_vel,
+                               self.gas.dt_hsml, atime, hubble,
+                               self.tsp.CourantFac)
+            is_gas = (p.ptype == 0)[:ng]
+            dloga = dloga.at[:ng].set(
+                jnp.where(is_gas, jnp.minimum(dloga[:ng], dl_h),
+                          dloga[:ng]))
+        oldacc = jnp.linalg.norm(accel_tot, axis=-1) / self.gravity.G
+        self.particles = dataclasses.replace(self.particles,
+                                             old_acc=oldacc)
+
+        active = np.asarray(self._active_mask())
+        if first_step:
+            active = np.asarray(p.mask)
+        newbins, bad = assign_timebins(
+            np.asarray(dloga), np.asarray(p.timebin),
+            active & np.asarray(p.mask), times, self.timeline,
+            self.tsp.MinSizeTimestep)
+        newbins = np.minimum(newbins, largest)
+
+        # push-down: on PM steps, collapse a sparse top bin into the
+        # one below so the top-level force need not be recomputed
+        if is_pm:
+            counts = np.bincount(
+                newbins[active & np.asarray(p.mask)],
+                minlength=TIMEBINS + 2)
+            push_down = largest
+            for ti in range(largest, 0, -1):
+                if counts[ti] // 3 <= counts[ti - 1]:
+                    push_down = ti - 1
+                    counts[ti - 1] += counts[ti]
+                else:
+                    break
+            if push_down != largest and push_down >= 1:
+                newbins = np.minimum(newbins, push_down)
+                largest = push_down
+        self.particles = dataclasses.replace(
+            self.particles,
+            timebin=jnp.asarray(newbins.astype(np.int8)))
+        occupied = newbins[np.asarray(p.mask)]
+        if occupied.size:
+            times.mintimebin = int(occupied.min())
+            times.maxtimebin = int(occupied.max())
+        if is_pm and times.pm_length < dti_from_timebin(
+                times.maxtimebin):
+            times.pm_length = dti_from_timebin(times.maxtimebin)
+
+        # opening kicks: top bin uses the stored (full/active) accel
+        tb = newbins
+        sel = active & np.asarray(self.particles.mask) & (tb <= largest)
+        if sel.any():
+            self._hier_grav_kick(sel, self.particles.grav_accel,
+                                 largest, largest)
+        accel = None
+        last_count = -1
+        for ti in range(largest - 1, 0, -1):
+            sel = active & np.asarray(self.particles.mask) \
+                & (tb <= ti)
+            cnt = int(sel.sum())
+            if cnt == 0:
+                times.mintimebin = max(times.mintimebin, ti + 1)
+                break
+            if cnt != last_count:
+                accel = self._active_source_accel(sel)
+                last_count = cnt
+            self._hier_grav_kick(sel, accel, ti, largest)
+        return bad
+
+    def _apply_half_kick(self, skip_grav: bool = False):
         gk, hk, dte = gravkick_tables(self.CP, self.timeline, self.times)
         p = self.particles
-        vel = _kick_tree(p.vel, p.grav_accel, p.timebin, gk, p.mask)
+        if skip_grav:
+            vel = p.vel
+        else:
+            vel = _kick_tree(p.vel, p.grav_accel, p.timebin, gk, p.mask)
         # hydro kick for gas rows (do_hydro_kick analog)
         if self.gas is not None:
             ng = self.gas.ngas
@@ -334,10 +511,17 @@ class Simulation:
                     self.init_gas_entropy()
             if is_pm:
                 self._compute_pm()
-            self._compute_tree(first_step=first)
+            if self.hierarchical:
+                if first:
+                    self._compute_tree(first_step=True)
+                else:
+                    # per-level active-source closing kicks
+                    self._hier_second_half()
+            else:
+                self._compute_tree(first_step=first)
 
             if not first:
-                self._apply_half_kick()
+                self._apply_half_kick(skip_grav=self.hierarchical)
             update_kick_times(times)
             if is_pm and not first:
                 self._apply_pm_half_kick()
@@ -381,11 +565,14 @@ class Simulation:
                     is None:
                 break
 
-            bad = self._find_timesteps(first_step=first)
+            if self.hierarchical:
+                bad = self._hier_first_half(first_step=first)
+            else:
+                bad = self._find_timesteps(first_step=first)
             if bad:
                 raise RuntimeError(f"{bad} bad timesteps at step "
                                    f"{self.step_count}")
-            self._apply_half_kick()
+            self._apply_half_kick(skip_grav=self.hierarchical)
             if is_pm:
                 self._apply_pm_half_kick()
             self.step_count += 1

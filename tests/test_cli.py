@@ -158,3 +158,39 @@ def test_snapshot_with_fof_and_stats(tmp_path):
         p = os.path.join(out, "output", fn)
         assert os.path.exists(p)
         assert len(open(p).read()) > 0
+
+
+@pytest.mark.slow
+def test_runtests_flag99(tmp_path):
+    """RestartFlag 99: the built-in gravity accuracy test passes on a
+    clustered snapshot (runtests.cpp analog; the reference runs this on
+    a developed snapshot, not a lattice, because lattice short-range
+    forces are pure cancellation noise)."""
+    from shenqi_tpu.io.snapshot import SnapshotHeader, write_snapshot
+    out = str(tmp_path)
+    box = 64000.0
+    rng = np.random.RandomState(5)
+    n = 1200
+    # clustered: gaussian blobs around random centers
+    ncl = 12
+    centers = rng.uniform(0, box, (ncl, 3))
+    pos = (centers[rng.randint(ncl, size=n)]
+           + rng.normal(0, box / 40, (n, 3))) % box
+    hdr = SnapshotHeader(
+        TotNumPart=np.array([0, n, 0, 0, 0, 0], np.uint64),
+        MassTable=np.array([0, 10.0, 0, 0, 0, 0]),
+        Time=0.5, BoxSize=box, Omega0=0.288, OmegaLambda=0.712,
+        OmegaBaryon=0.0472, HubbleParam=0.7)
+    icdir = os.path.join(out, "IC")
+    os.makedirs(icdir, exist_ok=True)
+    write_snapshot(os.path.join(icdir, "IC"), hdr, {1: {
+        "Position": pos,
+        "Velocity": np.zeros((n, 3), np.float32),
+        "ID": np.arange(1, n + 1, dtype=np.uint64)}})
+    pp = tmp_path / "paramfile.gadget"
+    pp.write_text(GADGET_PARAM.format(out=out))
+    res = run_gadget(str(pp), restart_flag=99)
+    m, mx = res["open_vs_pair"]
+    assert mx < 0.1
+    m2, _ = res["tree_vs_open"]
+    assert m2 < 0.05
