@@ -65,6 +65,17 @@ def run_genic(paramfile: str, strict: bool = False) -> str:
                     input_power_redshift=ps.get_double(
                         "InputPowerRedshift"),
                     time_ic=time_ic)
+    # per-species transfer functions (libgenic/power.c
+    # DifferentTransferFunctions): CDM/baryon displacements use
+    # species transfer ratios and scale-dependent velocities
+    difftrans = ps.get_int("DifferentTransferFunctions")
+    if difftrans:
+        tf = ps.get_string("FileWithTransferFunction")
+        if tf:
+            power.load_transfer(tf, time_ic)
+            sdv = ps.get_int("ScaleDepVelocity")
+            power.scale_dep_velocity = bool(
+                sdv if sdv >= 0 else difftrans)
 
     g_k = gaussian_field(seed, nmesh,
                          unitary=bool(ps.get_int("UnitaryAmplitude")),
@@ -83,10 +94,16 @@ def run_genic(paramfile: str, strict: bool = False) -> str:
         lattice_gas, ids_gas = setup_grid(ngrid, boxsize,
                                           id_offset=ngrid ** 3 + 1,
                                           shift_frac=0.0)
+        from ..cosmology.power import DELTA_CB, DELTA_BAR, DELTA_TOT
+        t_dm = DELTA_CB if (difftrans and power.transfer_ratio) \
+            else DELTA_TOT
+        t_gas = DELTA_BAR if (difftrans and power.transfer_ratio) \
+            else DELTA_TOT
         res_dm = displacement_fields(g_k, power, cp, lattice_dm, boxsize,
-                                     time_ic, use_peculiar=use_peculiar)
+                                     time_ic, ttype=t_dm,
+                                     use_peculiar=use_peculiar)
         res_gas = displacement_fields(g_k, power, cp, lattice_gas,
-                                      boxsize, time_ic,
+                                      boxsize, time_ic, ttype=t_gas,
                                       use_peculiar=use_peculiar)
         species.append((1, res_dm.pos, res_dm.vel, ids_dm, mass_dm))
         species.append((0, res_gas.pos, res_gas.vel, ids_gas, mass_gas))

@@ -194,3 +194,34 @@ def test_runtests_flag99(tmp_path):
     assert mx < 0.1
     m2, _ = res["tree_vs_open"]
     assert m2 < 0.05
+
+
+@pytest.mark.slow
+def test_genic_different_transfer(tmp_path):
+    """DifferentTransferFunctions: baryon and CDM displacement fields
+    differ (baryon transfer is suppressed below the CDM one at high k)
+    while total mass and layout stay correct."""
+    out = str(tmp_path)
+    base = GENIC_PARAM.format(out=out).replace("Ngrid = 12",
+                                               "Ngrid = 8")
+    base = base.replace("ProduceGas = 0", "ProduceGas = 1")
+    base = base.replace(
+        "DifferentTransferFunctions = 0",
+        "DifferentTransferFunctions = 1\n"
+        "FileWithTransferFunction = "
+        "/root/reference/examples/class_tk_99.dat\n"
+        "FileWithInputSpectrum = "
+        "/root/reference/examples/class_pk_99.dat")
+    base = base.replace("Redshift = 9", "Redshift = 99")
+    gp = tmp_path / "paramfile.genic"
+    gp.write_text(base)
+    icpath = run_genic(str(gp))
+    hdr, blocks = read_snapshot(icpath)
+    assert len(blocks[0]["Position"]) == 8 ** 3
+    assert len(blocks[1]["Position"]) == 8 ** 3
+    # species fields must differ (distinct transfer functions) but
+    # remain the same order of magnitude
+    v0 = np.linalg.norm(blocks[0]["Velocity"], axis=1)
+    v1 = np.linalg.norm(blocks[1]["Velocity"], axis=1)
+    assert not np.allclose(v0, v1)
+    assert 0.3 < np.median(v0) / np.median(v1) < 3.0
