@@ -374,13 +374,20 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
 
     # per-step statistics: energy.txt, sfr.txt, cpu.txt
     from ..utils.walltime import Walltime
-    from ..utils.stats import energy_statistics, sfr_statistics
+    from ..utils.stats import (energy_statistics, sfr_statistics,
+                               blackhole_statistics, bh_details)
     wt = Walltime()
     fd_energy = open(os.path.join(outdir,
                                   ps.get_string("EnergyFile")), "a")
     fd_cpu = open(os.path.join(outdir, ps.get_string("CpuFile")), "a")
     fd_sfr = (open(os.path.join(outdir, "sfr.txt"), "a")
               if has_gas and ps.get_int("StarformationOn") else None)
+    bh_on = has_gas and ps.get_int("BlackHoleOn")
+    fd_bh = (open(os.path.join(outdir, "blackholes.txt"), "a")
+             if bh_on else None)
+    fd_bhdet = (open(os.path.join(
+        outdir, "BlackholeDetails.bin"), "ab")
+        if bh_on and ps.get_int("WriteBlackHoleDetails") else None)
 
     def on_step(s):
         a = s.atime()
@@ -389,6 +396,23 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
         if fd_sfr is not None and s.gas is not None:
             total_sfr = float(np.asarray(s.gas.sfr).sum())
             sfr_statistics(fd_sfr, a, 0.0, total_sfr, 0.0)
+        if fd_bh is not None and s.gas is not None:
+            ng = s.gas.ngas
+            p = s.particles
+            alive_bh = (np.asarray(p.mask[:ng])
+                        & (np.asarray(p.ptype[:ng]) == 5))
+            blackhole_statistics(fd_bh, a, s.gas.bh_mass,
+                                 s.gas.bh_mdot, alive_bh, units)
+            if fd_bhdet is not None and alive_bh.any():
+                from ..core.particles import ipos_to_float
+                ids64 = ((np.asarray(p.id_hi[:ng]).astype(np.uint64)
+                          << np.uint64(32))
+                         | np.asarray(p.id_lo[:ng]).astype(np.uint64))
+                bh_details(fd_bhdet, a, ids64, s.gas.bh_mass,
+                           s.gas.bh_mdot, s.gas.density,
+                           np.asarray(ipos_to_float(p.ipos[:ng],
+                                                    boxsize)),
+                           np.asarray(p.vel[:ng]), alive_bh)
         wt.write_cpu_log(fd_cpu, a)
         wt.reset_step()
 
@@ -396,8 +420,9 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
     sim.run(max_steps=max_steps)
     for f in (fd_energy, fd_cpu):
         f.close()
-    if fd_sfr:
-        fd_sfr.close()
+    for f in (fd_sfr, fd_bh, fd_bhdet):
+        if f:
+            f.close()
     return sim
 
 

@@ -47,3 +47,51 @@ def sfr_statistics(fd, atime, total_sm, total_sfr, dtime):
     total SFR (Msun/yr), actual mass formed (sfr.txt layout)."""
     fd.write(f"{atime:g} {total_sm:g} {total_sfr:g} {dtime:g}\n")
     fd.flush()
+
+
+def blackhole_statistics(fd, atime, bh_mass, bh_mdot, alive, units):
+    """Append one line to blackholes.txt: time, N_bh, total subgrid
+    mass, total Mdot (internal), Mdot in Msun/yr, mean Eddington ratio
+    (bhinfo.cpp write_blackhole_txt layout)."""
+    from .constants import (GRAVITY, LIGHTCGS, PROTONMASS, THOMPSON,
+                            SOLAR_MASS, SEC_PER_YEAR)
+    m = np.asarray(bh_mass)
+    md = np.asarray(bh_mdot)
+    sel = np.asarray(alive) & (m > 0)
+    nbh = int(sel.sum())
+    mtot = float(m[sel].sum())
+    mdot = float(md[sel].sum())
+    medd = float((md[sel] / np.maximum(m[sel], 1e-35)).sum())
+    mdot_msun_yr = mdot * (units.UnitMass_in_g / SOLAR_MASS) \
+        / (units.UnitTime_in_s / SEC_PER_YEAR)
+    medd /= ((4 * np.pi * GRAVITY * LIGHTCGS * PROTONMASS
+              / (0.1 * LIGHTCGS ** 2 * THOMPSON))
+             * units.UnitTime_in_s)
+    fd.write(f"{atime:g} {nbh} {mtot:g} {mdot:g} {mdot_msun_yr:g} "
+             f"{medd:g}\n")
+    fd.flush()
+
+
+def bh_details(fd, atime, ids, bh_mass, bh_mdot, density, pos, vel,
+               alive):
+    """Append per-BH binary detail records (bhinfo.cpp
+    collect_BH_info analog, simplified fixed layout:
+    [u8 id, f8 time, f4 mass, f4 mdot, f4 density, 3f4 pos, 3f4 vel])."""
+    sel = np.asarray(alive) & (np.asarray(bh_mass) > 0)
+    idx = np.nonzero(sel)[0]
+    if idx.size == 0:
+        return 0
+    rec = np.zeros(idx.size, dtype=[
+        ("ID", "<u8"), ("Time", "<f8"), ("Mass", "<f4"),
+        ("Mdot", "<f4"), ("Density", "<f4"), ("Pos", "<f4", 3),
+        ("Vel", "<f4", 3)])
+    rec["ID"] = np.asarray(ids)[idx]
+    rec["Time"] = atime
+    rec["Mass"] = np.asarray(bh_mass)[idx]
+    rec["Mdot"] = np.asarray(bh_mdot)[idx]
+    rec["Density"] = np.asarray(density)[idx]
+    rec["Pos"] = np.asarray(pos)[idx]
+    rec["Vel"] = np.asarray(vel)[idx]
+    rec.tofile(fd)
+    fd.flush()
+    return idx.size

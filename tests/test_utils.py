@@ -69,3 +69,37 @@ def test_hci_auto_checkpoint(tmp_path):
     assert h.query() == HCI_AUTO_CHECKPOINT
     h.override_now(70.0)
     assert h.query() == HCI_NO_ACTION
+
+
+def test_blackhole_statistics(tmp_path):
+    """blackholes.txt line + binary BH details roundtrip."""
+    import io
+    from shenqi_tpu.utils.stats import blackhole_statistics, bh_details
+    from shenqi_tpu.utils.units import default_units
+    units = default_units()
+    buf = io.StringIO()
+    bh_mass = np.array([1e-4, 0.0, 5e-4], np.float32)
+    bh_mdot = np.array([1e-6, 0.0, 2e-6], np.float32)
+    alive = np.array([True, True, True])
+    blackhole_statistics(buf, 0.5, bh_mass, bh_mdot, alive, units)
+    parts = buf.getvalue().split()
+    assert int(parts[1]) == 2                       # two live BHs
+    assert float(parts[2]) == pytest.approx(6e-4, rel=1e-5)
+    assert float(parts[3]) == pytest.approx(3e-6, rel=1e-5)
+    assert float(parts[4]) > 0 and float(parts[5]) > 0
+
+    fn = tmp_path / "bhdet.bin"
+    with open(fn, "wb") as f:
+        n = bh_details(f, 0.5, np.array([7, 8, 9], np.uint64),
+                       bh_mass, bh_mdot,
+                       np.array([1e-8, 0, 2e-8], np.float32),
+                       np.zeros((3, 3), np.float32),
+                       np.ones((3, 3), np.float32), alive)
+    assert n == 2
+    rec = np.fromfile(fn, dtype=[
+        ("ID", "<u8"), ("Time", "<f8"), ("Mass", "<f4"),
+        ("Mdot", "<f4"), ("Density", "<f4"), ("Pos", "<f4", 3),
+        ("Vel", "<f4", 3)])
+    assert list(rec["ID"]) == [7, 9]
+    assert rec["Time"][0] == 0.5
+    assert rec["Mass"][1] == pytest.approx(5e-4)
