@@ -140,8 +140,9 @@ def _run_stage(stage: str, timeout_s: int, extra_env=None):
             for line in out.stdout.splitlines():
                 if line.startswith("STAGE_RESULT "):
                     return float(line.split()[1])
+            print(out.stderr[-2000:], file=sys.stderr)
         except subprocess.TimeoutExpired:
-            pass
+            print(f"# stage {stage} timed out", file=sys.stderr)
         print(f"# stage {stage} attempt {attempt} failed",
               file=sys.stderr)
     return None

@@ -137,6 +137,73 @@ def winds_subgrid_step(key, vel3, entropy, density, delay_time, mass,
     return WindResult(vel_new, ent_new, delay_new)
 
 
+def winds_star_feedback(key, star_ipos, star_hsml, star_mass,
+                        star_vdisp, gas_ipos, gas_mass, gas_vel,
+                        gas_entropy, gas_density, gas_delay,
+                        gas_alive, boxsize, atime, a3inv,
+                        wp: WindParams):
+    """Non-subgrid winds: new stars kick neighbouring gas
+    (sfr_wind_feedback_ngbiter, winds.cpp:514-566).
+
+    Two passes over the dense [Ngas x Nstar] pair grid (new stars per
+    step are few): (1) total eligible gas mass within each star's
+    Hsml (wk=1 weighting, VS08); (2) per pair, kick probability
+    p = windeff * M_star / TotalWeight; a gas particle hit by several
+    stars takes the NEAREST one (the reference's post-walk kick
+    arbitration).  Kicked gas gains an isotropic random velocity of
+    magnitude v, thermal energy utherm, and a decoupling delay time.
+
+    Returns (vel, entropy, delay_time) updated arrays.
+    """
+    import jax
+    from ..core.particles import POS_SCALE
+    ns = star_ipos.shape[0]
+    ng = gas_ipos.shape[0]
+    if ns == 0:
+        return gas_vel, gas_entropy, gas_delay
+    to_f = jnp.float32(boxsize / POS_SCALE)
+    dist = (gas_ipos[:, None, :] - star_ipos[None, :, :]).astype(
+        jnp.int32).astype(jnp.float32) * to_f
+    r2 = jnp.sum(dist * dist, axis=-1)                  # [Ng, Ns]
+    eligible = gas_alive & (gas_delay <= 0)
+    inside = (r2 < (star_hsml[None, :]) ** 2) & eligible[:, None]
+
+    total_weight = jnp.sum(
+        jnp.where(inside, gas_mass[:, None], 0.0), axis=0)  # [Ns]
+    v, windeff, utherm = wind_params_for(star_vdisp, atime, wp)
+
+    p = jnp.where(inside & (total_weight[None, :] > 0) & (v[None, :]
+                                                          > 0),
+                  windeff[None, :] * star_mass[None, :]
+                  / jnp.maximum(total_weight[None, :], 1e-35), 0.0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    hit = jax.random.uniform(k1, (ng, ns)) < p
+    # nearest hitting star per gas particle
+    r2m = jnp.where(hit, r2, jnp.inf)
+    best = jnp.argmin(r2m, axis=1)
+    kicked = jnp.any(hit, axis=1)
+    vkick = v[best]
+    ukick = utherm[best]
+
+    theta = jnp.arccos(2 * jax.random.uniform(k2, (ng,)) - 1)
+    phi = 2 * jnp.pi * jax.random.uniform(k3, (ng,))
+    direc = jnp.stack([jnp.sin(theta) * jnp.cos(phi),
+                       jnp.sin(theta) * jnp.sin(phi),
+                       jnp.cos(theta)], -1)
+    kickedf = kicked.astype(jnp.float32)
+    vel = gas_vel + (kickedf * vkick)[:, None] * direc
+    enttou = jnp.maximum(gas_density * a3inv, 1e-35) ** GAMMA_MINUS1 \
+        / GAMMA_MINUS1
+    entropy = gas_entropy + jnp.where(kicked, ukick / enttou, 0.0)
+    if ever_decouple(wp):
+        delay = jnp.minimum(
+            wp.WindFreeTravelLength
+            / jnp.maximum(vkick / atime, 1e-35),
+            wp.MaxWindFreeTravelTime)
+        gas_delay = jnp.where(kicked, delay, gas_delay)
+    return vel, entropy, gas_delay
+
+
 def winds_decay(delay_time, density, a3inv, dtime, wp: WindParams):
     """Advance decoupling clocks; recouple when diffuse
     (winds_decoupled_hydro semantics)."""

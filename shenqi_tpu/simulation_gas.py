@@ -290,20 +290,38 @@ class GasPhysics:
             nstars = self._convert_stars(sim, gas, res, atime)
 
             if self.winds_on and self.windpar:
-                sm = res.sfr * dtime / jnp.maximum(
-                    self.sfrpar.UnitSfr_in_solar_per_year, 1e-35)
-                wres = winds_subgrid_step(
-                    self.next_key(), sim.particles.vel[:ng],
-                    gas.entropy, gas.density, gas.delay_time,
-                    sim.particles.mass[:ng], sm, gas.vdisp, atime,
-                    a3inv, self.windpar,
-                    eligible=gas_alive & res.form_star)
-                vel_new = sim.particles.vel.at[:ng].set(wres.vel)
+                from .physics.winds import (WIND_SUBGRID,
+                                            winds_star_feedback)
+                if self.windpar.has(WIND_SUBGRID):
+                    sm = res.sfr * dtime / jnp.maximum(
+                        self.sfrpar.UnitSfr_in_solar_per_year, 1e-35)
+                    wres = winds_subgrid_step(
+                        self.next_key(), sim.particles.vel[:ng],
+                        gas.entropy, gas.density, gas.delay_time,
+                        sim.particles.mass[:ng], sm, gas.vdisp, atime,
+                        a3inv, self.windpar,
+                        eligible=gas_alive & res.form_star)
+                    vel3, ent, delay0 = (wres.vel, wres.entropy,
+                                         wres.delay_time)
+                else:
+                    # non-subgrid: new stars kick their gas
+                    # neighbours (sfr_wind_feedback)
+                    sidx = np.nonzero(np.asarray(res.form_star))[0]
+                    p2 = sim.particles
+                    vel3, ent, delay0 = winds_star_feedback(
+                        self.next_key(), p2.ipos[sidx],
+                        jnp.maximum(p2.hsml[sidx], 1e-3),
+                        p2.mass[sidx], gas.vdisp[sidx],
+                        p2.ipos[:ng], p2.mass[:ng], p2.vel[:ng],
+                        gas.entropy, gas.density, gas.delay_time,
+                        gas_alive & ~res.form_star, sim.boxsize,
+                        atime, a3inv, self.windpar)
+                vel_new = sim.particles.vel.at[:ng].set(vel3)
                 sim.particles = dataclasses.replace(sim.particles,
                                                     vel=vel_new)
-                delay = winds_decay(wres.delay_time, gas.density,
+                delay = winds_decay(delay0, gas.density,
                                     a3inv, dtime, self.windpar)
-                gas = dataclasses.replace(gas, entropy=wres.entropy,
+                gas = dataclasses.replace(gas, entropy=ent,
                                           delay_time=delay)
             return gas, nstars
         elif self.cooling_on:

@@ -134,3 +134,62 @@ def test_bh_environment_and_feedback():
     assert total == pytest.approx(1e-3, rel=1e-3)
     # only particles inside the kernel heated
     assert (du[~inside] == 0).all()
+
+
+def test_winds_star_feedback():
+    """Non-subgrid winds: neighbours of new stars get kicked with the
+    expected mass loading; distant gas untouched; decoupling set."""
+    import jax
+    from shenqi_tpu.physics.winds import (WindParams, WIND_MODEL_OFJT10,
+                                          winds_star_feedback,
+                                          wind_params_for)
+    box = 20000.0
+    rng = np.random.RandomState(0)
+    ngas = 3000
+    # half the gas near the star, half far away
+    near = (np.full((ngas // 2, 3), box / 2)
+            + rng.uniform(-300, 300, (ngas // 2, 3)))
+    far = rng.uniform(0, box / 4, (ngas // 2, 3))
+    gas_pos = np.vstack([near, far])
+    gas_ipos = jnp.asarray(float_to_ipos(gas_pos % box, box))
+    gmass = jnp.full(ngas, 0.01, jnp.float32)
+    gvel = jnp.zeros((ngas, 3), jnp.float32)
+    gent = jnp.full(ngas, 100.0, jnp.float32)
+    gdens = jnp.full(ngas, 1e-8, jnp.float32)
+    gdelay = jnp.zeros(ngas, jnp.float32)
+    alive = jnp.ones(ngas, bool)
+
+    star_ipos = jnp.asarray(float_to_ipos(
+        np.array([[box / 2] * 3]), box))
+    hsml = jnp.asarray([400.0])
+    smass = jnp.asarray([0.01])
+    vdisp = jnp.asarray([120.0])
+    wp = WindParams(WindModel=WIND_MODEL_OFJT10, WindSigma0=353.0,
+                    WindSpeedFactor=3.7, WindFreeTravelLength=20.0,
+                    MaxWindFreeTravelTime=10.0,
+                    WindFreeTravelDensThresh=1e-12)
+    atime = 0.5
+    kicked_counts = []
+    for seed in range(20):
+        vel, ent, delay = winds_star_feedback(
+            jax.random.PRNGKey(seed), star_ipos, hsml, smass, vdisp,
+            gas_ipos, gmass, gvel, gent, gdens, gdelay, alive, box,
+            atime, 1 / atime ** 3, wp)
+        kicked = np.asarray(np.linalg.norm(np.asarray(vel), axis=1)
+                            > 1e-6)
+        kicked_counts.append(kicked.sum())
+        # only near-gas is kicked
+        assert not kicked[ngas // 2:].any()
+        if kicked.any():
+            v, eff, ut = wind_params_for(vdisp, atime, wp)
+            vk = np.linalg.norm(np.asarray(vel)[kicked], axis=1)
+            assert np.allclose(vk, float(v[0]), rtol=1e-4)
+            # decoupling delay set
+            assert (np.asarray(delay)[kicked] > 0).all()
+            assert (np.asarray(ent)[kicked] >= 100.0).all()
+    # expected number of kicks: eff * M_star / TotalWeight * N_inside
+    v, eff, ut = wind_params_for(vdisp, atime, wp)
+    d = np.linalg.norm(near - box / 2, axis=1)
+    n_in = (d < 400.0).sum()
+    expect = float(eff[0]) * 0.01 / (n_in * 0.01) * n_in
+    assert np.mean(kicked_counts) == pytest.approx(expect, rel=0.4)
