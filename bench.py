@@ -99,7 +99,12 @@ def bench_treepm(npart_side, nsteps, box=50000.0):
                           G=43007.1)
     nlevels = int(os.environ.get("BENCH_TREE_LEVELS", 6))
     maxi = int(os.environ.get("BENCH_MAXI", 1024))
-    maxl = int(os.environ.get("BENCH_MAXL", 512))
+    maxl = int(os.environ.get("BENCH_MAXL", 1024))
+    # small boxes need small Morton blocks: a 128-particle run at
+    # 32^3 spans a quarter of the box, and with the rcut halo its
+    # interaction list degenerates to most of the volume
+    blk = int(os.environ.get("BENCH_BLOCK",
+                             32 if npart_side <= 32 else 128))
 
     def step(ipos, vel, mass, kick, drift):
         accel_pm, _, _ = pm_forces(ipos, mass, cfg,
@@ -107,8 +112,8 @@ def bench_treepm(npart_side, nsteps, box=50000.0):
         tree = build_octree(ipos, mass, mass > 0, box,
                             nlevels=nlevels, ncrit=32)
         acc_tree, _, _ = treegrav_blocked(
-            tree, jnp.zeros(n, jnp.float32), sp, None, maxi=maxi,
-            maxl=maxl, ncrit=32)
+            tree, jnp.zeros(n, jnp.float32), sp, None, block=blk,
+            maxi=maxi, maxl=maxl, ncrit=32)
         vel = vel + (accel_pm + acc_tree) * kick
         dx = vel * drift * jnp.float32(POS_SCALE / box)
         ipos = ipos + dx.astype(jnp.int32).astype(jnp.uint32)

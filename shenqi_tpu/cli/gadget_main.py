@@ -236,6 +236,95 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
                              sfrpar.PhysDensThresh, units.UnitTime_in_s)
         kern = {0: "cubic", 1: "quintic", 2: "quartic"}[
             ps.get_enum("DensityKernelType")]
+
+        # metal return (metal_return.cpp)
+        metals = None
+        if ps.get_int("MetalReturnOn"):
+            from ..physics.metal_return import MetalReturn
+            ydir = ps.get_string("MetalYieldDir") or os.path.join(
+                os.path.dirname(os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__)))),
+                "data_yields")
+            metals = MetalReturn.load(ydir)
+
+        # fluctuating UVB tables (cooling_uvfluc.cpp)
+        zreion_table = None
+        uvf = ps.get_string("UVFluctuationFile")
+        if uvf:
+            from ..physics.uv_fluctuations import ZreionTable
+            zreion_table = ZreionTable.load(uvf, boxsize,
+                                            units.UnitLength_in_cm)
+        metal_cool = None
+        mcf = ps.get_string("MetalCoolFile")
+        if mcf and ps.get_int("MetalCoolingOn"):
+            from ..physics.uv_fluctuations import MetalCoolingTable
+            metal_cool = MetalCoolingTable.load(mcf)
+
+        # QSO helium reionization (cooling_qso_lightup.cpp)
+        helium = None
+        if (ps.get_int("QSOLightupOn")
+                or ps.get_int("HeliumReionizationOn")):
+            rhf = ps.get_string("ReionHistFile")
+            if rhf:
+                from ..physics.helium_reion import (HeliumReion,
+                                                    QSOLightupParams)
+                helium = HeliumReion.load(rhf, QSOLightupParams(
+                    qso_candidate_min_mass=ps.get_double("QSOMinMass"),
+                    qso_candidate_max_mass=ps.get_double("QSOMaxMass"),
+                    mean_bubble=ps.get_double("QSOMeanBubble"),
+                    var_bubble=max(ps.get_double("QSOVarBubble"),
+                                   1e-10)))
+
+        # excursion-set reionization (uvbg.cpp)
+        excursion = None
+        j21c = None
+        if ps.get_int("ExcursionSetReionOn"):
+            from ..physics.excursion import ExcursionSetParams
+            from ..physics.uv_fluctuations import J21Coeffs
+            excursion = ExcursionSetParams(
+                UVBGdim=ps.get_int("UVBGdim"),
+                ReionRBubbleMax=ps.get_double("ReionRBubbleMax"),
+                ReionRBubbleMin=ps.get_double("ReionRBubbleMin"),
+                ReionDeltaRFactor=ps.get_double("ReionDeltaRFactor"),
+                ReionFilterType=ps.get_int("ReionFilterType"),
+                RtoMFilterType=ps.get_int("RtoMFilterType"),
+                ReionNionPhotPerBary=ps.get_double(
+                    "ReionNionPhotPerBary"),
+                AlphaUV=ps.get_double("AlphaUV"),
+                EscapeFractionNorm=ps.get_double("EscapeFractionNorm"),
+                EscapeFractionScaling=ps.get_double(
+                    "EscapeFractionScaling"),
+                ReionUseParticleSFR=ps.get_int("ReionUseParticleSFR"),
+                ReionSFRTimescale=ps.get_double("ReionSFRTimescale"))
+            jcf = ps.get_string("J21CoeffFile")
+            if jcf:
+                j21c = J21Coeffs.load(jcf)
+
+        # black holes (blackhole.cpp)
+        bhpar = None
+        bh_on = bool(ps.get_int("BlackHoleOn"))
+        if bh_on:
+            from ..physics.blackhole import BHParams
+            bhpar = BHParams(
+                BlackHoleAccretionFactor=ps.get_double(
+                    "BlackHoleAccretionFactor"),
+                BlackHoleEddingtonFactor=ps.get_double(
+                    "BlackHoleEddingtonFactor"),
+                BlackHoleFeedbackFactor=ps.get_double(
+                    "BlackHoleFeedbackFactor"),
+                SeedBlackHoleMass=ps.get_double("SeedBlackHoleMass"),
+                SeedBHDynMass=ps.get_double("SeedBHDynMass"),
+                MinFoFMassForNewSeed=ps.get_double(
+                    "MinFoFMassForNewSeed"),
+                MinMStarForNewSeed=ps.get_double("MinMStarForNewSeed"),
+                BlackHoleNgbFactor=ps.get_double("BlackHoleNgbFactor"),
+                BlackHoleMaxAccretionRadius=ps.get_double(
+                    "BlackHoleMaxAccretionRadius"),
+                UnitTime_in_s=units.UnitTime_in_s,
+                UnitVelocity_in_cm_per_s=(
+                    units.UnitVelocity_in_cm_per_s),
+                HubbleParam=cp.HubbleParam)
+
         gp = GasPhysics(
             cooling_on=cooling_on, sfr_on=sfr_on, winds_on=winds_on,
             density_independent_sph=bool(
@@ -246,7 +335,13 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
             density_contrast_limit=ps.get_double(
                 "DensityContrastLimit"),
             kernel=KERNELS[kern], coolpar=coolpar, treecool=treecool,
-            sfrpar=sfrpar, windpar=windpar, coolunits=cu)
+            sfrpar=sfrpar, windpar=windpar, coolunits=cu,
+            metal_return_on=bool(ps.get_int("MetalReturnOn")),
+            metals=metals, bh_on=bh_on, bhpar=bhpar,
+            zreion_table=zreion_table, metal_cool=metal_cool,
+            helium=helium, excursion=excursion, j21_coeffs=j21c,
+            excursion_zstop=ps.get_double("ExcursionSetZStop"),
+            units=units)
         # initial gas temperature -> specific internal energy
         init_temp = ps.get_double("InitGasTemp")
         if init_temp < 0:
@@ -269,6 +364,28 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
         sim = Simulation.from_arrays(pos, vel, mass, ids, cp, boxsize,
                                      nmesh, timeline, atime, tsp=tsp,
                                      gravity_kw=gravity_kw)
+
+    sim.hierarchical = bool(ps.get_int("SplitGravityTimestepsOn")
+                            or ps.get_int("HierarchicalGravity"))
+
+    # lightcone output collected during drifts (lightcone.cpp)
+    lightcone = None
+    if ps.get_int("LightconeOn"):
+        from ..physics.lightcone import Lightcone
+        lightcone = Lightcone(CP=cp, boxsize=boxsize,
+                              unit_velocity=(
+                                  units.UnitVelocity_in_cm_per_s))
+
+        def on_drift(s, a0, a1):
+            p = s.particles
+            ids64 = ((np.asarray(p.id_hi).astype(np.uint64)
+                      << np.uint64(32))
+                     | np.asarray(p.id_lo).astype(np.uint64))
+            lightcone.compute(a0, a1, np.asarray(p.ipos),
+                              np.asarray(p.vel), ids64,
+                              np.asarray(p.mask))
+        sim.on_drift = on_drift
+
     snap_counter = [0]
     base = ps.get_string("SnapshotFileBase")
 
@@ -370,6 +487,57 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
                                atime=a)
         print(f"FOF at a={a:g}: {groups.ngroups} groups -> {pig}")
 
+        # FOF-cadence physics: BH seeding, HeIII bubbles, excursion
+        # halo masses (run.cpp FOF block ordering)
+        if s.gas is not None and s.gas_physics is not None:
+            gpx = s.gas_physics
+            gid = groups.group_id
+            halo_mass = np.zeros(p.n, np.float32)
+            ing = gid > 0
+            if groups.ngroups:
+                halo_mass[ing] = groups.masses[gid[ing] - 1]
+            s.halo_mass = _jnp.asarray(halo_mass)
+            if gpx.bh_on and gpx.bhpar is not None \
+                    and groups.ngroups:
+                from ..physics.blackhole import seed_black_holes
+                to_seed = seed_black_holes(
+                    groups, groups.mass_by_type[:, 4],
+                    groups.length_by_type[:, 5], gpx.bhpar)
+                rows = []
+                dens = np.asarray(s.gas.density)
+                ngc = s.gas.ngas
+                is_gas = (np.asarray(p.ptype[:ngc]) == 0) \
+                    & np.asarray(p.mask[:ngc])
+                for gi in to_seed:
+                    cand = np.nonzero((gid[:ngc] == gi + 1)
+                                      & is_gas)[0]
+                    if cand.size:
+                        rows.append(int(cand[np.argmax(dens[cand])]))
+                if rows:
+                    s.gas = gpx.seed_bh(s, s.gas, rows)
+                    print(f"Seeded {len(rows)} black holes")
+            if gpx.helium is not None and groups.ngroups:
+                s.gas = gpx.helium_step(s, s.gas, groups.masses,
+                                        groups.cm)
+
+        # lensing potential planes at snapshot times (plane.cpp)
+        if ps.get_int("WritePlaneOn"):
+            from ..physics.plane import PlaneParams, write_planes
+            cuts = [float(x) for x in ps.get_string(
+                "PlaneCutPoints").split(",") if x.strip()]
+            normals = [int(x) for x in ps.get_string(
+                "PlaneNormals").split(",") if x.strip()]
+            par = PlaneParams(
+                Resolution=ps.get_int("PlaneResolution"),
+                Thickness=ps.get_double("PlaneThickness"),
+                CutPoints=cuts, Normals=normals or [0, 1, 2])
+            posd = (np.asarray(p.ipos, np.float64)
+                    * (boxsize / 2 ** 32))
+            write_planes(snap_counter[0] - 1, a, cp, posd,
+                         np.asarray(p.mask), boxsize, outdir,
+                         units.UnitVelocity_in_cm_per_s,
+                         units.UnitLength_in_cm, par)
+
     sim.on_snapshot = on_snapshot_with_fof
 
     # per-step statistics: energy.txt, sfr.txt, cpu.txt
@@ -418,6 +586,9 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
 
     sim.on_step = on_step
     sim.run(max_steps=max_steps)
+    if lightcone is not None:
+        lc_path = lightcone.save(os.path.join(outdir, "LIGHTCONE"))
+        print(f"Lightcone -> {lc_path}")
     for f in (fd_energy, fd_cpu):
         f.close()
     for f in (fd_sfr, fd_bh, fd_bhdet):

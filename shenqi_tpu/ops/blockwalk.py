@@ -85,13 +85,13 @@ def block_traverse(tree: Octree, bb_lo, bb_hi, block_radius, block_aold,
             dcell = jnp.maximum(dbox - 0.5 * length, 0.0)
 
             if mode == "gravity":
-                # discard: whole block beyond rcut of this node
-                # (reference: |center-pos| > rcut + len/2 in any dim and
-                #  r2 > rcut2; conservative block version)
+                # discard: no pair between the block bbox and any
+                # particle inside the node cube can be within rcut
+                # (box-to-box minimum distance; tighter and safe,
+                # unlike a per-dim-only test which leaks diagonals)
                 dmin_com = _bbox_dist(lo, hi, cofm, boxsize)
                 r2min = jnp.sum(dmin_com ** 2)
-                eff = rcut + 0.5 * length
-                discard = (r2min > rcut * rcut) & jnp.any(dbox > eff)
+                discard = jnp.sum(dcell ** 2) > rcut * rcut
 
                 # conservative opening: any target might open
                 open_acc = (use_bh == 0) & (

@@ -80,6 +80,7 @@ class Simulation:
     _accel_tree: jax.Array = None
     on_snapshot: object = None   # callback(sim, atime)
     on_step: object = None       # callback(sim) at end of each step
+    on_drift: object = None      # callback(sim, a0, a1) after drifts
     gas: object = None           # GasState (simulation_gas.py)
     gas_physics: object = None   # GasPhysics
 
@@ -183,6 +184,7 @@ class Simulation:
         return self.timeline.atime_from_ti(self.times.ti_current)
 
     def _drift_all(self, ti_next: int):
+        a0 = self.atime()
         fac = self.timeline.exact_drift_factor(self.CP,
                                                self.times.ti_current,
                                                ti_next)
@@ -191,6 +193,9 @@ class Simulation:
             ipos=_drift(self.particles.ipos, self.particles.vel,
                         self.particles.mask, jnp.float32(fac),
                         jnp.float32(POS_SCALE / self.boxsize)))
+        if self.on_drift is not None:
+            self.on_drift(self, a0,
+                          self.timeline.atime_from_ti(ti_next))
         self.times.ti_current = ti_next
         for b in range(TIMEBINS + 1):
             if is_timebin_active(b, ti_next):

@@ -11,7 +11,7 @@ from shenqi_tpu.physics.metal_return import (
 from shenqi_tpu.physics.blackhole import bh_gas_environment
 from shenqi_tpu.core.particles import float_to_ipos
 
-YIELD_DIR = "/root/reference/yield_data"
+YIELD_DIR = "/root/repo/data_yields"
 
 
 def test_imf_properties():

@@ -15,7 +15,7 @@ from shenqi_tpu.simulation import Simulation
 from shenqi_tpu.simulation_gas import GasPhysics
 from shenqi_tpu.physics.metal_return import MetalReturn
 
-YIELD_DIR = "/root/reference/yield_data"
+YIELD_DIR = "/root/repo/data_yields"
 BOX = 20000.0
 N = 6
 
