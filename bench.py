@@ -99,12 +99,8 @@ def bench_treepm(npart_side, nsteps, box=50000.0):
                           G=43007.1)
     nlevels = int(os.environ.get("BENCH_TREE_LEVELS", 6))
     maxi = int(os.environ.get("BENCH_MAXI", 1024))
-    maxl = int(os.environ.get("BENCH_MAXL", 1024))
-    # small boxes need small Morton blocks: a 128-particle run at
-    # 32^3 spans a quarter of the box, and with the rcut halo its
-    # interaction list degenerates to most of the volume
-    blk = int(os.environ.get("BENCH_BLOCK",
-                             32 if npart_side <= 32 else 128))
+    maxl = int(os.environ.get("BENCH_MAXL", 512))
+    blk = int(os.environ.get("BENCH_BLOCK", 128))
 
     def step(ipos, vel, mass, kick, drift):
         accel_pm, _, _ = pm_forces(ipos, mass, cfg,

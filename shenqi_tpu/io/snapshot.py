@@ -157,12 +157,22 @@ def write_snapshot(path: str, header: SnapshotHeader,
         "TimeBinHydro": ("<u4", 1),
         "NeutralHydrogenFraction": ("<f4", 1),
     }
+    from . import native
+    use_native = native.available()
+    import os as _os
     for ptype, props in blocks.items():
         for name, data in props.items():
             dtype, nmemb = dtype_map.get(
                 name, (np.asarray(data).dtype.str,
                        1 if np.asarray(data).ndim == 1
                        else np.asarray(data).shape[1]))
+            if use_native and len(data) > 0:
+                # C++ threaded writer (native/bigfile_io.cpp)
+                ok = native.write_block(
+                    _os.path.join(path, f"{ptype}/{name}"), dtype,
+                    np.asarray(data), nfile=nfile)
+                if ok:
+                    continue
             blk = bf.create_block(f"{ptype}/{name}", dtype, len(data),
                                   nmemb=nmemb, nfile=nfile)
             blk.write(0, np.asarray(data))
