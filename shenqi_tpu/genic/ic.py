@@ -104,17 +104,22 @@ def displacement_fields(g_k, power: InputPower, CP: Cosmology,
 
     ipos = jnp.asarray(float_to_ipos(pos_lattice, boxsize))
 
-    def solve_axis(kaxis_int, amp_table):
-        fac = jnp.asarray((base * kaxis_int * amp_table), jnp.float32)
+    @jax.jit
+    def solve_axis(fac, g_k, ipos):
+        # jitted: eager complex ops are unsupported on the axon TPU
         field_k = (1j * fac) * g_k
         # unnormalized inverse FFT (reference/FFTW convention)
         mesh = jnp.fft.irfftn(field_k, s=(nmesh, nmesh, nmesh)) * nmesh ** 3
         return cic_readout(mesh.astype(jnp.float32), ipos)
 
-    disp = np.stack([np.asarray(solve_axis(kj, delta))
+    def solve_axis_host(kaxis_int, amp_table):
+        fac = jnp.asarray((base * kaxis_int * amp_table), jnp.float32)
+        return solve_axis(fac, g_k, ipos)
+
+    disp = np.stack([np.asarray(solve_axis_host(kj, delta))
                      for kj in (kx, ky, kz)], axis=-1)
     if growth is not None:
-        vel = np.stack([np.asarray(solve_axis(kj, growth))
+        vel = np.stack([np.asarray(solve_axis_host(kj, growth))
                         for kj in (kx, ky, kz)], axis=-1)
     else:
         vel = disp.copy()

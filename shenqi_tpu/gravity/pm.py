@@ -129,9 +129,11 @@ def finalize_power(ps: PowerSpectrum, cfg: PMConfig, boxsize_mpc: float):
     return kk, power, nmodes[sel]
 
 
+@partial(jax.jit, static_argnames=("cfg", "want_potential"))
 def pm_forces(ipos, mass, cfg: PMConfig, mask=None,
               want_potential: bool = True, nu_factor=None):
-    """Full PM force solve.
+    """Full PM force solve (jitted: PMConfig is a hashable NamedTuple;
+    eager complex ops are unsupported on the axon TPU backend).
 
     Args:
       ipos: [N,3] uint32 fixed-point positions
