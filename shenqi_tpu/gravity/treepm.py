@@ -33,6 +33,12 @@ class GravityConfig(NamedTuple):
     tree_ncrit: int = 32
     # 'exact': PM-calibrated window table; 'erfc': analytic
     window_type: str = "exact"
+    # 'blocked': production block engine (TPU-shaped); 'perparticle':
+    # reference-semantics vmapped walk (CPU/tests)
+    engine: str = "blocked"
+    block: int = 128
+    maxi: int = 1024
+    maxl: int = 512
 
     def pm(self) -> PMConfig:
         return PMConfig(nmesh=self.nmesh, boxsize=self.boxsize, G=self.G,

@@ -222,8 +222,20 @@ class Simulation:
                             nlevels=self.gravity.tree_nlevels,
                             ncrit=self.gravity.tree_ncrit)
         sp = self.gravity.short(use_bh=1 if first_step else None)
-        acc, pot, nint = treegrav_targets(tree, p.ipos, p.old_acc, sp,
-                                          self.window_tables)
+        if self.gravity.engine == "blocked":
+            # production path: dead rows sort to the tail (their
+            # Morton key is the sentinel), so walking the first
+            # n_alive sorted rows covers exactly the live set
+            from .gravity.shortrange_blocked import treegrav_blocked
+            n_alive = int(np.asarray(p.mask).sum())
+            acc, pot, _ = treegrav_blocked(
+                tree, p.old_acc, sp, self.window_tables,
+                n_targets=max(n_alive, 1), block=self.gravity.block,
+                maxi=self.gravity.maxi, maxl=self.gravity.maxl,
+                ncrit=self.gravity.tree_ncrit)
+        else:
+            acc, pot, _ = treegrav_targets(tree, p.ipos, p.old_acc,
+                                           sp, self.window_tables)
         self.particles = dataclasses.replace(p, grav_accel=acc)
 
     # ---------- hierarchical (split) gravity, Gadget-4 scheme ----------
@@ -250,8 +262,17 @@ class Simulation:
                             nlevels=self.gravity.tree_nlevels,
                             ncrit=self.gravity.tree_ncrit)
         sp = self.gravity.short()
-        acc, _, _ = treegrav_targets(tree, p.ipos, p.old_acc, sp,
-                                     self.window_tables)
+        if self.gravity.engine == "blocked":
+            from .gravity.shortrange_blocked import treegrav_blocked
+            n_act = int(np.asarray(selj & p.mask).sum())
+            acc, _, _ = treegrav_blocked(
+                tree, p.old_acc, sp, self.window_tables,
+                n_targets=max(n_act, 1), block=self.gravity.block,
+                maxi=self.gravity.maxi, maxl=self.gravity.maxl,
+                ncrit=self.gravity.tree_ncrit)
+        else:
+            acc, _, _ = treegrav_targets(tree, p.ipos, p.old_acc, sp,
+                                         self.window_tables)
         return acc
 
     def _hier_grav_kick(self, sel, accel, ti: int, largest: int):

@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Run the reference's dm-small CI example end-to-end and apply its
+acceptance criteria (examples/dm-small/check_results.py analog).
+
+64^3 DM particles, 64 Mpc/h box, z=9 -> z=3, outputs at a=0.15/0.2/0.25
+with FOF. Checks:
+  * P(k) vs the CLASS linear spectra at the reference tolerances
+    (8% at a=0.1, 19% at a=0.2, 21% at a=0.25, large-scale bins);
+  * halo mass function sanity (a >9e12 Msun halo exists; halo count).
+Halo-by-halo mass comparison is NOT applicable: the realization differs
+(the reference uses a GSL RNG stream for the mode phases).
+
+Usage: python validation/dm_small.py [workdir]
+Writes a summary to <workdir>/RESULT.txt; exit code 0 on pass.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+EX = "/root/reference/examples/dm-small"
+
+GENIC = """
+OutputDir = {out}/IC
+FileBase = IC
+Ngrid = 64
+BoxSize = 64000
+Omega0 = 0.288
+OmegaLambda = 0.712
+OmegaBaryon = 0.0472
+ProduceGas = 0
+HubbleParam = 0.7
+Redshift = 9
+FileWithInputSpectrum = {ex}/class_pk_9.dat
+DifferentTransferFunctions = 0
+UsePeculiarVelocity = 1
+Seed = 181170
+UnitaryAmplitude = 1
+"""
+
+GADGET = """
+InitCondFile = {out}/IC/IC
+OutputDir = {out}/output
+OutputList = 0.15,0.2,0.25
+TimeMax = 0.25
+Omega0 = 0.288
+MassiveNuLinRespOn = 0
+HydroOn = 0
+CoolingOn = 0
+StarformationOn = 0
+DensityIndependentSphOn = 0
+SnapshotWithFOF = 1
+PartAllocFactor = 2.0
+BlackHoleOn = 0
+MetalReturnOn = 0
+WindOn = 0
+Nmesh = 128
+"""
+
+
+def modecount_rebin(kk, pk, modes, minmodes=2, ndesired=20):
+    """Reference check_results.py rebinning, verbatim semantics."""
+    logkk = np.log10(kk)
+    mdlogk = (np.max(logkk) - np.min(logkk)) / ndesired
+    istart = iend = 1
+    count = 0
+    k_list = [kk[0]]
+    pk_list = [pk[0]]
+    targetlogk = mdlogk + logkk[istart]
+    while iend < np.size(logkk) - 1:
+        count += modes[iend]
+        iend += 1
+        if count >= minmodes and logkk[iend - 1] >= targetlogk:
+            pk1 = np.sum(modes[istart:iend] * pk[istart:iend]) / count
+            kk1 = np.sum(modes[istart:iend] * kk[istart:iend]) / count
+            k_list.append(kk1)
+            pk_list.append(pk1)
+            istart = iend
+            targetlogk = mdlogk + logkk[istart]
+            count = 0
+    return np.array(k_list), np.array(pk_list)
+
+
+def check_power(outdir, scalefactor, rtol, maxi=6, log=print):
+    from scipy.interpolate import interp1d
+    fn = os.path.join(outdir, f"powerspectrum-{scalefactor:.4f}.txt")
+    data = np.loadtxt(fn)
+    kk, pk, modes = data[:, 0], data[:, 1], data[:, 2]
+    sel = kk > 0
+    kk_sim, pk_sim = modecount_rebin(kk[sel], pk[sel], modes[sel])
+    zz = 1 / scalefactor - 1
+    if zz > 8.5:
+        camb = np.loadtxt(f"{EX}/class_pk_9.dat")
+    else:
+        camb = np.loadtxt(f"{EX}/class_pk_9.dat-{zz:.1f}")
+    ref = interp1d(camb[:, 0], camb[:, 1])(kk_sim[:maxi])
+    ratio = pk_sim[:maxi] / ref
+    ok = np.allclose(pk_sim[:maxi], ref, rtol=rtol, atol=0)
+    log(f"P(k) a={scalefactor}: ratio {ratio.round(3)} "
+        f"(rtol {rtol}) -> {'PASS' if ok else 'FAIL'}")
+    return ok
+
+
+def check_hmf(pig, log=print):
+    from shenqi_tpu.io.bigfile import BigFile
+    bf = BigFile(pig)
+    hh = 0.7
+    masses = np.asarray(bf["FOFGroups/Mass"].read()) * 1e10 / hh
+    ok = masses.size > 0 and masses.max() > 9e12
+    log(f"HMF: {masses.size} halos, max {masses.max():.3g} Msun "
+        f"-> {'PASS' if ok else 'FAIL'}")
+    return ok
+
+
+def main():
+    work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/dm_small_val"
+    os.makedirs(work, exist_ok=True)
+    gp = os.path.join(work, "paramfile.genic")
+    with open(gp, "w") as f:
+        f.write(GENIC.format(out=work, ex=EX))
+    pp = os.path.join(work, "paramfile.gadget")
+    with open(pp, "w") as f:
+        f.write(GADGET.format(out=work))
+
+    from shenqi_tpu.cli.genic_main import run_genic
+    from shenqi_tpu.cli.gadget_main import run_gadget
+    lines = []
+
+    def log(msg):
+        print(msg, flush=True)
+        lines.append(str(msg))
+
+    log("Generating ICs...")
+    run_genic(gp)
+    log("Running dm-small (z=9 -> z=3)...")
+    run_gadget(pp)
+
+    outdir = os.path.join(work, "output")
+    ok = True
+    ok &= check_power(outdir, 0.1, rtol=0.08, log=log)
+    ok &= check_power(outdir, 0.2, rtol=0.19, log=log)
+    ok &= check_power(outdir, 0.25, rtol=0.21, maxi=5, log=log)
+    ok &= check_hmf(os.path.join(outdir, "PIG_002"), log=log)
+    log("OVERALL: " + ("PASS" if ok else "FAIL"))
+    with open(os.path.join(work, "RESULT.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
