@@ -190,26 +190,43 @@ def treegrav_blocked(tree: Octree, oldacc, params: ShortRangeParams,
                      window_tables=None, n_targets: int = None,
                      block: int = BLOCK, maxi: int = 2048,
                      maxl: int = 512, ncrit: int = 32,
-                     auto_grow: int = 3):
+                     auto_grow: int = 3, blocking: str = "tree"):
     """Short-range force at the sorted particle positions.
 
     oldacc: [N] |acc|/G in ORIGINAL order (gathered through tree.order).
     Returns (accel [N,3], pot [N]) in ORIGINAL particle order.
+    blocking='tree' builds target blocks from the tree's effective
+    leaves (compact cell bboxes -> short interaction lists);
+    'morton' uses fixed-size Morton runs (fully device-side but with a
+    long-tailed list-length distribution).
     On traversal cap overflow, retries up to `auto_grow` times with the
-    overflowed cap doubled (small-N runs have few, large Morton blocks
-    whose conservative MAC opens most of the tree); raises RuntimeError
-    if the caps still overflow.
+    overflowed cap doubled; raises RuntimeError if they still overflow.
     """
     n = tree.ipos_s.shape[0]
     if n_targets is None:
         n_targets = n
-    bb_lo, bb_hi, nblocks, pad_n = make_blocks(tree, n_targets, block,
-                                               params.boxsize)
-    oldacc_s = oldacc[tree.order]
-    idx = jnp.minimum(jnp.arange(pad_n), n_targets - 1)
-    aold_blk = (params.err_tol_force_acc
-                * oldacc_s[idx].reshape(nblocks, block))
-    block_aold = jnp.min(aold_blk, axis=1)
+    if blocking == "tree":
+        from ..ops.blockwalk import make_blocks_from_tree
+        bb_lo, bb_hi, tgt_idx, tgt_valid, nblocks = \
+            make_blocks_from_tree(tree, n_targets, block,
+                                  params.boxsize)
+        oldacc_s = oldacc[tree.order]
+        aold_lane = jnp.where(tgt_valid,
+                              params.err_tol_force_acc
+                              * oldacc_s[tgt_idx], jnp.inf)
+        block_aold = jnp.where(jnp.any(tgt_valid, axis=1),
+                               jnp.min(aold_lane, axis=1), 0.0)
+    else:
+        bb_lo, bb_hi, nblocks, pad_n = make_blocks(
+            tree, n_targets, block, params.boxsize)
+        oldacc_s = oldacc[tree.order]
+        idx = jnp.minimum(jnp.arange(pad_n), n_targets - 1)
+        tgt_idx = idx.reshape(nblocks, block).astype(jnp.int32)
+        tgt_valid = (tgt_idx.reshape(-1) < n_targets).reshape(
+            nblocks, block)
+        aold_blk = (params.err_tol_force_acc
+                    * oldacc_s[idx].reshape(nblocks, block))
+        block_aold = jnp.min(aold_blk, axis=1)
     for attempt in range(auto_grow + 1):
         lists = block_traverse(
             tree, bb_lo, bb_hi, jnp.zeros(nblocks, jnp.float32),
@@ -229,15 +246,19 @@ def treegrav_blocked(tree: Octree, oldacc, params: ShortRangeParams,
             maxl *= 2
 
     to_f = jnp.float32(params.boxsize / POS_SCALE)
-    tgt_pos = (tree.ipos_s[idx].astype(jnp.float32) * to_f
-               ).reshape(nblocks, block, 3)
+    tgt_pos = (tree.ipos_s[tgt_idx.reshape(-1)].astype(jnp.float32)
+               * to_f).reshape(nblocks, block, 3)
     acc_b, pot_b = _tiered_eval(tree, lists, tgt_pos, params,
                                 window_tables, maxi, maxl, ncrit,
                                 nblocks, block)
-    acc_s = acc_b.reshape(pad_n, 3)[:n_targets]
-    pot_s = pot_b.reshape(pad_n)[:n_targets]
-    # scatter back to original order
-    acc = jnp.zeros((n, 3), jnp.float32).at[
-        tree.order[:n_targets]].set(acc_s)
-    pot = jnp.zeros(n, jnp.float32).at[tree.order[:n_targets]].set(pot_s)
+    # scatter to sorted order: each live particle appears in exactly
+    # one valid lane; invalid lanes land in a dump row
+    flat_idx = jnp.where(tgt_valid, tgt_idx, n).reshape(-1)
+    acc_sorted = jnp.zeros((n + 1, 3), jnp.float32).at[flat_idx].set(
+        acc_b.reshape(-1, 3))[:n]
+    pot_sorted = jnp.zeros(n + 1, jnp.float32).at[flat_idx].set(
+        pot_b.reshape(-1))[:n]
+    # back to original order
+    acc = jnp.zeros((n, 3), jnp.float32).at[tree.order].set(acc_sorted)
+    pot = jnp.zeros(n, jnp.float32).at[tree.order].set(pot_sorted)
     return acc, pot, lists

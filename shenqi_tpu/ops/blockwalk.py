@@ -165,6 +165,77 @@ def make_blocks(tree: Octree, n_targets: int, block: int, boxsize):
     return bb_lo, bb_hi, nblocks, pad_n
 
 
+def make_blocks_from_tree(tree: Octree, n_targets: int, block: int,
+                          boxsize, level: int = None):
+    """Cell-anchored target blocks (host-side).
+
+    A fixed-size Morton RUN can straddle a high-level cell boundary
+    and get a bounding box spanning a large fraction of the box, which
+    blows up its interaction list.  Instead, the sorted particle order
+    is split at level-`level` Morton-cell boundaries FIRST (each cell
+    owns a contiguous run), and each cell's run is then chunked into
+    blocks of up to `block` particles.  A block's particles all lie in
+    one cell, so its min/max bbox is at most one cell wide — compact
+    by construction — while lanes stay as full as the occupancy
+    allows.
+
+    Returns (bb_lo [B,3], bb_hi [B,3], tgt_idx [B,block] int32 into
+    the sorted particle arrays, tgt_valid [B,block] bool, nblocks)
+    with B padded to a power of two (empty blocks have tgt_valid all
+    False and a point bbox at the origin).
+    """
+    n = tree.ipos_s.shape[0]
+    nt = min(n_targets, n)
+    if level is None:
+        # ~4 blocks per cell on average
+        import math
+        level = max(1, min(8, round(math.log(max(nt, 8)
+                                             / (4.0 * block), 8))))
+    shift = np.uint32(32 - level)
+    ipos = np.asarray(tree.ipos_s[:nt])
+    cx = (ipos[:, 0] >> shift).astype(np.int64)
+    cy = (ipos[:, 1] >> shift).astype(np.int64)
+    cz = (ipos[:, 2] >> shift).astype(np.int64)
+    gid = (cx << 42) | (cy << 21) | cz
+
+    # contiguous runs of equal cell id (Morton order groups cells)
+    bnd = np.nonzero(np.concatenate([[True], gid[1:] != gid[:-1]]))[0]
+    g_start = bnd
+    g_count = np.diff(np.concatenate([bnd, [nt]]))
+
+    nchunk = (g_count + block - 1) // block
+    total = int(nchunk.sum())
+    nb = max(_next_pow2_bw(total), 1)
+
+    row = np.repeat(np.arange(len(g_start)), nchunk)
+    off = (np.arange(total)
+           - np.repeat(np.cumsum(nchunk) - nchunk, nchunk)) * block
+    starts = np.zeros(nb, np.int64)
+    counts = np.zeros(nb, np.int64)
+    starts[:total] = g_start[row] + off
+    counts[:total] = np.minimum(g_count[row] - off, block)
+
+    tgt_idx = starts[:, None] + np.arange(block)[None, :]
+    tgt_valid = np.arange(block)[None, :] < counts[:, None]
+    tgt_idx = np.clip(tgt_idx, 0, n - 1).astype(np.int32)
+
+    # tight per-block particle bboxes (all within one level cell)
+    to_f = boxsize / float(POS_SCALE)
+    posf = ipos.astype(np.float64) * to_f
+    pb = posf[np.clip(tgt_idx, 0, nt - 1)]
+    big = np.where(tgt_valid[..., None], pb, -np.inf).max(axis=1)
+    small = np.where(tgt_valid[..., None], pb, np.inf).min(axis=1)
+    empty = ~tgt_valid.any(axis=1)
+    bb_lo = np.where(empty[:, None], 0.0, small).astype(np.float32)
+    bb_hi = np.where(empty[:, None], 0.0, big).astype(np.float32)
+    return (jnp.asarray(bb_lo), jnp.asarray(bb_hi),
+            jnp.asarray(tgt_idx), jnp.asarray(tgt_valid), nb)
+
+
+def _next_pow2_bw(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length()
+
+
 def gather_leaf_sources(tree: Octree, leaf_ids, ncrit: int, payload):
     """[B, MAXL] leaf ids -> per-leaf-slot source data.
 
