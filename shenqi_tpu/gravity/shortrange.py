@@ -36,6 +36,14 @@ from ..ops.tree import Octree
 TABLE_RANGE_CELLS = 511.0 * 2.935420743639786e-02
 
 
+class PolyWindow(NamedTuple):
+    """Chebyshev form of the short-range window (TPU production
+    path; see window.window_polynomials)."""
+    xmax: jax.Array     # scalar, mesh cells
+    cf: jax.Array       # force-window coefficients
+    cp: jax.Array       # potential-window coefficients
+
+
 class ShortRangeParams(NamedTuple):
     boxsize: float
     cellsize: float        # mesh cell size (BoxSize/Nmesh)
@@ -51,11 +59,30 @@ class ShortRangeParams(NamedTuple):
 def short_range_window(r, cellsize, asmth, tables=None):
     """(force_window, pot_window); zero beyond the table range.
 
-    With `tables=(dx_cells, wf, wp)` (from window.window_arrays) uses the
-    PM-calibrated table with linear interpolation, mirroring the
-    reference's apply_short_range_window (gravity.h:44-60); otherwise the
+    With `tables=("poly", xmax, cf, cp)` (window.window_polynomials)
+    evaluates Chebyshev fits of the PM-calibrated window — pure FMA,
+    the TPU production path (table gathers crash the axon worker).
+    With `tables=(dx_cells, wf, wp)` (window.window_arrays) uses
+    linear table interpolation, mirroring the reference's
+    apply_short_range_window (gravity.h:44-60).  Otherwise the
     analytic erfc window.
     """
+    if isinstance(tables, PolyWindow):
+        xmax, cf, cp = tables
+        x = r / cellsize
+        t = jnp.clip(2.0 * (x / xmax) - 1.0, -1.0, 1.0)
+
+        def clenshaw(c):
+            b1 = jnp.zeros_like(t)
+            b2 = jnp.zeros_like(t)
+            for k in range(c.shape[0] - 1, 0, -1):
+                b1, b2 = c[k] + 2 * t * b1 - b2, b1
+            return c[0] + t * b1 - b2
+
+        inrange = x < xmax
+        fw = jnp.clip(clenshaw(cf), 0.0, 1.0)
+        pw = jnp.clip(clenshaw(cp), 0.0, 1.0)
+        return jnp.where(inrange, fw, 0.0), jnp.where(inrange, pw, 0.0)
     if tables is not None:
         dx, wf, wp = tables
         x = r / cellsize / dx

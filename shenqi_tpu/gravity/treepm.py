@@ -63,12 +63,15 @@ def default_softening(boxsize: float, npart_total: int,
     return 2.8 * fraction * mean_sep
 
 
-def get_window_tables(cfg: GravityConfig):
+def get_window_tables(cfg: GravityConfig, form: str = "poly"):
     """Host-side: calibrate (or fetch cached) the short-range window.
 
     Must be called outside jit: the calibration itself runs PM solves.
     """
     if cfg.window_type == "exact":
+        if form == "poly":
+            from .window import window_polynomials
+            return window_polynomials(cfg.asmth)
         from .window import window_arrays
         return window_arrays(cfg.asmth)
     return None

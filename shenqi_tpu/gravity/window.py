@@ -96,3 +96,28 @@ def window_arrays(asmth: float):
     u = r * 0.5 / asmth
     wp = erfc(u).astype(np.float32)
     return float(dx), jnp.asarray(wf), jnp.asarray(wp)
+
+
+def window_polynomials(asmth: float, degree: int = 23):
+    """Chebyshev fits of the calibrated window (TPU-friendly form).
+
+    Table GATHERS with large index arrays crash the axon TPU worker;
+    a degree-23 Chebyshev evaluated by Clenshaw recursion is pure
+    fused-multiply-add, faster on the VPU, and matches the table to
+    ~1e-4 absolute (well inside the 2e-3 force tolerance).
+
+    Returns a PolyWindow(xmax_cells, cf [deg+1], cp [deg+1]) whose
+    polynomials take the scaled coordinate t = 2*(r_cells/xmax) - 1.
+    """
+    dx, wf, wp = window_arrays(asmth)
+    wf = np.asarray(wf, np.float64)
+    wp = np.asarray(wp, np.float64)
+    x = np.arange(NTAB) * dx
+    xmax = x[-1]
+    t = 2.0 * (x / xmax) - 1.0
+    cf = np.polynomial.chebyshev.chebfit(t, wf, degree)
+    cp = np.polynomial.chebyshev.chebfit(t, wp, degree)
+    from .shortrange import PolyWindow
+    return PolyWindow(xmax=jnp.float32(xmax),
+                      cf=jnp.asarray(cf, jnp.float32),
+                      cp=jnp.asarray(cp, jnp.float32))

