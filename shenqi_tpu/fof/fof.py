@@ -58,12 +58,99 @@ def _shortcut(labels):
     return labels
 
 
+def _blocked_neighbor_lists(tree: Octree, b, boxsize, block=128,
+                            maxl=512, auto_grow=4):
+    """One blocked neighbor traversal shared by all link iterations.
+
+    Returns (tgt_idx, tgt_valid, lists, nblocks) with leaf lists of
+    every leaf overlapping each block's bbox inflated by b.
+    """
+    from ..ops.blockwalk import (make_blocks_from_tree, block_traverse)
+    n = tree.ipos_s.shape[0]
+    bb_lo, bb_hi, tgt_idx, tgt_valid, nb = make_blocks_from_tree(
+        tree, n, block, boxsize)
+    radius = jnp.where(jnp.any(tgt_valid, axis=1),
+                       jnp.float32(b), 0.0)
+    for attempt in range(auto_grow + 1):
+        lists = block_traverse(tree, bb_lo, bb_hi, radius,
+                               jnp.zeros(nb, jnp.float32), boxsize,
+                               0.0, 0.0, 0, maxi=8, maxl=maxl,
+                               mode="neighbor")
+        if not bool(jnp.any(lists.overflow)):
+            break
+        if attempt == auto_grow:
+            raise RuntimeError(
+                f"neighbor traversal overflow: leaves "
+                f"{int(jnp.max(lists.n_leaves))}/{maxl}")
+        maxl *= 2
+    return tgt_idx, tgt_valid, lists, nb
+
+
+@partial(jax.jit, static_argnames=("ncrit", "block_batch"))
+def _blocked_min_label(tree: Octree, tgt_idx, tgt_valid, lists,
+                       labels_sorted, alive_sorted, b, boxsize,
+                       ncrit: int, block_batch: int = 256):
+    """label_i <- min label among sources within b (dense blocked)."""
+    from ..ops.blockwalk import gather_leaf_sources
+    n = tree.ipos_s.shape[0]
+    nb, block = tgt_idx.shape
+    maxl = lists.leaf_ids.shape[1]
+    to_f = jnp.float32(boxsize / POS_SCALE)
+    bb = min(block_batch, nb)
+    while nb % bb:
+        bb //= 2
+    nbatch = nb // bb
+    CH = 256
+    total_src = maxl * ncrit
+    nch = (total_src + CH - 1) // CH
+
+    def eval_batch(args):
+        leaf_ids, t_idx, t_val = args
+        payload = {"ipos": tree.ipos_s, "label": labels_sorted,
+                   "alive": alive_sorted}
+        src, valid = gather_leaf_sources(tree, leaf_ids, ncrit,
+                                         payload)
+        spos = src["ipos"]
+        slab = jnp.where(valid & src["alive"], src["label"],
+                         jnp.uint32(0xFFFFFFFF))
+        tpos = tree.ipos_s[t_idx.reshape(-1)].reshape(bb, block, 3)
+
+        def chunk(carry, c):
+            best = carry
+            sl = jax.lax.dynamic_slice_in_dim(spos, c * CH, CH, 1)
+            ll = jax.lax.dynamic_slice_in_dim(slab, c * CH, CH, 1)
+            dx = (sl[:, None, :, :] - tpos[:, :, None, :]).astype(
+                jnp.int32).astype(jnp.float32) * to_f
+            r2 = jnp.sum(dx * dx, axis=-1)
+            cand = jnp.where(r2 < b * b, ll[:, None, :],
+                             jnp.uint32(0xFFFFFFFF))
+            return jnp.minimum(best, jnp.min(cand, axis=2)), None
+
+        best0 = jnp.full((bb, block), 0xFFFFFFFF, jnp.uint32)
+        best, _ = jax.lax.scan(chunk, best0, jnp.arange(nch))
+        return best
+
+    batched = (lists.leaf_ids.reshape(nbatch, bb, maxl),
+               tgt_idx.reshape(nbatch, bb, block),
+               tgt_valid.reshape(nbatch, bb, block))
+    best = jax.lax.map(eval_batch, batched).reshape(nb, block)
+    # scatter back to sorted particle order
+    flat_idx = jnp.where(tgt_valid, tgt_idx, n).reshape(-1)
+    out = jnp.full(n + 1, 0xFFFFFFFF, jnp.uint32).at[flat_idx].set(
+        best.reshape(-1))[:n]
+    return out
+
+
 def fof_label(ipos, alive, b, boxsize, nlevels=8, ncrit=32,
-              maxiter=200):
+              maxiter=200, engine="blocked"):
     """Group labels for the primary-linking particle set.
 
     Returns int32 labels in [0, n): the smallest particle index in each
     connected component.  Dead particles get label = own index.
+    engine='blocked' runs the dense block neighbor pass (TPU
+    production; the traversal is done once and its leaf lists are
+    reused by every propagation iteration); 'perparticle' is the
+    reference-semantics vmapped walk.
     """
     n = ipos.shape[0]
     mass = jnp.ones(n, jnp.float32)  # unit masses: tree geometry only
@@ -72,6 +159,25 @@ def fof_label(ipos, alive, b, boxsize, nlevels=8, ncrit=32,
     order = tree.order
     labels = jnp.arange(n, dtype=jnp.uint32)
     alive_j = jnp.asarray(alive)
+
+    if engine == "blocked":
+        tgt_idx, tgt_valid, lists, nb = _blocked_neighbor_lists(
+            tree, b, boxsize)
+        inv = jnp.zeros(n, jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32))
+        for it in range(maxiter):
+            best_sorted = _blocked_min_label(
+                tree, tgt_idx, tgt_valid, lists, labels[order],
+                alive_j[order], jnp.float32(b), boxsize, ncrit)
+            new = best_sorted[inv]       # back to original order
+            new = jnp.minimum(new, labels)
+            new = jnp.where(alive_j, new, labels)
+            new = _shortcut(new)
+            changed = bool(jnp.any(new != labels))
+            labels = new
+            if not changed:
+                break
+        return labels
 
     for it in range(maxiter):
         payload = {"ipos": tree.ipos_s,

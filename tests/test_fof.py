@@ -110,3 +110,23 @@ def test_fof_secondary_attach():
     assert groups.length_by_type[0, 0] == ngas
     assert groups.length_by_type[0, 1] == ndm
     assert groups.lengths[0] == n
+
+
+def test_fof_label_engines_agree():
+    """Blocked and per-particle link engines give identical labels."""
+    rng = np.random.RandomState(7)
+    box = 20000.0
+    ncl, per = 8, 50
+    centers = rng.uniform(0, box, (ncl, 3))
+    pos = np.vstack([(centers.repeat(per, 0)
+                      + rng.normal(0, 40, (ncl * per, 3))) % box,
+                     rng.uniform(0, box, (300, 3))])
+    n = len(pos)
+    ipos = jnp.asarray(float_to_ipos(pos, box))
+    alive = np.ones(n, bool)
+    alive[5] = False
+    b = 0.2 * box / n ** (1 / 3)
+    la = np.asarray(fof_label(ipos, alive, b, box, engine="blocked"))
+    lb = np.asarray(fof_label(ipos, alive, b, box,
+                              engine="perparticle"))
+    assert np.array_equal(la, lb)
