@@ -205,6 +205,118 @@ def _nearest_label_accum(carry, extra, tpos, src, dist, r2, live):
             jnp.where(better, lj, best_label))
 
 
+@partial(jax.jit, static_argnames=("ncrit", "block"))
+def _blocked_nearest_pass(tree: Octree, labels_sorted, alive_sorted,
+                          tgt_ipos_blk, tgt_live_blk, lists, boxsize,
+                          ncrit: int, block: int):
+    """Nearest-primary label per target over the blocked leaf lists."""
+    from ..ops.blockwalk import gather_leaf_sources
+    nb = tgt_ipos_blk.shape[0]
+    maxl = lists.leaf_ids.shape[1]
+    to_f = jnp.float32(boxsize / POS_SCALE)
+    CH = 256
+    total_src = maxl * ncrit
+    nch = (total_src + CH - 1) // CH
+    bb = min(256, nb)
+    while nb % bb:
+        bb //= 2
+    nbatch = nb // bb
+
+    def eval_batch(args):
+        leaf_ids, tpos = args
+        payload = {"ipos": tree.ipos_s, "label": labels_sorted,
+                   "alive": alive_sorted}
+        src, valid = gather_leaf_sources(tree, leaf_ids, ncrit,
+                                         payload)
+        spos = src["ipos"]
+        ok = valid & src["alive"]
+        slab = src["label"]
+
+        def chunk(carry, c):
+            br2, bl = carry
+            sl = jax.lax.dynamic_slice_in_dim(spos, c * CH, CH, 1)
+            ll = jax.lax.dynamic_slice_in_dim(slab, c * CH, CH, 1)
+            kk = jax.lax.dynamic_slice_in_dim(ok, c * CH, CH, 1)
+            dx = (sl[:, None, :, :] - tpos[:, :, None, :]).astype(
+                jnp.int32).astype(jnp.float32) * to_f
+            r2 = jnp.where(kk[:, None, :], jnp.sum(dx * dx, axis=-1),
+                           jnp.inf)
+            j = jnp.argmin(r2, axis=2)
+            rj = jnp.min(r2, axis=2)
+            lj = jnp.take_along_axis(ll[:, None, :].repeat(
+                tpos.shape[1], 1), j[..., None], axis=2)[..., 0]
+            better = rj < br2
+            return (jnp.where(better, rj, br2),
+                    jnp.where(better, lj, bl)), None
+
+        br0 = jnp.full(tpos.shape[:2], jnp.inf, jnp.float32)
+        bl0 = jnp.full(tpos.shape[:2], 0xFFFFFFFF, jnp.uint32)
+        (br, bl), _ = jax.lax.scan(chunk, (br0, bl0),
+                                   jnp.arange(nch))
+        return br, bl
+
+    batched = (lists.leaf_ids.reshape(nbatch, bb, maxl),
+               tgt_ipos_blk.reshape(nbatch, bb, block, 3))
+    br, bl = jax.lax.map(eval_batch, batched)
+    return br.reshape(nb, block), bl.reshape(nb, block)
+
+
+def fof_attach_secondary_blocked(tree_primary: Octree,
+                                 primary_labels_sorted,
+                                 primary_alive_sorted, target_ipos,
+                                 boxsize, rmax, block=128, ncrit=32):
+    """Blocked nearest-primary attach (TPU production form).
+
+    Targets are grouped into Morton blocks of their OWN ordering (they
+    are not in the primary tree); radius grows geometrically on
+    misses, re-traversing only then.
+    """
+    from ..ops.blockwalk import block_traverse
+    from ..ops.morton import morton_key
+    t = target_ipos.shape[0]
+    order = jnp.argsort(morton_key(target_ipos))
+    # simple fixed-run blocks of the (roughly spatial) target order
+    nb = (t + block - 1) // block
+    pad = nb * block - t
+    idx = jnp.concatenate([order, jnp.full(pad, order[-1],
+                                           order.dtype)])
+    tpos = target_ipos[idx].reshape(nb, block, 3)
+    to_f = jnp.float32(boxsize / POS_SCALE)
+    posf = tpos.astype(jnp.float32) * to_f
+    bb_lo = jnp.min(posf, axis=1)
+    bb_hi = jnp.max(posf, axis=1)
+
+    best_r2 = jnp.full((nb, block), jnp.inf, jnp.float32)
+    best_l = jnp.full((nb, block), 0xFFFFFFFF, jnp.uint32)
+    radius = jnp.full(nb, rmax, jnp.float32)
+    maxl = 512
+    for _ in range(6):
+        lists = block_traverse(tree_primary, bb_lo, bb_hi, radius,
+                               jnp.zeros(nb, jnp.float32), boxsize,
+                               0.0, 0.0, 0, maxi=8, maxl=maxl,
+                               mode="neighbor")
+        if bool(jnp.any(lists.overflow)):
+            maxl *= 2
+            continue
+        br, bl = _blocked_nearest_pass(
+            tree_primary, primary_labels_sorted, primary_alive_sorted,
+            tpos, None, lists, boxsize, ncrit, block)
+        better = br < best_r2
+        best_r2 = jnp.where(better, br, best_r2)
+        best_l = jnp.where(better, bl, best_l)
+        blk_missing = jnp.any(~jnp.isfinite(best_r2), axis=1)
+        if not bool(jnp.any(blk_missing)):
+            break
+        radius = jnp.where(blk_missing, radius * 2.0, radius)
+    # unscatter the target ordering (padded lanes repeat the last
+    # target, so their duplicate writes carry identical values)
+    lab_flat = best_l.reshape(-1)
+    labels = jnp.zeros(t, jnp.uint32).at[idx].set(lab_flat)[:t]
+    found = jnp.zeros(t, bool).at[idx].set(
+        jnp.isfinite(best_r2).reshape(-1))[:t]
+    return labels, found
+
+
 def fof_attach_secondary(tree_primary: Octree, primary_labels_sorted,
                          primary_alive_sorted, target_ipos, boxsize,
                          rmax):
@@ -354,7 +466,7 @@ def fof(ipos, vel, mass, ptype, alive, boxsize, mean_separation,
         alive_sorted = jnp.asarray(np.asarray(primary)[order])
         sec_idx = np.nonzero(secondary)[0]
         sec_ipos = jnp.asarray(np.asarray(ipos)[sec_idx])
-        sec_labels, found = fof_attach_secondary(
+        sec_labels, found = fof_attach_secondary_blocked(
             tree, lab_sorted, alive_sorted, sec_ipos, boxsize,
             rmax=b)
         labels[sec_idx] = np.where(np.asarray(found),
