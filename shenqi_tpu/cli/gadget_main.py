@@ -580,9 +580,29 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
         outdir, "BlackholeDetails.bin"), "ab")
         if bh_on and ps.get_int("WriteBlackHoleDetails") else None)
 
+    pk_written = [0]
+
+    def _dump_power(s):
+        """Write powerspectrum-%.4f.txt for every PM step
+        (gravpm.cpp writes at each long-range force)."""
+        while pk_written[0] < len(s.power_history):
+            a_p, kk, pk, nm = s.power_history[pk_written[0]]
+            pk_written[0] += 1
+            d1 = 1.0 / cp.growth_factor(1.0, a_p)
+            fn = os.path.join(outdir, f"powerspectrum-{a_p:.4f}.txt")
+            with open(fn, "w") as f:
+                f.write("# in Mpc/h Units \n")
+                f.write(f"# D1 = {d1:g} \n")
+                f.write("# k P N P(z=0)\n")
+                for j in range(len(kk)):
+                    if nm[j] > 0:
+                        f.write(f"{kk[j]:g} {pk[j]:g} {int(nm[j])} "
+                                f"{pk[j] / d1 ** 2:g}\n")
+
     def on_step(s):
         a = s.atime()
         wt.measure("/Step")
+        _dump_power(s)
         energy_statistics(fd_energy, a, s.particles)
         if fd_sfr is not None and s.gas is not None:
             total_sfr = float(np.asarray(s.gas.sfr).sum())

@@ -140,6 +140,7 @@ def main():
 
     outdir = os.path.join(work, "output")
     ok = True
+    # the reference ships CLASS tables at z=9 (ICs), z=4, z=3 only
     ok &= check_power(outdir, 0.1, rtol=0.08, log=log)
     ok &= check_power(outdir, 0.2, rtol=0.19, log=log)
     ok &= check_power(outdir, 0.25, rtol=0.21, maxi=5, log=log)
