@@ -1,24 +1,22 @@
 """Pallas TPU kernel for the short-range P2P dense evaluation.
 
-The XLA block evaluation first GATHERS every block's leaf sources into
-an [nblocks, maxl*ncrit] table in HBM and then streams it through
-lax.scan — paying the gather's HBM round trip and materializing the
-table.  Leaf particle runs are CONTIGUOUS in the Morton-sorted arrays,
-and so are each block's targets (cell-anchored blocks), so this kernel
-replaces the gather with direct HBM->VMEM DMAs:
+The XLA evaluation streams the gathered [nblocks, S] source tables
+through lax.scan with `where`-masked elementwise math — every
+intermediate ([batch, 128, chunk] separations, windows, spline
+factors) makes an HBM round trip between fused subgraphs.  This kernel
+fuses the ENTIRE pair interaction (minimum-image separation, spline
+softening, Chebyshev window, force/potential accumulation) into one
+VMEM-resident program per target block, with Pallas auto-pipelining
+the per-block source tables HBM->VMEM across grid steps.
 
-  per grid program (= one target block of 128 contiguous targets):
-    1. DMA the targets to VMEM;
-    2. loop over the block's leaf list in QUADS (4 leaves x ncrit=32
-       sources = one 128-lane tile), double-buffered: DMA the next
-       quad's 4 contiguous source runs while computing the current;
-    3. accumulate spline-softened, window-multiplied pair forces in
-       VMEM; emit [128,3] accel + [128] potential.
+Layouts obey the TPU (8,128) tiling rules:
+  targets   tx/ty/tz   [nb, 1, BLK]     (BLK = 128 lanes)
+  sources   sx/sy/sz/sm [nb, S//128, 128]
+  output    acc [nb, BLK, 3] f32, pot [nb, 8, BLK] (row 0 used)
 
-The short-range window is the Chebyshev PolyWindow evaluated by
-Clenshaw recursion (pure FMA; table gathers crash the axon worker).
 Positions are uint32 fixed point: the periodic separation is the
-int32 reinterpretation of the uint32 difference (exact wraparound).
+int32 reinterpretation of the uint32 difference (exact wraparound),
+computed per component to keep every array 2-D in the kernel.
 """
 
 from __future__ import annotations
@@ -33,10 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.particles import POS_SCALE
 
-NCRIT = 32           # leaf capacity (sources per leaf slot)
-QUAD = 4             # leaves per tile: QUAD*NCRIT = 128 lanes
 BLK = 128            # targets per block
-NSCAL = 5
+SCH = 128            # source lanes per inner step
 
 
 def _clenshaw(t, coeffs):
@@ -47,77 +43,41 @@ def _clenshaw(t, coeffs):
     return coeffs[0] + t * b1 - b2
 
 
-def _p2p_kernel(nquads_ref, tgt_start_ref, quad_ps_ref, quad_pc_ref,
-                scal_ref, cfw_ref, cpw_ref,
-                ipos_hbm, mass_hbm, acc_ref, pot_ref,
-                tgt_pos_s, src_pos_s, src_mass_s, sems):
-    b = pl.program_id(0)
-    to_f = scal_ref[0]           # boxsize / 2^32
+def _p2p_kernel(scal_ref, cfw_ref, cpw_ref,
+                tx_ref, ty_ref, tz_ref,
+                sx_ref, sy_ref, sz_ref, sm_ref,
+                acc_ref, pot_ref):
+    to_f = scal_ref[0]
     soft = scal_ref[1]
-    inv_cellxmax = scal_ref[2]   # 1 / (cellsize * window_xmax)
+    inv_cellxmax = scal_ref[2]
     g = scal_ref[3]
-
-    tdma = pltpu.make_async_copy(
-        ipos_hbm.at[pl.ds(tgt_start_ref[b], BLK)], tgt_pos_s,
-        sems.at[2, 0])
-    tdma.start()
-    tdma.wait()
-    tgt = tgt_pos_s[:, :]                             # [BLK,3] u32
-
-    nq = nquads_ref[b]
-
-    def dmas(slot, q):
-        out = []
-        for j in range(QUAD):
-            ps = quad_ps_ref[b, q * QUAD + j]
-            out.append(pltpu.make_async_copy(
-                ipos_hbm.at[pl.ds(ps, NCRIT)],
-                src_pos_s.at[slot, pl.ds(j * NCRIT, NCRIT)],
-                sems.at[slot, 2 * j]))
-            out.append(pltpu.make_async_copy(
-                mass_hbm.at[pl.ds(ps, NCRIT)],
-                src_mass_s.at[slot, pl.ds(j * NCRIT, NCRIT)],
-                sems.at[slot, 2 * j + 1]))
-        return out
-
-    def start(slot, q):
-        for c in dmas(slot, q):
-            c.start()
-
-    def wait(slot, q):
-        for c in dmas(slot, q):
-            c.wait()
-
-    @pl.when(nq > 0)
-    def _():
-        start(0, 0)
+    nrows = sx_ref.shape[1]          # S // SCH
 
     cfw = [cfw_ref[i] for i in range(cfw_ref.shape[0])]
     cpw = [cpw_ref[i] for i in range(cpw_ref.shape[0])]
 
-    def body(q, carry):
-        acc, pot = carry
-        slot = q % 2
+    tx = tx_ref[0, 0, :].reshape(BLK, 1)     # u32 [BLK,1]
+    ty = ty_ref[0, 0, :].reshape(BLK, 1)
+    tz = tz_ref[0, 0, :].reshape(BLK, 1)
 
-        @pl.when(q + 1 < nq)
-        def _():
-            start(1 - slot, q + 1)
+    def body(s, carry):
+        ax, ay, az, pot = carry
+        sx = sx_ref[0, s, :].reshape(1, SCH)
+        sy = sy_ref[0, s, :].reshape(1, SCH)
+        sz = sz_ref[0, s, :].reshape(1, SCH)
+        m = sm_ref[0, s, :].reshape(1, SCH)
 
-        wait(slot, q)
-        spos = src_pos_s[slot, :, :]                  # [128,3] u32
-        smass = src_mass_s[slot, :]                   # [128]
-        # lane validity: lane l belongs to leaf l // NCRIT
-        sub = jax.lax.broadcasted_iota(jnp.int32, (QUAD, NCRIT), 1)
-        pcs = jnp.stack([quad_pc_ref[b, q * QUAD + j]
-                         for j in range(QUAD)])       # [QUAD]
-        live = (sub < pcs[:, None]).reshape(QUAD * NCRIT)
+        def sep(a, b):
+            d = a - b                          # u32 wrap [BLK,SCH]
+            return pltpu.bitcast(d, jnp.int32).astype(jnp.float32) \
+                * to_f
 
-        d = spos[None, :, :] - tgt[:, None, :]        # u32 wrap
-        dx = pltpu.bitcast(d, jnp.int32).astype(jnp.float32) * to_f
-        r2 = jnp.sum(dx * dx, axis=-1)                # [BLK,128]
+        dx = sep(sx, tx)
+        dy = sep(sy, ty)
+        dz = sep(sz, tz)
+        r2 = dx * dx + dy * dy + dz * dz
         r = jnp.sqrt(r2)
         rinv = jnp.where(r > 0, 1.0 / jnp.maximum(r, 1e-35), 0.0)
-        m = jnp.where(live[None, :], smass[None, :], 0.0)
         fac_n = m * rinv * rinv * rinv
         pot_n = -m * rinv
         u = r / soft
@@ -137,7 +97,7 @@ def _p2p_kernel(nquads_ref, tgt_start_ref, quad_ps_ref, quad_pc_ref,
         fac = jnp.where(insoft, jnp.where(u < 0.5, fin, fout), fac_n)
         fpot = jnp.where(insoft, (m / soft)
                          * jnp.where(u < 0.5, wpi, wpo), pot_n)
-        x = r * inv_cellxmax                          # in [0, 1+)
+        x = r * inv_cellxmax
         t = jnp.clip(2.0 * x - 1.0, -1.0, 1.0)
         inrange = x < 1.0
         fw = jnp.where(inrange, jnp.clip(_clenshaw(t, cfw), 0.0, 1.0),
@@ -145,43 +105,63 @@ def _p2p_kernel(nquads_ref, tgt_start_ref, quad_ps_ref, quad_pc_ref,
         pw = jnp.where(inrange, jnp.clip(_clenshaw(t, cpw), 0.0, 1.0),
                        0.0)
         fall = fac * fw
-        acc = acc + jnp.sum(dx * fall[:, :, None], axis=1)
-        pot = pot + jnp.sum(fpot * pw, axis=1)
-        return acc, pot
+        ax = ax + jnp.sum(dx * fall, axis=1, keepdims=True)
+        ay = ay + jnp.sum(dy * fall, axis=1, keepdims=True)
+        az = az + jnp.sum(dz * fall, axis=1, keepdims=True)
+        pot = pot + jnp.sum(fpot * pw, axis=1, keepdims=True)
+        return ax, ay, az, pot
 
-    acc0 = jnp.zeros((BLK, 3), jnp.float32)
-    pot0 = jnp.zeros((BLK,), jnp.float32)
-    acc, pot = jax.lax.fori_loop(0, nq, body, (acc0, pot0))
-    acc_ref[0, :, :] = acc * g
-    # pot block is sublane-padded to 8 rows (TPU tiling rule)
-    pot_ref[0, 0, :] = pot * g
+    z = jnp.zeros((BLK, 1), jnp.float32)
+    ax, ay, az, pot = jax.lax.fori_loop(0, nrows, body, (z, z, z, z))
+    acc_ref[0, :, 0] = ax[:, 0] * g
+    acc_ref[0, :, 1] = ay[:, 0] * g
+    acc_ref[0, :, 2] = az[:, 0] * g
+    pot_ref[0, 0, :] = pot[:, 0] * g
 
 
-def p2p_blocked(ipos_s, mass_s, tgt_start, nquads, quad_ps, quad_pc,
-                boxsize, softening, cellsize, window, G,
-                interpret=False):
-    """Launch the P2P kernel.
+@partial(jax.jit, static_argnames=("boxsize", "softening", "cellsize",
+                                   "G", "interpret"))
+def p2p_blocked(tgt_ipos, src_ipos, src_mass, boxsize, softening,
+                cellsize, window, G, interpret=False):
+    """Fused P2P over pre-gathered per-block source tables.
 
-    ipos_s/mass_s: Morton-sorted particle arrays, PADDED by >= NCRIT
-    rows at the end (dead rows have zero mass).
-    tgt_start [nb]: first sorted index of each block's 128 targets.
-    nquads [nb]: number of valid source quads per block.
-    quad_ps/quad_pc [nb, maxq*QUAD]: per-leaf-slot source run start
-    and count (count 0 for padding slots).
+    tgt_ipos [nb, BLK, 3] uint32; src_ipos [nb, S, 3] uint32 with
+    S % 128 == 0; src_mass [nb, S] f32 (zero for masked lanes).
     window: gravity.shortrange.PolyWindow.
-    Returns (acc [nb, BLK, 3], pot [nb, BLK]) in G-multiplied units.
+    Returns (acc [nb, BLK, 3], pot [nb, BLK]), G-multiplied.
     """
-    nb = tgt_start.shape[0]
-    maxq = quad_ps.shape[1] // QUAD
+    nb, S = src_mass.shape
+    assert S % SCH == 0
+    nrows = S // SCH
     xmax = float(window.xmax)
     scal = jnp.asarray([boxsize / float(POS_SCALE), softening,
-                        1.0 / (cellsize * xmax), G, 0.0], jnp.float32)
+                        1.0 / (cellsize * xmax), G], jnp.float32)
+    tx = tgt_ipos[:, :, 0].reshape(nb, 1, BLK)
+    ty = tgt_ipos[:, :, 1].reshape(nb, 1, BLK)
+    tz = tgt_ipos[:, :, 2].reshape(nb, 1, BLK)
+    sx = src_ipos[:, :, 0].reshape(nb, nrows, SCH)
+    sy = src_ipos[:, :, 1].reshape(nb, nrows, SCH)
+    sz = src_ipos[:, :, 2].reshape(nb, nrows, SCH)
+    sm = src_mass.reshape(nb, nrows, SCH)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=3,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),      # ipos (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),      # mass (HBM)
+            pl.BlockSpec((1, 1, BLK), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BLK), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BLK), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nrows, SCH), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nrows, SCH), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nrows, SCH), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nrows, SCH), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, BLK, 3), lambda b, *_: (b, 0, 0),
@@ -189,12 +169,6 @@ def p2p_blocked(ipos_s, mass_s, tgt_start, nquads, quad_ps, quad_pc,
             pl.BlockSpec((1, 8, BLK), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((BLK, 3), jnp.uint32),
-            pltpu.VMEM((2, QUAD * NCRIT, 3), jnp.uint32),
-            pltpu.VMEM((2, QUAD * NCRIT), jnp.float32),
-            pltpu.SemaphoreType.DMA((3, 2 * QUAD)),
-        ],
     )
     acc, pot = pl.pallas_call(
         _p2p_kernel,
@@ -204,7 +178,5 @@ def p2p_blocked(ipos_s, mass_s, tgt_start, nquads, quad_ps, quad_pc,
             jax.ShapeDtypeStruct((nb, 8, BLK), jnp.float32),
         ),
         interpret=interpret,
-    )(nquads.astype(jnp.int32), tgt_start.astype(jnp.int32),
-      quad_ps.astype(jnp.int32), quad_pc.astype(jnp.int32),
-      scal, window.cf, window.cp, ipos_s, mass_s)
+    )(scal, window.cf, window.cp, tx, ty, tz, sx, sy, sz, sm)
     return acc, pot[:, 0, :]
