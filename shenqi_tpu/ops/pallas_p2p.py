@@ -133,9 +133,14 @@ def p2p_blocked(tgt_ipos, src_ipos, src_mass, boxsize, softening,
     nb, S = src_mass.shape
     assert S % SCH == 0
     nrows = S // SCH
-    xmax = float(window.xmax)
-    scal = jnp.asarray([boxsize / float(POS_SCALE), softening,
-                        1.0 / (cellsize * xmax), G], jnp.float32)
+    # window.xmax may be a traced array (window is a jit argument):
+    # keep it symbolic instead of float()ing it.
+    inv_cellxmax = (1.0 / (cellsize
+                           * window.xmax.astype(jnp.float32))
+                    ).astype(jnp.float32)
+    scal = jnp.stack([jnp.float32(boxsize / float(POS_SCALE)),
+                      jnp.float32(softening), inv_cellxmax,
+                      jnp.float32(G)])
     tx = tgt_ipos[:, :, 0].reshape(nb, 1, BLK)
     ty = tgt_ipos[:, :, 1].reshape(nb, 1, BLK)
     tz = tgt_ipos[:, :, 2].reshape(nb, 1, BLK)
