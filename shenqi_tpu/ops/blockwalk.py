@@ -165,6 +165,71 @@ def make_blocks(tree: Octree, n_targets: int, block: int, boxsize):
     return bb_lo, bb_hi, nblocks, pad_n
 
 
+@partial(jax.jit, static_argnames=("block", "level", "nb"))
+def make_blocks_device(tree: Octree, tgt_idx_sorted, tgt_valid,
+                       block: int, level: int, nb: int, boxsize):
+    """Cell-anchored target blocks, fully on device.
+
+    The device-side version of make_blocks_from_tree: no host
+    transfer of positions, no data-dependent output shape — callers
+    pass a static block capacity `nb` and check the returned overflow
+    flag (one scalar) instead.
+
+    tgt_idx_sorted: [T] int32 target rows (indices into the SORTED
+    particle arrays) in ascending sorted order; tgt_valid: [T] bool.
+    Invalid rows group into their own trailing blocks.
+
+    Returns (bb_lo [nb,3], bb_hi [nb,3], tgt_idx [nb,block],
+    tgt_valid [nb,block], overflow scalar bool).
+    """
+    from .morton import morton_key
+
+    T = tgt_idx_sorted.shape[0]
+    ipos = tree.ipos_s[tgt_idx_sorted]
+    gid = morton_key(ipos) >> jnp.uint32(30 - 3 * level)
+    gid = jnp.where(tgt_valid, gid, jnp.uint32(0xFFFFFFFF))
+
+    idx = jnp.arange(T, dtype=jnp.int32)
+    newcell = jnp.concatenate(
+        [jnp.ones(1, bool), gid[1:] != gid[:-1]])
+    cellstart = jax.lax.cummax(jnp.where(newcell, idx, 0))
+    rank = idx - cellstart
+    bflag = newcell | (rank % block == 0)
+    bid = jnp.cumsum(bflag.astype(jnp.int32)) - 1
+    blockstart = jax.lax.cummax(jnp.where(bflag, idx, 0))
+    lane = idx - blockstart
+
+    overflow = bid[-1] >= nb
+    sbid = jnp.minimum(bid, nb - 1)
+    flat = sbid * block + lane
+    tgt_idx_b = jnp.zeros(nb * block, jnp.int32).at[flat].set(
+        tgt_idx_sorted, mode="promise_in_bounds")
+    valid_b = jnp.zeros(nb * block, bool).at[flat].set(
+        tgt_valid, mode="promise_in_bounds")
+
+    to_f = jnp.float32(boxsize / POS_SCALE)
+    posf = ipos.astype(jnp.float32) * to_f
+    big = jnp.float32(3.4e38)
+    lo_in = jnp.where(tgt_valid[:, None], posf, big)
+    hi_in = jnp.where(tgt_valid[:, None], posf, -big)
+    bb_lo = jnp.full((nb, 3), big, jnp.float32).at[sbid].min(
+        lo_in, mode="promise_in_bounds")
+    bb_hi = jnp.full((nb, 3), -big, jnp.float32).at[sbid].max(
+        hi_in, mode="promise_in_bounds")
+    empty = bb_lo[:, 0] >= big
+    bb_lo = jnp.where(empty[:, None], 0.0, bb_lo)
+    bb_hi = jnp.where(empty[:, None], 0.0, bb_hi)
+    return (bb_lo, bb_hi, tgt_idx_b.reshape(nb, block),
+            valid_b.reshape(nb, block), overflow)
+
+
+def auto_block_level(T: int, block: int) -> int:
+    """~4 blocks per occupied cell on average (host, static)."""
+    import math
+    return max(1, min(8, round(math.log(max(T, 8)
+                                        / (4.0 * block), 8))))
+
+
 def make_blocks_from_tree(tree: Octree, n_targets: int, block: int,
                           boxsize, level: int = None):
     """Cell-anchored target blocks (host-side).

@@ -53,6 +53,71 @@ def cic_deposit(ipos, weights, nmesh: int, mask=None) -> jax.Array:
     return mesh
 
 
+def cic_deposit_slab(ipos, weights, nmesh: int, nloc: int, halo: int,
+                     x0, mask=None) -> jax.Array:
+    """CIC deposit into an x-slab buffer of [nloc + 2*halo, N, N].
+
+    The buffer covers global x-planes [x0 - halo, x0 + nloc + halo)
+    (mod nmesh); x0 is this device's first owned plane (traced scalar).
+    Particles whose base plane falls outside the buffer are dropped —
+    the caller guarantees (via domain exchange) they don't exist.
+    The distributed analog of the reference's region meshbuf deposit
+    (libgadget/petapm.cpp:79-87): per-rank local deposit, boundary
+    planes later shipped to their owners.
+    """
+    i0, f = _cell_coords(ipos, nmesh)
+    w = weights.astype(jnp.float32)
+    if mask is not None:
+        w = jnp.where(mask, w, 0.0)
+    nbuf = nloc + 2 * halo
+    relx = jnp.mod(i0[:, 0] - (x0 - halo), nmesh)
+    inbuf = relx < nbuf - 1          # dx=1 must stay in the buffer
+    w = jnp.where(inbuf, w, 0.0)
+    relx = jnp.where(inbuf, relx, 0)
+    buf = jnp.zeros((nbuf, nmesh, nmesh), jnp.float32)
+    for dx in (0, 1):
+        wx = (1.0 - f[:, 0]) if dx == 0 else f[:, 0]
+        ix = relx + dx
+        for dy in (0, 1):
+            wy = (1.0 - f[:, 1]) if dy == 0 else f[:, 1]
+            iy = (i0[:, 1] + dy) % nmesh
+            for dz in (0, 1):
+                wz = (1.0 - f[:, 2]) if dz == 0 else f[:, 2]
+                iz = (i0[:, 2] + dz) % nmesh
+                buf = buf.at[ix, iy, iz].add(
+                    w * wx * wy * wz, mode="promise_in_bounds")
+    return buf
+
+
+def cic_readout_slab(buf, ipos, nmesh: int, halo: int, x0,
+                     mask=None) -> jax.Array:
+    """Interpolate from an extended x-slab buffer [nloc+2*halo, N, N].
+
+    Mirrors cic_deposit_slab's layout: plane p of the buffer is global
+    plane (x0 - halo + p) mod nmesh.
+    """
+    nbuf = buf.shape[0]
+    i0, f = _cell_coords(ipos, nmesh)
+    relx = jnp.mod(i0[:, 0] - (x0 - halo), nmesh)
+    inbuf = relx < nbuf - 1
+    relx = jnp.where(inbuf, relx, 0)
+    out = jnp.zeros(ipos.shape[0], jnp.float32)
+    for dx in (0, 1):
+        wx = (1.0 - f[:, 0]) if dx == 0 else f[:, 0]
+        ix = relx + dx
+        for dy in (0, 1):
+            wy = (1.0 - f[:, 1]) if dy == 0 else f[:, 1]
+            iy = (i0[:, 1] + dy) % nmesh
+            for dz in (0, 1):
+                wz = (1.0 - f[:, 2]) if dz == 0 else f[:, 2]
+                iz = (i0[:, 2] + dz) % nmesh
+                out = out + buf[ix, iy, iz] * (wx * wy * wz)
+    out = jnp.where(inbuf, out, 0.0)
+    if mask is not None:
+        out = jnp.where(mask, out, 0.0)
+    return out
+
+
 def cic_readout(mesh, ipos, mask=None) -> jax.Array:
     """Interpolate mesh values back to particle positions with CIC."""
     nmesh = mesh.shape[0]

@@ -80,6 +80,97 @@ def pencil_kvec(n: int, axis_name: str = "dp"):
     return kx, ky, kz
 
 
+def _pm_transfer_chain(rho_k, cfg, axis_name: str = "dp"):
+    """k-space Green's function on the pencil layout.
+
+    Returns (pot_k pencil, (kx, ky, kz)).  Same math as
+    gravity.pm.pm_forces (gravpm.cpp:379 potential transfer): CIC
+    deconvolution squared, exp(-k^2 asmth^2)/k^2, G normalization.
+    """
+    n = cfg.nmesh
+    kx, ky, kz = pencil_kvec(n, axis_name)
+    k2 = kx * kx + ky * ky + kz * kz
+
+    def sinc(x):
+        return jnp.where(jnp.abs(x) > 1e-6, jnp.sin(x)
+                         / jnp.where(jnp.abs(x) > 1e-6, x, 1.0), 1.0)
+
+    w = (2 * np.pi / (2 * n))
+    invwindow = 1.0 / jnp.maximum(
+        (sinc(kx * w) * sinc(ky * w) * sinc(kz * w)) ** 2, 1e-12)
+    asmth2 = (2 * np.pi * cfg.asmth / n) ** 2
+    pot_factor = -cfg.G / (np.pi * cfg.boxsize)
+    fac = (pot_factor * n ** 3) * jnp.exp(-k2 * asmth2) \
+        / jnp.where(k2 > 0, k2, 1.0) * invwindow * invwindow
+    fac = jnp.where(k2 > 0, fac, 0.0)
+    return rho_k * fac, (kx, ky, kz)
+
+
+def pm_forces_slab(ipos_local, mass_local, cfg, ndev: int,
+                   axis_name: str = "dp", halo: int = 2,
+                   mask=None):
+    """Fully distributed PM forces: per-device memory O(N^3/D).
+
+    Requires the slab domain invariant (parallel.domain): this
+    device's particles lie in x-slab `me` up to CIC fuzz.  Deposit
+    goes into the local slab + `halo` boundary planes which are
+    ppermute'd to the ring neighbors (the petapm.cpp:79-87 region
+    exchange, reduced to a ring because domains ARE mesh slabs);
+    readout borrows `halo` planes back.  No full-mesh psum, no force
+    all_gather (replaces the round-1 pfft.py:104,137 hotspots).
+    """
+    from ..ops.cic import cic_deposit_slab, cic_readout_slab
+
+    n = cfg.nmesh
+    if n % ndev:
+        raise ValueError(f"nmesh {n} not divisible by ndev {ndev}")
+    nloc = n // ndev
+    if halo > nloc:
+        raise ValueError(f"halo {halo} > slab {nloc}")
+    me = jax.lax.axis_index(axis_name)
+    x0 = (me * nloc).astype(jnp.int32)
+
+    buf = cic_deposit_slab(ipos_local, mass_local, n, nloc, halo, x0,
+                           mask=mask)
+    to_left = [(i, (i - 1) % ndev) for i in range(ndev)]
+    to_right = [(i, (i + 1) % ndev) for i in range(ndev)]
+    if ndev > 1:
+        # my planes below x0 belong to the left neighbor's interior
+        from_right = jax.lax.ppermute(buf[:halo], axis_name, to_left)
+        from_left = jax.lax.ppermute(buf[nloc + halo:], axis_name,
+                                     to_right)
+        slab = buf[halo: halo + nloc]
+        slab = slab.at[:halo].add(from_left)
+        slab = slab.at[nloc - halo:].add(from_right)
+    else:
+        slab = buf[halo: halo + nloc]
+        slab = slab.at[:halo].add(buf[nloc + halo:])
+        slab = slab.at[nloc - halo:].add(buf[:halo])
+
+    rho_k = pfft_r2c(slab, axis_name)              # [N, N/D, K]
+    pot_k, (kx, ky, kz) = _pm_transfer_chain(rho_k, cfg, axis_name)
+
+    def diff_kernel(wv):
+        return (8.0 * jnp.sin(wv) - jnp.sin(2.0 * wv)) / 6.0
+
+    accel = []
+    for kj in (kx, ky, kz):
+        ffac = -diff_kernel(kj * (2 * np.pi / n)) * (n / cfg.boxsize)
+        fslab = pfft_c2r((1j * ffac) * pot_k, n, axis_name)
+        if ndev > 1:
+            lo_ext = jax.lax.ppermute(fslab[nloc - halo:], axis_name,
+                                      to_right)
+            hi_ext = jax.lax.ppermute(fslab[:halo], axis_name,
+                                      to_left)
+        else:
+            lo_ext = fslab[nloc - halo:]
+            hi_ext = fslab[:halo]
+        ext = jnp.concatenate([lo_ext, fslab, hi_ext])
+        accel.append(cic_readout_slab(ext, ipos_local, n, halo, x0,
+                                      mask=mask))
+    return jnp.stack(accel, axis=-1)
+
+
 def pm_forces_pencil(ipos_local, mass_local, cfg, axis_name: str = "dp"):
     """Multi-chip PM forces with the pencil-distributed FFT.
 

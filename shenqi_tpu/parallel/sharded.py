@@ -157,6 +157,167 @@ def tree_forces_sharded(ipos_local, mass_local, oldacc_local,
                                         axis=0)
 
 
+def tree_forces_slab(fields: dict, sp: ShortRangeParams,
+                     window_tables, ndev: int, gcap: int,
+                     tree_nlevels: int, tree_ncrit: int,
+                     maxi: int, maxl: int, block: int,
+                     axis_name: str = "dp"):
+    """Locally-essential-tree short-range gravity on a slab domain.
+
+    Replaces the round-1 replicated tree (all_gather + psum,
+    sharded.py r1): ghosts within rcut arrive from the two slab
+    neighbors via ppermute (treewalk2.h:307-362 export/import analog,
+    ring-reduced), then the ENTIRE walk is device-local — per-device
+    memory and work are O(N/D + halo).
+
+    fields: local rows dict with ipos/mass/oldacc ([C] leading).
+    Returns (acc [C,3], pot [C], info dict of psum'd diagnostics).
+    """
+    from ..ops.morton import morton_key
+    from .domain import halo_exchange
+
+    ipos_l = fields["ipos"]
+    C = ipos_l.shape[0]
+    width_fp = int(np.ceil(sp.rcut / sp.boxsize * 2 ** 32)) + (1 << 16)
+    ghosts, n_lost = halo_exchange(
+        {"ipos": fields["ipos"], "mass": fields["mass"],
+         "oldacc": fields["oldacc"]},
+        width_fp, ndev, gcap, axis_name)
+
+    ipos_all = jnp.concatenate([fields["ipos"], ghosts["ipos"]])
+    mass_all = jnp.concatenate([fields["mass"], ghosts["mass"]])
+    oldacc_all = jnp.concatenate([fields["oldacc"], ghosts["oldacc"]])
+    alive = mass_all > 0
+    n = ipos_all.shape[0]
+
+    # park dead rows on the max-key alive particle so Morton-run
+    # target blocks stay tight (garbage positions would blow up the
+    # block bboxes and the interaction lists)
+    keys = morton_key(ipos_all)
+    imax = jnp.argmax(jnp.where(alive, keys, 0))
+    ipos_all = jnp.where(alive[:, None], ipos_all, ipos_all[imax])
+
+    tree = build_octree(ipos_all, mass_all, alive, sp.boxsize,
+                        nlevels=tree_nlevels, ncrit=tree_ncrit)
+    bb_lo, bb_hi, nblocks, pad_n = make_blocks(tree, n, block,
+                                               sp.boxsize)
+    alive_s = tree.mass_s > 0
+    oldacc_s = oldacc_all[tree.order]
+    idxp = jnp.minimum(jnp.arange(pad_n), n - 1)
+    BIG = jnp.float32(1e30)
+    aold_lane = jnp.where(alive_s[idxp],
+                          sp.err_tol_force_acc * oldacc_s[idxp], BIG)
+    block_aold = aold_lane.reshape(nblocks, block).min(axis=1)
+
+    lists = block_traverse(
+        tree, bb_lo, bb_hi, jnp.zeros(nblocks, jnp.float32),
+        block_aold, sp.boxsize, sp.rcut, sp.bh_opening_angle ** 2,
+        sp.use_bh, maxi=maxi, maxl=maxl, mode="gravity")
+
+    to_f = jnp.float32(sp.boxsize / POS_SCALE)
+    tgt_pos = (tree.ipos_s[idxp].astype(jnp.float32) * to_f
+               ).reshape(nblocks, block, 3)
+    acc_b, pot_b = _blocked_eval(tree, lists, tgt_pos, sp,
+                                 window_tables, maxi, maxl,
+                                 tree_ncrit, nblocks, block)
+
+    # back to row order (local rows are [0, C); ghosts discarded).
+    # clamped tail lanes duplicate row n-1: scatter-set via a dump row
+    lane_ok = jnp.arange(pad_n) < n
+    flat = jnp.where(lane_ok, tree.order[idxp], n)
+    acc = jnp.zeros((n + 1, 3), jnp.float32).at[flat].set(
+        acc_b.reshape(-1, 3))[:C]
+    pot = jnp.zeros(n + 1, jnp.float32).at[flat].set(
+        pot_b.reshape(-1))[:C]
+    info = {
+        "halo_lost": n_lost,
+        "walk_overflow": jax.lax.psum(
+            jnp.sum(lists.overflow.astype(jnp.int32)), axis_name),
+    }
+    return acc, pot, info
+
+
+def make_slab_step(mesh: Mesh, cfg_pm: PMConfig,
+                   sp: ShortRangeParams, window_tables,
+                   tree_nlevels: int = 6, tree_ncrit: int = 32,
+                   maxi: int = 1024, maxl: int = 512,
+                   block: int = 128, kcap: int = None,
+                   gcap: int = None, pm_halo: int = 2):
+    """The distributed multi-chip TreePM KDK step (round-2 design).
+
+    Unlike the round-1 `make_sharded_step` (replicated tree via
+    all_gather, full PM mesh psum'd to every device), every stage here
+    is O(N/D + halo) per device:
+
+      exchange   -> rows migrate to their owner slab (all_to_all)
+      PM         -> slab deposit + ppermute halos + pencil FFT +
+                    slab readout (pfft.pm_forces_slab)
+      tree       -> per-device octree over local + rcut ghosts
+                    (tree_forces_slab)
+      KDK        -> embarrassingly parallel on the rows
+
+    step(fields, kick, drift) -> (fields, info); fields is a dict of
+    per-device row blocks (ipos/vel/mass/oldacc/pid) sharded over
+    'dp', built with domain.distribute_slabs.  info carries psum'd
+    diagnostics (exchange unsent/dropped, halo overflow, walk
+    overflow) — assert zeros in tests, monitor in production.
+    """
+    from .domain import exchange
+    from .pfft import pm_forces_slab
+
+    ndev = mesh.devices.size
+    if kcap is None:
+        kcap = 256
+
+    field_specs = {
+        "ipos": P("dp", None), "vel": P("dp", None), "mass": P("dp"),
+        "oldacc": P("dp"), "pid": P("dp"),
+    }
+    info_specs = {"unsent": P(), "dropped": P(), "n_alive": P(),
+                  "halo_lost": P(), "walk_overflow": P()}
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(field_specs, P(), P()),
+             out_specs=(field_specs, info_specs),
+             check_vma=False)
+    def step_local(fields, kick, drift):
+        C = fields["ipos"].shape[0]
+        if gcap is not None:
+            g = gcap
+        else:
+            # whole slabs ship when rcut exceeds the slab width; only
+            # a boundary strip does otherwise
+            wide = sp.rcut * ndev >= sp.boxsize
+            g = C if wide else max(C // 4, block)
+        fields, xinfo = exchange(fields, ndev, kcap)
+        alive = fields["mass"] > 0
+
+        accel_pm = pm_forces_slab(fields["ipos"], fields["mass"],
+                                  cfg_pm, ndev, halo=pm_halo)
+        acc_tree, _pot, tinfo = tree_forces_slab(
+            fields, sp, window_tables, ndev, g, tree_nlevels,
+            tree_ncrit, maxi, maxl, block)
+
+        accel = accel_pm + acc_tree
+        vel = jnp.where(alive[:, None],
+                        fields["vel"] + accel * kick, fields["vel"])
+        dx = vel * drift * jnp.float32(POS_SCALE / cfg_pm.boxsize)
+        ipos = jnp.where(alive[:, None],
+                         fields["ipos"]
+                         + dx.astype(jnp.int32).astype(jnp.uint32),
+                         fields["ipos"])
+        oldacc = jnp.where(alive,
+                           jnp.linalg.norm(accel, axis=-1) / sp.G,
+                           fields["oldacc"])
+        out = dict(fields)
+        out.update(ipos=ipos, vel=vel, oldacc=oldacc)
+        info = dict(xinfo)
+        info.update(tinfo)
+        return out, info
+
+    return jax.jit(step_local)
+
+
 def make_sharded_step(mesh: Mesh, cfg_pm: PMConfig,
                       sp: ShortRangeParams, window_tables,
                       tree_nlevels: int = 6, tree_ncrit: int = 32,

@@ -83,6 +83,10 @@ class Simulation:
     on_drift: object = None      # callback(sim, a0, a1) after drifts
     gas: object = None           # GasState (simulation_gas.py)
     gas_physics: object = None   # GasPhysics
+    # persistent walk/tier caches: keep the device-blocked gravity's
+    # static shapes monotone so steady-state steps hit the jit cache
+    _tier_cache: dict = field(default_factory=dict)
+    _caps_cache: dict = field(default_factory=dict)
 
     @classmethod
     def from_arrays(cls, pos, vel, mass, ids, CP, boxsize, nmesh,
@@ -227,12 +231,13 @@ class Simulation:
             # Morton key is the sentinel), so walking the first
             # n_alive sorted rows covers exactly the live set
             from .gravity.shortrange_blocked import treegrav_blocked
-            n_alive = int(np.asarray(p.mask).sum())
             acc, pot, _ = treegrav_blocked(
                 tree, p.old_acc, sp, self.window_tables,
-                n_targets=max(n_alive, 1), block=self.gravity.block,
+                block=self.gravity.block,
                 maxi=self.gravity.maxi, maxl=self.gravity.maxl,
-                ncrit=self.gravity.tree_ncrit)
+                ncrit=self.gravity.tree_ncrit, blocking="device",
+                tier_cache=self._tier_cache,
+                caps_cache=self._caps_cache)
         else:
             acc, pot, _ = treegrav_targets(tree, p.ipos, p.old_acc,
                                            sp, self.window_tables)
@@ -247,11 +252,15 @@ class Simulation:
                 return b
         return TIMEBINS
 
-    def _active_source_accel(self, sel):
+    def _active_source_accel(self, sel, n_act: int = None):
         """Tree gravity with ONLY the selected particles as sources
         (force_tree_active_moments semantics: at each level both the
         sources and the kicked targets are the active set, which is
-        what makes the scheme momentum-conserving)."""
+        what makes the scheme momentum-conserving).
+
+        sel: host bool mask [N]; n_act its popcount (host int, avoids
+        a device sync — the walk size is bucketed to a power of two
+        so distinct counts don't recompile)."""
         p = self.particles
         selj = jnp.asarray(sel)
         mass = jnp.where(selj, p.mass, 0.0)
@@ -264,12 +273,15 @@ class Simulation:
         sp = self.gravity.short()
         if self.gravity.engine == "blocked":
             from .gravity.shortrange_blocked import treegrav_blocked
-            n_act = int(np.asarray(selj & p.mask).sum())
+            if n_act is None:
+                n_act = int(np.asarray(sel).sum())
             acc, _, _ = treegrav_blocked(
                 tree, p.old_acc, sp, self.window_tables,
                 n_targets=max(n_act, 1), block=self.gravity.block,
                 maxi=self.gravity.maxi, maxl=self.gravity.maxl,
-                ncrit=self.gravity.tree_ncrit)
+                ncrit=self.gravity.tree_ncrit, blocking="device",
+                active=selj, tier_cache=self._tier_cache,
+                caps_cache=self._caps_cache)
         else:
             acc, _, _ = treegrav_targets(tree, p.ipos, p.old_acc, sp,
                                          self.window_tables)
@@ -307,7 +319,7 @@ class Simulation:
             if cnt == 0:
                 break
             if cnt != last_count:
-                accel = self._active_source_accel(sel)
+                accel = self._active_source_accel(sel, cnt)
                 last_count = cnt
             self._hier_grav_kick(sel, accel, ti, largest)
             if ti == largest:
@@ -401,21 +413,21 @@ class Simulation:
 
         # opening kicks: top bin uses the stored (full/active) accel
         tb = newbins
-        sel = active & np.asarray(self.particles.mask) & (tb <= largest)
+        mask_h = np.asarray(self.particles.mask)
+        sel = active & mask_h & (tb <= largest)
         if sel.any():
             self._hier_grav_kick(sel, self.particles.grav_accel,
                                  largest, largest)
         accel = None
         last_count = -1
         for ti in range(largest - 1, 0, -1):
-            sel = active & np.asarray(self.particles.mask) \
-                & (tb <= ti)
+            sel = active & mask_h & (tb <= ti)
             cnt = int(sel.sum())
             if cnt == 0:
                 times.mintimebin = max(times.mintimebin, ti + 1)
                 break
             if cnt != last_count:
-                accel = self._active_source_accel(sel)
+                accel = self._active_source_accel(sel, cnt)
                 last_count = cnt
             self._hier_grav_kick(sel, accel, ti, largest)
         return bad

@@ -75,3 +75,60 @@ def test_blocked_with_acc_criterion():
     scale = np.median(fmag[fmag > 0])
     err = np.linalg.norm(acc_bl - expected, axis=1) / scale
     assert np.percentile(err, 90) < 0.005
+
+
+def test_device_blocking_matches_tree_blocking():
+    """blocking='device' (on-device block assembly, single-sync) must
+    reproduce the host-side 'tree' blocking, including with an active
+    subset (the build_active_sublist analog)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from shenqi_tpu.core.particles import float_to_ipos
+    from shenqi_tpu.ops.tree import build_octree
+    from shenqi_tpu.gravity.shortrange import ShortRangeParams
+    from shenqi_tpu.gravity.shortrange_blocked import treegrav_blocked
+
+    BOX = 50000.0
+    rng = np.random.RandomState(11)
+    n = 3000
+    # clustered: half uniform, half in 3 clumps
+    pos = np.concatenate([
+        rng.uniform(0, BOX, (n // 2, 3)),
+        (rng.normal(0, 0.02 * BOX, (n // 2, 3))
+         + rng.choice([0.2, 0.5, 0.8], (n // 2, 1)) * BOX) % BOX])
+    ipos = jnp.asarray(float_to_ipos(pos, BOX))
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, n).astype(np.float32))
+    tree = build_octree(ipos, mass, mass > 0, BOX, nlevels=6,
+                        ncrit=16)
+    nmesh = 32
+    sp = ShortRangeParams(boxsize=BOX, cellsize=BOX / nmesh,
+                          rcut=6 * BOX / nmesh, asmth=1.5, use_bh=1,
+                          softening=300.0, G=43007.1)
+    oldacc = jnp.zeros(n, jnp.float32)
+    kw = dict(block=128, maxi=1024, maxl=512, ncrit=16)
+    acc_t, pot_t, _ = treegrav_blocked(tree, oldacc, sp, None,
+                                       blocking="tree", **kw)
+    cache = {}
+    acc_d, pot_d, _ = treegrav_blocked(tree, oldacc, sp, None,
+                                       blocking="device",
+                                       tier_cache=cache, **kw)
+    scale = float(jnp.abs(acc_t).max())
+    np.testing.assert_allclose(np.asarray(acc_d), np.asarray(acc_t),
+                               atol=1e-5 * scale)
+    np.testing.assert_allclose(np.asarray(pot_d), np.asarray(pot_t),
+                               atol=1e-5 * float(jnp.abs(pot_t).max()))
+    assert cache, "tier cache should be populated"
+
+    # active subset: forces equal on the subset, zero elsewhere
+    active = np.zeros(n, bool)
+    active[rng.choice(n, 500, replace=False)] = True
+    acc_a, _, _ = treegrav_blocked(tree, oldacc, sp, None,
+                                   blocking="device", active=active,
+                                   n_targets=500, tier_cache=cache,
+                                   **kw)
+    # compacted-active blocks have different bboxes -> different (but
+    # equally valid) MAC decisions; agree to force-accuracy order
+    np.testing.assert_allclose(np.asarray(acc_a)[active],
+                               np.asarray(acc_t)[active],
+                               atol=5e-4 * scale)
+    assert np.all(np.asarray(acc_a)[~active] == 0.0)

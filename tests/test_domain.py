@@ -1,0 +1,257 @@
+"""Slab domain layer: exchange, halo exchange, distributed step.
+
+The analogs of the reference's multi-rank suites (test_exchange.cpp
+ID conservation across 4 ranks, test_gravity.cpp distributed-vs-single
+force parity) on the 8-virtual-device CPU mesh.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:
+    from jax.experimental.shard_map import shard_map
+from functools import partial
+
+from shenqi_tpu.core.particles import float_to_ipos, POS_SCALE
+from shenqi_tpu.parallel.sharded import make_mesh, make_slab_step
+from shenqi_tpu.parallel.domain import (slab_index, exchange,
+                                        halo_exchange,
+                                        distribute_slabs,
+                                        collect_alive)
+from shenqi_tpu.gravity.pm import PMConfig, pm_forces
+from shenqi_tpu.gravity.shortrange import ShortRangeParams
+from shenqi_tpu.gravity.shortrange_blocked import treegrav_blocked
+from shenqi_tpu.ops.tree import build_octree
+
+BOX = 50000.0
+G = 43007.1
+NDEV = 8
+
+
+def _random_fields(n, seed=0, box=BOX):
+    rng = np.random.RandomState(seed)
+    pos = rng.uniform(0, box, (n, 3))
+    return {
+        "ipos": np.asarray(float_to_ipos(pos, box)),
+        "vel": rng.normal(0, 10, (n, 3)).astype(np.float32),
+        "mass": rng.uniform(0.5, 2.0, n).astype(np.float32),
+        "oldacc": np.zeros(n, np.float32),
+        "pid": np.arange(n, dtype=np.int32),
+    }
+
+
+def test_exchange_moves_rows_to_owner_slab():
+    mesh = make_mesh(NDEV)
+    n = 1000
+    fields = _random_fields(n, seed=1)
+    C = 256
+    # deliberately WRONG placement: round-robin rows over devices
+    shuffled = {}
+    for name, a in fields.items():
+        buf = np.zeros((NDEV * C,) + a.shape[1:], a.dtype)
+        buf[: n] = a            # first chunks get everything
+        shuffled[name] = jnp.asarray(buf)
+
+    specs = {k: P("dp", *([None] * (v.ndim - 1)))
+             for k, v in shuffled.items()}
+
+    @partial(shard_map, mesh=mesh, in_specs=(specs,),
+             out_specs=(specs, {"unsent": P(), "dropped": P(),
+                                "n_alive": P()}),
+             check_vma=False)
+    def do_exchange(f):
+        return exchange(f, NDEV, kcap=C)
+
+    out, info = jax.jit(do_exchange)(shuffled)
+    assert int(info["dropped"]) == 0
+    # one round may leave rows unsent only on kcap overflow
+    assert int(info["unsent"]) == 0
+    assert int(info["n_alive"]) == n
+
+    out_h = {k: np.asarray(v) for k, v in out.items()}
+    mass = out_h["mass"].reshape(NDEV, C)
+    x = out_h["ipos"].reshape(NDEV, C, 3)[:, :, 0]
+    dest = np.asarray(slab_index(jnp.asarray(x.reshape(-1)), NDEV)
+                      ).reshape(NDEV, C)
+    for d in range(NDEV):
+        alive = mass[d] > 0
+        assert (dest[d][alive] == d).all(), f"strays on device {d}"
+    # ID conservation (test_exchange.cpp:52-74 analog)
+    pids = out_h["pid"].reshape(-1)[out_h["mass"].reshape(-1) > 0]
+    assert sorted(pids.tolist()) == list(range(n))
+    # masses conserved bit-exactly
+    ref = np.sort(fields["mass"])
+    got = np.sort(out_h["mass"][out_h["mass"] > 0])
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_halo_exchange_matches_numpy():
+    mesh = make_mesh(NDEV)
+    n = 2000
+    fields = _random_fields(n, seed=2)
+    sharded, C = distribute_slabs(mesh, fields, block=64)
+    width_fp = 1 << 27        # box/32 in fixed point
+    gcap = 256
+
+    sub = {k: sharded[k] for k in ("ipos", "mass", "pid")}
+    specs = {k: P("dp", *([None] * (v.ndim - 1)))
+             for k, v in sub.items()}
+
+    @partial(shard_map, mesh=mesh, in_specs=(specs,),
+             out_specs=(specs, P()), check_vma=False)
+    def do_halo(f):
+        g, lost = halo_exchange(f, width_fp, NDEV, gcap)
+        return g, lost
+
+    ghosts, lost = jax.jit(do_halo)(sub)
+    assert int(lost) == 0
+    gh = {k: np.asarray(v) for k, v in ghosts.items()}
+    g_pid = gh["pid"].reshape(NDEV, 2 * gcap)
+    g_mass = gh["mass"].reshape(NDEV, 2 * gcap)
+
+    # numpy reference: for each device, ghosts = particles of the two
+    # neighbors within width of the shared boundary
+    x = fields["ipos"][:, 0].astype(np.uint64)
+    slab_fp = (1 << 32) // NDEV
+    own = (x // slab_fp).astype(int)
+    for d in range(NDEV):
+        lo = d * slab_fp
+        hi = lo + slab_fp
+        left, right = (d - 1) % NDEV, (d + 1) % NDEV
+        want_from_left = set(
+            fields["pid"][(own == left)
+                          & (x >= (lo - width_fp) % (1 << 32))
+                          & (x < lo)].tolist()) if d > 0 else set(
+            fields["pid"][(own == left)
+                          & (x >= (1 << 32) - width_fp)].tolist())
+        want_from_right = set(
+            fields["pid"][(own == right) & (x >= hi % (1 << 32))
+                          & (x < hi % (1 << 32) + width_fp)].tolist())
+        got = set(g_pid[d][g_mass[d] > 0].tolist())
+        assert got == want_from_left | want_from_right, f"device {d}"
+
+
+def test_slab_step_matches_single_device():
+    """Distributed-vs-single force parity (test_gravity.cpp analog)."""
+    n_side = 12
+    rng = np.random.RandomState(3)
+    grid = (np.arange(n_side) + 0.5) * BOX / n_side
+    X, Y, Z = np.meshgrid(grid, grid, grid, indexing="ij")
+    pos = np.stack([X.ravel(), Y.ravel(), Z.ravel()], -1)
+    pos += rng.uniform(-0.3, 0.3, pos.shape) * (BOX / n_side)
+    pos %= BOX
+    n = len(pos)
+    ipos = jnp.asarray(float_to_ipos(pos, BOX))
+    vel = rng.normal(0, 10, (n, 3)).astype(np.float32)
+    mass = np.ones(n, np.float32)
+    oldacc = np.zeros(n, np.float32)
+    nmesh = 24
+    cellsize = BOX / nmesh
+    cfg = PMConfig(nmesh=nmesh, boxsize=BOX, G=G, asmth=1.5)
+    sp = ShortRangeParams(boxsize=BOX, cellsize=cellsize,
+                          rcut=6 * cellsize, asmth=1.5, use_bh=1,
+                          softening=BOX / 12 / 30 * 2.8, G=G)
+    kick = jnp.float32(1e-4)
+    drift = jnp.float32(1e-4)
+
+    # single-device reference
+    accel_pm, _, _ = pm_forces(ipos, jnp.asarray(mass), cfg,
+                               want_potential=False)
+    tree = build_octree(ipos, jnp.asarray(mass), jnp.asarray(mass) > 0,
+                        BOX, nlevels=5, ncrit=16)
+    accel_tree, _, _ = treegrav_blocked(tree, jnp.asarray(oldacc), sp,
+                                        None, maxi=1024, maxl=512,
+                                        ncrit=16)
+    accel_ref = np.asarray(accel_pm + accel_tree)
+    vel_ref = vel + accel_ref * kick
+
+    # 8-device slab step
+    mesh = make_mesh(NDEV)
+    fields = {"ipos": np.asarray(ipos), "vel": vel, "mass": mass,
+              "oldacc": oldacc, "pid": np.arange(n, dtype=np.int32)}
+    sharded, C = distribute_slabs(mesh, fields, block=64)
+    step = make_slab_step(mesh, cfg, sp, None, tree_nlevels=5,
+                          tree_ncrit=16, maxi=1024, maxl=512,
+                          block=64)
+    out, info = step(sharded, kick, drift)
+    assert int(info["dropped"]) == 0
+    assert int(info["halo_lost"]) == 0
+    assert int(info["walk_overflow"]) == 0
+    assert int(info["n_alive"]) == n
+
+    got = collect_alive({k: np.asarray(v) for k, v in out.items()})
+    order = np.argsort(got["pid"])
+    vel_out = got["vel"][order]
+    scale = np.abs(vel_ref - vel).max()
+    np.testing.assert_allclose(vel_out, vel_ref,
+                               atol=2e-5 * scale + 1e-7)
+
+
+def test_slab_step_second_step_after_drift():
+    """Two steps: the exchange inside step 2 must absorb boundary
+    crossings from step 1's drift (domain_maintain analog)."""
+    n = 1500
+    fields = _random_fields(n, seed=5)
+    fields["vel"] = (fields["vel"] * 50).astype(np.float32)
+    mesh = make_mesh(NDEV)
+    nmesh = 16
+    cfg = PMConfig(nmesh=nmesh, boxsize=BOX, G=G, asmth=1.5)
+    sp = ShortRangeParams(boxsize=BOX, cellsize=BOX / nmesh,
+                          rcut=6 * BOX / nmesh, asmth=1.5, use_bh=1,
+                          softening=200.0, G=G)
+    sharded, C = distribute_slabs(mesh, fields, block=64)
+    step = make_slab_step(mesh, cfg, sp, None, tree_nlevels=4,
+                          tree_ncrit=16, maxi=512, maxl=256, block=64)
+    kick, drift = jnp.float32(1e-3), jnp.float32(5.0)
+    out, info = step(sharded, kick, drift)
+    out2, info2 = step(out, kick, drift)
+    for info_i in (info, info2):
+        assert int(info_i["dropped"]) == 0
+        assert int(info_i["n_alive"]) == n
+    got = collect_alive({k: np.asarray(v) for k, v in out2.items()})
+    assert sorted(got["pid"].tolist()) == list(range(n))
+    assert np.isfinite(got["vel"]).all()
+
+
+def test_weak_scaling_memory_per_device():
+    """Weak scaling (N proportional to D): per-device compiled memory must stay
+    roughly flat — the whole point of the slab layer vs the round-1
+    all_gather design whose footprint was O(N_total) per device."""
+    nmesh = 32
+    cfg = PMConfig(nmesh=nmesh, boxsize=BOX, G=G, asmth=1.5)
+    sp = ShortRangeParams(boxsize=BOX, cellsize=BOX / nmesh,
+                          rcut=3 * BOX / nmesh, asmth=1.5, use_bh=1,
+                          softening=200.0, G=G)
+
+    def compiled_step_mem(ndev, n):
+        mesh = make_mesh(ndev)
+        fields = _random_fields(n, seed=7)
+        sharded, C = distribute_slabs(mesh, fields, capacity=512,
+                                      block=64)
+        step = make_slab_step(mesh, cfg, sp, None, tree_nlevels=4,
+                              tree_ncrit=16, maxi=512, maxl=256,
+                              block=64, gcap=128)
+        lowered = step.lower(sharded, jnp.float32(1e-4),
+                             jnp.float32(1e-4))
+        comp = lowered.compile()
+        ma = comp.memory_analysis()
+        if ma is None:
+            pytest.skip("memory_analysis unavailable on this backend")
+        # temp + output per device (arguments are the fixed [C] rows)
+        return (ma.temp_size_in_bytes + ma.output_size_in_bytes,
+                step, sharded)
+
+    m4, step4, sh4 = compiled_step_mem(2, 600)
+    m8, step8, sh8 = compiled_step_mem(8, 2400)
+    # 4x devices with 4x particles: per-device memory within 2x
+    # (halos, fixed caps and XLA scratch give some slack)
+    assert m8 < 2.0 * m4, (m4, m8)
+    # and the step actually runs at both scales
+    out4, info4 = step4(sh4, jnp.float32(1e-4), jnp.float32(1e-4))
+    out8, info8 = step8(sh8, jnp.float32(1e-4), jnp.float32(1e-4))
+    assert int(info4["n_alive"]) == 600
+    assert int(info8["n_alive"]) == 2400

@@ -64,3 +64,38 @@ def test_p2p_kernel_matches_reference():
     assert np.abs(np.asarray(acc) - ref_acc).max() < 2e-4 * scale
     pscale = np.abs(ref_pot).max() + 1e-30
     assert np.abs(np.asarray(pot) - ref_pot).max() < 2e-4 * pscale
+
+
+def test_treegrav_pallas_engine_matches_xla():
+    """Production wiring: the fused Pallas engine (interpret mode on
+    CPU) must reproduce the XLA blocked evaluation end-to-end through
+    treegrav_blocked."""
+    from shenqi_tpu.ops.tree import build_octree
+    from shenqi_tpu.gravity.shortrange_blocked import treegrav_blocked
+    from shenqi_tpu.gravity.shortrange import ShortRangeParams
+
+    rng = np.random.RandomState(7)
+    n = 512
+    pos = rng.uniform(0, BOX, (n, 3))
+    ipos = jnp.asarray(float_to_ipos(pos, BOX))
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, n).astype(np.float32))
+    tree = build_octree(ipos, mass, mass > 0, BOX, nlevels=4,
+                        ncrit=16)
+    nmesh = 16
+    sp = ShortRangeParams(boxsize=BOX, cellsize=BOX / nmesh,
+                          rcut=6 * BOX / nmesh, asmth=1.5, use_bh=1,
+                          softening=500.0, G=43007.1)
+    window = window_polynomials(1.5)
+    oldacc = jnp.zeros(n, jnp.float32)
+    kw = dict(n_targets=n, block=128, maxi=256, maxl=64, ncrit=16,
+              blocking="morton")
+    acc_x, pot_x, _ = treegrav_blocked(tree, oldacc, sp, window,
+                                       engine="xla", **kw)
+    acc_p, pot_p, _ = treegrav_blocked(tree, oldacc, sp, window,
+                                       engine="pallas", **kw)
+    scale = np.abs(np.asarray(acc_x)).max()
+    np.testing.assert_allclose(np.asarray(acc_p), np.asarray(acc_x),
+                               atol=5e-4 * scale)
+    pscale = np.abs(np.asarray(pot_x)).max() + 1e-30
+    np.testing.assert_allclose(np.asarray(pot_p), np.asarray(pot_x),
+                               atol=5e-4 * pscale)
