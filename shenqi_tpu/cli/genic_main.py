@@ -84,16 +84,17 @@ def run_genic(paramfile: str, strict: bool = False) -> str:
     total_mass = cp.Omega0 * cp.RhoCrit * boxsize ** 3
     species = []   # (ptype, pos, vel, ids, mass)
     if produce_gas:
-        # DM shifted by +1/2 cell, gas by -1/2 relative (reference grid
-        # offset convention); masses split by Omega fractions
+        # center-of-mass-preserving half-cell split (genic/main.cpp:63-64):
+        # shift_dm = +0.5*(Ob/O0) cells, shift_gas = -0.5*((O0-Ob)/O0)
         mass_dm = ((cp.Omega0 - cp.OmegaBaryon) * cp.RhoCrit
                    * boxsize ** 3 / ngrid ** 3)
         mass_gas = cp.OmegaBaryon * cp.RhoCrit * boxsize ** 3 / ngrid ** 3
+        fb = cp.OmegaBaryon / cp.Omega0
         lattice_dm, ids_dm = setup_grid(ngrid, boxsize, id_offset=1,
-                                        shift_frac=0.5)
+                                        shift_frac=0.5 * fb)
         lattice_gas, ids_gas = setup_grid(ngrid, boxsize,
                                           id_offset=ngrid ** 3 + 1,
-                                          shift_frac=0.0)
+                                          shift_frac=-0.5 * (1 - fb))
         from ..cosmology.power import DELTA_CB, DELTA_BAR, DELTA_TOT
         t_dm = DELTA_CB if (difftrans and power.transfer_ratio) \
             else DELTA_TOT

@@ -40,21 +40,35 @@ def setup_grid(ngrid: int, boxsize: float, id_offset: int = 1,
     idx = np.arange(ng)
     X, Y, Z = np.meshgrid(idx, idx, idx, indexing="ij")
     pos = np.stack([X, Y, Z], axis=-1).reshape(-1, 3).astype(np.float64)
-    pos = (pos + shift_frac) * (boxsize / ng)
+    pos = ((pos + shift_frac) * (boxsize / ng)) % boxsize
     ids = (id_offset + X.ravel() * ng * ng + Y.ravel() * ng
            + Z.ravel()).astype(np.uint64)
     return pos, ids
 
 
 def gaussian_field(seed: int, nmesh: int, unitary: bool = False,
-                   invert_phase: bool = False) -> jax.Array:
+                   invert_phase: bool = False,
+                   scheme: str = "gadget") -> jax.Array:
     """Unit-variance hermitian complex Gaussian modes g_k [n,n,n//2+1].
 
-    Generated as rfftn(white noise)/n^{3/2}: exactly hermitian, each mode
-    <|g|^2> = 1.  `unitary` fixes |g|=1 keeping the phase (variance
-    suppression of the realization); `invert_phase` flips the sign
-    (paired simulations).
+    scheme='gadget' (default) reproduces the reference's
+    pmic_fill_gaussian_gadget phases EXACTLY (genic/gadget_field.py) —
+    the same seed yields the same realization as MP-GenIC, making the
+    reference CI examples' pinned outputs (halo masses, star counts)
+    directly comparable.
+
+    scheme='fast' generates rfftn(white noise)/n^{3/2} with jax.random:
+    exactly hermitian, each mode <|g|^2> = 1, much faster for very
+    large meshes, but a different realization per seed.
+
+    `unitary` fixes |g|=1 keeping the phase (variance suppression);
+    `invert_phase` flips the sign (paired simulations).
     """
+    if scheme == "gadget":
+        from .gadget_field import gadget_gaussian_field
+        g = gadget_gaussian_field(seed, nmesh, unitary=unitary,
+                                  invert_phase=invert_phase)
+        return jnp.asarray(g.astype(np.complex64))
     key = jax.random.PRNGKey(seed)
     white = jax.random.normal(key, (nmesh, nmesh, nmesh), jnp.float32)
     g = jnp.fft.rfftn(white) / nmesh ** 1.5

@@ -199,6 +199,22 @@ def _next_pow2(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length()
 
 
+def _default_engine(window_tables, block, maxl, ncrit):
+    """Production engine choice.  The fused Pallas kernel is
+    correctness-verified on real TPU but not yet faster than the XLA
+    path at small/medium problem sizes, so XLA stays the default;
+    set SHENQI_ENGINE=pallas to flip (bench.py does for comparison).
+    """
+    import os
+    from .shortrange import PolyWindow
+    want = os.environ.get("SHENQI_ENGINE", "xla")
+    if (want == "pallas" and jax.default_backend() == "tpu"
+            and isinstance(window_tables, PolyWindow)
+            and block == 128 and (maxl * ncrit) % 128 == 0):
+        return "pallas"
+    return "xla"
+
+
 def _dispatch_eval(tree, lists, tgt_u32, params, window_tables,
                    maxi, maxl, ncrit, nblocks, block, engine):
     """Route one block set to the XLA or the Pallas evaluator."""
@@ -524,13 +540,7 @@ def _treegrav_device(tree, oldacc, params, window_tables, n_targets,
             caps_cache["maxl"] = maxl
 
     if engine is None:
-        from .shortrange import PolyWindow
-        engine = "pallas" if (jax.default_backend() == "tpu"
-                              and isinstance(window_tables,
-                                             PolyWindow)
-                              and block == 128
-                              and (maxl * ncrit) % 128 == 0) \
-            else "xla"
+        engine = _default_engine(window_tables, block, maxl, ncrit)
 
     # static small-tier caps: grow-only cache -> bounded recompiles
     need_l = min(max(_next_pow2(nl_small + 1), ncrit), maxl)

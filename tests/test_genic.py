@@ -35,18 +35,20 @@ def test_setup_grid():
 
 
 def test_gaussian_field_statistics():
-    g = gaussian_field(seed=7, nmesh=32)
+    # 'fast' scheme statistics; the default 'gadget' scheme is covered
+    # mode-exactly in test_gadget_field.py
+    g = gaussian_field(seed=7, nmesh=32, scheme="fast")
     g = np.asarray(g)
     # mean |g|^2 = 1 over all modes
     assert np.mean(np.abs(g) ** 2) == pytest.approx(1.0, rel=0.05)
     # hermitian: DC mode is real
     assert g[0, 0, 0].imag == 0
     # unitary: all amplitudes 1 (except structurally-real modes can be +-1)
-    gu = np.asarray(gaussian_field(seed=7, nmesh=32, unitary=True))
+    gu = np.asarray(gaussian_field(seed=7, nmesh=32, unitary=True, scheme="fast"))
     amps = np.abs(gu)
     np.testing.assert_allclose(amps[amps > 0], 1.0, rtol=1e-5)
     # invert phase flips sign
-    gi = np.asarray(gaussian_field(seed=7, nmesh=32, invert_phase=True))
+    gi = np.asarray(gaussian_field(seed=7, nmesh=32, invert_phase=True, scheme="fast"))
     np.testing.assert_allclose(gi, -g, rtol=1e-6)
 
 

@@ -104,7 +104,22 @@ def check_power(outdir, scalefactor, rtol, maxi=6, log=print):
     return ok
 
 
-def check_hmf(pig, log=print):
+# The reference CI's pinned top halo masses
+# (examples/dm-small/check_results.py:16-24).  Comparable halo-by-halo
+# because genic now reproduces MP-GenIC's mt19937 phases exactly
+# (genic/gadget_field.py) — same seed, same realization.
+SAVEDFOF = np.array([
+    2.75202689e+13, 1.63294538e+13, 1.11908151e+13, 1.08482387e+13,
+    1.06198547e+13, 8.90697545e+12, 7.65086321e+12, 7.07990330e+12,
+    6.85151934e+12, 6.73732736e+12, 5.36702358e+12, 5.02444763e+12,
+    4.91025565e+12, 4.91025565e+12, 4.91025565e+12, 4.56767970e+12,
+    4.22510376e+12, 4.22510376e+12, 4.22510376e+12, 4.22510376e+12,
+    4.11091178e+12, 4.11091178e+12, 3.99671980e+12, 3.99671980e+12,
+    3.99671980e+12, 3.88252781e+12, 3.76833583e+12, 3.76833583e+12,
+    3.76833583e+12])
+
+
+def check_hmf(pig, log=print, rtol=0.055):
     from shenqi_tpu.io.bigfile import BigFile
     bf = BigFile(pig)
     hh = 0.7
@@ -112,7 +127,15 @@ def check_hmf(pig, log=print):
     ok = masses.size > 0 and masses.max() > 9e12
     log(f"HMF: {masses.size} halos, max {masses.max():.3g} Msun "
         f"-> {'PASS' if ok else 'FAIL'}")
-    return ok
+    # halo-by-halo against the reference CI's stored values
+    nh = min(len(masses), len(SAVEDFOF))
+    ratio = masses[:nh] / SAVEDFOF[:nh]
+    okh = bool(np.allclose(masses[:nh], SAVEDFOF[:nh], rtol=rtol,
+                           atol=0)) and nh == len(SAVEDFOF)
+    log(f"top-{nh} FOF masses vs reference stored values: "
+        f"ratio range [{ratio.min():.3f}, {ratio.max():.3f}] "
+        f"(rtol {rtol}) -> {'PASS' if okh else 'FAIL'}")
+    return ok and okh
 
 
 def main():
