@@ -173,6 +173,36 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
         print(f"FOF: {groups.ngroups} groups -> {path}")
         return groups
 
+    if restart_flag == 4:
+        # power-spectrum-only mode (runpower, gadget/main.cpp:106-119)
+        from ..core.particles import float_to_ipos
+        from ..gravity.pm import PMConfig, pm_forces, finalize_power
+        from ..utils.constants import CM_PER_MPC
+        import jax.numpy as jnp
+        nmesh = ps.get_int("Nmesh")
+        if nmesh <= 0:
+            nmesh = 2 * int(round(np.cbrt(sum(hdr.TotNumPart))))
+        cfg = PMConfig(nmesh=nmesh, boxsize=boxsize,
+                       G=cp.GravInternal,
+                       asmth=ps.get_double("Asmth"))
+        ipos = jnp.asarray(float_to_ipos(pos, boxsize))
+        _, _, psacc = pm_forces(ipos, jnp.asarray(
+            mass.astype(np.float32)), cfg, want_potential=False)
+        mpc = CM_PER_MPC / units.UnitLength_in_cm
+        kk, pk, nm = finalize_power(psacc, cfg, boxsize / mpc)
+        d1 = 1.0 / cp.growth_factor(1.0, atime)
+        fn = os.path.join(outdir, f"powerspectrum-{atime:.4f}.txt")
+        with open(fn, "w") as f:
+            f.write("# in Mpc/h Units \n")
+            f.write(f"# D1 = {d1:g} \n")
+            f.write("# k P N P(z=0)\n")
+            for j in range(len(kk)):
+                if nm[j] > 0:
+                    f.write(f"{kk[j]:g} {pk[j]:g} {int(nm[j])} "
+                            f"{pk[j] / d1 ** 2:g}\n")
+        print(f"runpower: wrote {fn}")
+        return fn
+
     # timeline
     outputs = build_output_list(ps.get_string("OutputList"))
     timemax = ps.get_double("TimeMax")
@@ -380,9 +410,15 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
             sel = ptype == t
             species.append((int(t), pos[sel], vel[sel], mass[sel],
                             ids[sel]))
+        # spare rows for split-spawned stars (slots headroom,
+        # PartAllocFactor analog); grown on demand if exhausted
+        ngas0 = int((ptype == 0).sum())
+        shr = max(ngas0 // 4, 1024) \
+            if ps.get_int("StarformationOn") else 0
         sim = Simulation.from_species(
             species, cp, boxsize, nmesh, timeline, atime, tsp=tsp,
-            gravity_kw=gravity_kw, gas_u0=u0, gas_physics=gp)
+            gravity_kw=gravity_kw, gas_u0=u0, gas_physics=gp,
+            star_headroom=shr)
     else:
         sim = Simulation.from_arrays(pos, vel, mass, ids, cp, boxsize,
                                      nmesh, timeline, atime, tsp=tsp,
@@ -390,6 +426,37 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
 
     sim.hierarchical = bool(ps.get_int("SplitGravityTimestepsOn")
                             or ps.get_int("HierarchicalGravity"))
+    # anti-correlation box shift, a fraction of a PM cell
+    # (gadget/params.cpp:85, default 8 cells worth over Nmesh)
+    sim.random_offset_frac = (ps.get_double("RandomParticleOffset")
+                              / max(nmesh, 1))
+
+    # massive-neutrino linear response (neutrinos_lra.cpp)
+    if cp.MassiveNuLinRespOn:
+        from ..physics.neutrinos_lra import DeltaTotTable
+        wavenum = (2 * np.pi / boxsize) * np.arange(1, nmesh // 2 + 1)
+        sim.nu_table = DeltaTotTable.create(
+            cp, wavenum, time_transfer=atime,
+            unit_time_in_s=units.UnitTime_in_s,
+            unit_velocity=units.UnitVelocity_in_cm_per_s)
+        tfile = ps.get_string("FileWithTransferFunction")
+        if tfile and os.path.exists(tfile):
+            # IC ratio delta_nu/delta_cdm from the CLASS transfer
+            tr = np.loadtxt(tfile)
+            h = cp.HubbleParam
+            ktr = tr[:, 0] * h / (units.UnitLength_in_cm
+                                  / 3.085678e24)   # h/Mpc -> internal
+            dnu = np.abs(tr[:, 5]) if tr.shape[1] > 5 \
+                else np.abs(tr[:, 3])
+            dcdm = np.abs(tr[:, 3])
+            sim.nu_table.init_ratio = np.interp(
+                wavenum, ktr, dnu / np.maximum(dcdm, 1e-30))
+        # resuming: restore the delta_tot history saved with the
+        # snapshot (the reference endruns without it)
+        if restart_flag in (1, 2) and snapnum >= 0:
+            if sim.nu_table.load(icfile):
+                print(f"Restored neutrino delta_tot history from "
+                      f"{icfile}")
 
     # lightcone output collected during drifts (lightcone.cpp)
     lightcone = None
@@ -404,7 +471,7 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
             ids64 = ((np.asarray(p.id_hi).astype(np.uint64)
                       << np.uint64(32))
                      | np.asarray(p.id_lo).astype(np.uint64))
-            lightcone.compute(a0, a1, np.asarray(p.ipos),
+            lightcone.compute(a0, a1, np.asarray(sim.output_ipos()),
                               np.asarray(p.vel), ids64,
                               np.asarray(p.mask))
         sim.on_drift = on_drift
@@ -417,7 +484,8 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
         p = s.particles
         maskv = np.asarray(p.mask)
         tys = np.asarray(p.ptype)
-        posn = np.asarray(p.ipos, dtype=np.float64) * (boxsize / 2**32)
+        posn = np.asarray(s.output_ipos(),
+                          dtype=np.float64) * (boxsize / 2**32)
         veln = np.asarray(p.vel, dtype=np.float32) / a  # peculiar
         massn = np.asarray(p.mass, dtype=np.float32)
         idsn = p.ids64()
@@ -462,6 +530,9 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
             UnitVelocity_in_cm_per_s=units.UnitVelocity_in_cm_per_s,
             UsePeculiarVelocity=1, TimeIC=hdr.TimeIC)
         write_snapshot(path, shdr, blocks)
+        nt = getattr(s, "nu_table", None)
+        if nt is not None:
+            nt.save(path)      # delta_nu history rides the snapshot
         with open(os.path.join(outdir, "LastSnapNum.txt"), "w") as f:
             f.write(str(snap_counter[0]))
         # power spectrum text file (gravpm.cpp:110-118 convention)
@@ -492,7 +563,8 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
         npart_tot = int(np.asarray(p.mask).sum())
         ndm = int((np.asarray(p.ptype)[np.asarray(p.mask)] == 1).sum())
         mean_sep = boxsize / np.cbrt(max(ndm, npart_tot, 1))
-        groups = fof(p.ipos, np.asarray(p.vel), np.asarray(p.mass),
+        groups = fof(s.output_ipos(), np.asarray(p.vel),
+                     np.asarray(p.mass),
                      np.asarray(p.ptype), np.asarray(p.mask), boxsize,
                      mean_sep,
                      linking_length=ps.get_double(
@@ -562,6 +634,23 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
                          units.UnitLength_in_cm, par)
 
     sim.on_snapshot = on_snapshot_with_fof
+
+    def on_bad_timestep(s):
+        """Emergency TIMESTEP-DUMP snapshot (run.cpp:794-797)."""
+        try:
+            # reuse the snapshot writer with a recognizable name
+            snap_counter_save = snap_counter[0]
+            snap_counter[0] = 999
+            base_on_snapshot(s, s.atime())
+            src = os.path.join(outdir, f"{base}_999")
+            dst = os.path.join(outdir, "TIMESTEP-DUMP")
+            if os.path.isdir(src):
+                os.rename(src, dst)
+            snap_counter[0] = snap_counter_save
+            print(f"Bad timestep: emergency dump -> {dst}")
+        except Exception as e:       # the dump must never mask the
+            print(f"TIMESTEP-DUMP failed: {e}")   # original error
+    sim.on_bad_timestep = on_bad_timestep
 
     # per-step statistics: energy.txt, sfr.txt, cpu.txt
     from ..utils.walltime import Walltime

@@ -189,7 +189,14 @@ def assign_timebins(dloga, timebin_old, active, times: DriftKickTimes,
     dloga_per_ti = timeline.dloga_interval_ti(ti)
     if dloga_per_ti <= 0:
         return new_bins, 0
-    dti = (dloga_c / dloga_per_ti).astype(np.int64)
+    # an UNCONSTRAINED step (e.g. a just-spawned star with no force
+    # yet: |acc|=0 -> dloga=inf, timestep.cpp caps at MaxSizeTimestep)
+    # clamps to the PM step; only NaN (genuinely sick dynamics) falls
+    # through to the bad-timestep count via the garbage cast
+    dloga_cap = float(dti_max) * dloga_per_ti
+    dloga_c = np.where(dloga_c > dloga_cap, dloga_cap, dloga_c)
+    with np.errstate(invalid="ignore"):
+        dti = (dloga_c / dloga_per_ti).astype(np.int64)
     dti = np.minimum(dti, dti_max)
     dti = np.maximum(dti, 0)
     # round down to power of two

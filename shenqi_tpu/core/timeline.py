@@ -72,6 +72,11 @@ class Timeline:
         """
         times = sorted(set(output_times) | {TimeIC, TimeMax})
         times = [t for t in times if TimeIC <= t <= TimeMax]
+        if not times:
+            # resume from the final snapshot: float rounding can put
+            # the restored Time a hair past TimeMax — degenerate
+            # one-point timeline, the run loop exits immediately
+            times = [max(TimeIC, TimeMax)]
         sps = []
         for t in times:
             write = (t in output_times) and (t > no_snapshot_until_time)
@@ -113,6 +118,8 @@ class Timeline:
     def loga_from_ti(self, ti: int) -> float:
         lastsnap = min(ti >> TIMEBINS, self.nsync - 1)
         last = self.syncpoints[lastsnap].loga
+        if lastsnap >= self.nsync - 1:
+            return last               # at/after the final sync point
         dti = ti & (TIMEBASE - 1)
         return last + dti * self.dloga_interval_ti(ti)
 
@@ -120,6 +127,10 @@ class Timeline:
         return float(np.exp(self.loga_from_ti(ti)))
 
     def ti_from_loga(self, loga: float) -> int:
+        if self.nsync < 2:
+            # degenerate timeline (e.g. resuming from the final
+            # snapshot): everything lives at the last tick
+            return 0
         i = 1
         while i < self.nsync - 1 and self.syncpoints[i].loga <= loga:
             i += 1

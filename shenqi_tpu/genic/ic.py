@@ -66,9 +66,12 @@ def gaussian_field(seed: int, nmesh: int, unitary: bool = False,
     """
     if scheme == "gadget":
         from .gadget_field import gadget_gaussian_field
-        g = gadget_gaussian_field(seed, nmesh, unitary=unitary,
-                                  invert_phase=invert_phase)
-        return jnp.asarray(g.astype(np.complex64))
+        # stays a HOST array: complex device transfers are
+        # unimplemented on the axon TPU backend; displacement_fields
+        # ships real/imag planes separately and assembles under jit
+        return gadget_gaussian_field(seed, nmesh, unitary=unitary,
+                                     invert_phase=invert_phase
+                                     ).astype(np.complex64)
     key = jax.random.PRNGKey(seed)
     white = jax.random.normal(key, (nmesh, nmesh, nmesh), jnp.float32)
     g = jnp.fft.rfftn(white) / nmesh ** 1.5
@@ -80,9 +83,20 @@ def gaussian_field(seed: int, nmesh: int, unitary: bool = False,
     return g
 
 
+def _mesh_to_k(nmesh: int):
+    """Integer wavenumbers with the reference's MESH2K convention
+    (petapm.cpp:159-162): i <= N/2 -> i, else i - N.  Note the
+    Nyquist index N/2 maps to +N/2, NOT numpy fftfreq's -N/2 — the
+    sign enters the displacement kernel kaxis/k^2 and flips the
+    Nyquist-plane displacements, i.e. a different realization."""
+    i = np.arange(nmesh)
+    return np.where(i <= nmesh // 2, i, i - nmesh).astype(np.float64)
+
+
 def _mode_tables(nmesh: int):
-    kx = np.fft.fftfreq(nmesh, 1.0 / nmesh)[:, None, None]
-    ky = np.fft.fftfreq(nmesh, 1.0 / nmesh)[None, :, None]
+    k1 = _mesh_to_k(nmesh)
+    kx = k1[:, None, None]
+    ky = k1[None, :, None]
     kz = np.arange(nmesh // 2 + 1, dtype=np.float64)[None, None, :]
     k2 = kx ** 2 + ky ** 2 + kz ** 2
     return (kx, ky, kz), k2
@@ -118,17 +132,23 @@ def displacement_fields(g_k, power: InputPower, CP: Cosmology,
 
     ipos = jnp.asarray(float_to_ipos(pos_lattice, boxsize))
 
+    # complex values must never exist EAGERLY on the axon TPU backend
+    # (transfers and op-by-op complex math are UNIMPLEMENTED there):
+    # ship two real planes and assemble the complex field under jit
+    g_np = np.asarray(g_k)
+    g_re = jnp.asarray(np.ascontiguousarray(g_np.real), jnp.float32)
+    g_im = jnp.asarray(np.ascontiguousarray(g_np.imag), jnp.float32)
+
     @jax.jit
-    def solve_axis(fac, g_k, ipos):
-        # jitted: eager complex ops are unsupported on the axon TPU
-        field_k = (1j * fac) * g_k
+    def solve_axis(fac, g_re, g_im, ipos):
+        field_k = (1j * fac) * (g_re + 1j * g_im)
         # unnormalized inverse FFT (reference/FFTW convention)
         mesh = jnp.fft.irfftn(field_k, s=(nmesh, nmesh, nmesh)) * nmesh ** 3
         return cic_readout(mesh.astype(jnp.float32), ipos)
 
     def solve_axis_host(kaxis_int, amp_table):
         fac = jnp.asarray((base * kaxis_int * amp_table), jnp.float32)
-        return solve_axis(fac, g_k, ipos)
+        return solve_axis(fac, g_re, g_im, ipos)
 
     disp = np.stack([np.asarray(solve_axis_host(kj, delta))
                      for kj in (kx, ky, kz)], axis=-1)

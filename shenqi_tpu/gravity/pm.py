@@ -129,6 +129,17 @@ def finalize_power(ps: PowerSpectrum, cfg: PMConfig, boxsize_mpc: float):
     return kk, power, nmodes[sel]
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def measure_cdm_power(ipos, mass, cfg: PMConfig, mask=None):
+    """Deposit + one FFT + binning only: the CDM (particle) power the
+    neutrino linear response is sourced by (measure_power_spectrum,
+    gravpm.cpp:360, taken BEFORE the nu factor multiplies the modes)."""
+    n = cfg.nmesh
+    mesh = cic_deposit(ipos, mass, n, mask=mask)
+    rho_k = jnp.fft.rfftn(mesh.astype(jnp.float32))
+    return measure_power(rho_k, cfg, _cic_invwindow(cfg))
+
+
 @partial(jax.jit, static_argnames=("cfg", "want_potential"))
 def pm_forces(ipos, mass, cfg: PMConfig, mask=None,
               want_potential: bool = True, nu_factor=None):

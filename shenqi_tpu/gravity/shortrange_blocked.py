@@ -125,13 +125,14 @@ def _blocked_eval(tree: Octree, lists, tgt_pos, params: ShortRangeParams,
 
 @partial(jax.jit, static_argnames=("params", "maxi", "maxl", "ncrit",
                                    "nblocks", "block", "block_batch",
-                                   "interpret"))
+                                   "interpret", "want_pot"))
 def _blocked_eval_pallas(tree: Octree, lists, tgt_ipos,
                          params: ShortRangeParams, window,
                          maxi: int, maxl: int, ncrit: int,
                          nblocks: int, block: int,
                          block_batch: int = 256,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         want_pot: bool = False):
     """Fused Pallas evaluation of monopole + P2P lists.
 
     An accepted node's monopole is a point mass at its center of
@@ -144,14 +145,16 @@ def _blocked_eval_pallas(tree: Octree, lists, tgt_ipos,
     tgt_ipos: [B, 128, 3] uint32.  window must be a PolyWindow.
     Returns (acc [B,128,3], pot [B,128]), G-multiplied.
     """
-    from ..ops.pallas_p2p import p2p_blocked, BLK
+    from ..ops.pallas_p2p import p2p_blocked, BLK, SCH
 
     assert block == BLK, "pallas engine requires 128-particle blocks"
     box = params.boxsize
-    # node table padded to a lane multiple
-    maxi_p = ((maxi + 127) // 128) * 128
     total_src = maxl * ncrit
     assert total_src % 128 == 0
+    # node table padded so the CONCATENATED source table is a
+    # multiple of the kernel's inner tile width
+    sch = min(SCH, ((maxi + total_src + 127) // 128) * 128)
+    maxi_p = maxi + (-(maxi + total_src)) % sch
 
     bb = min(block_batch, nblocks)
     while nblocks % bb:
@@ -180,9 +183,13 @@ def _blocked_eval_pallas(tree: Octree, lists, tgt_ipos,
 
         all_pos = jnp.concatenate([cofm_u, src["ipos"]], axis=1)
         all_mass = jnp.concatenate([nmass, smass], axis=1)
-        return p2p_blocked(tgt, all_pos, all_mass, box,
-                           params.softening, params.cellsize, window,
-                           params.G, interpret=interpret)
+        acc, pot = p2p_blocked(tgt, all_pos, all_mass, box,
+                               params.softening, params.cellsize,
+                               window, params.G, interpret=interpret,
+                               want_pot=want_pot, sch=sch)
+        if pot is None:
+            pot = jnp.zeros(acc.shape[:2], jnp.float32)
+        return acc, pot
 
     batched = (
         lists.node_ids.reshape(nbatch, bb, maxi),
@@ -216,14 +223,16 @@ def _default_engine(window_tables, block, maxl, ncrit):
 
 
 def _dispatch_eval(tree, lists, tgt_u32, params, window_tables,
-                   maxi, maxl, ncrit, nblocks, block, engine):
+                   maxi, maxl, ncrit, nblocks, block, engine,
+                   want_pot: bool = True):
     """Route one block set to the XLA or the Pallas evaluator."""
     if engine == "pallas":
         interpret = jax.default_backend() != "tpu"
         return _blocked_eval_pallas(tree, lists, tgt_u32, params,
                                     window_tables, maxi, maxl, ncrit,
                                     nblocks, block,
-                                    interpret=interpret)
+                                    interpret=interpret,
+                                    want_pot=want_pot)
     to_f = jnp.float32(params.boxsize / POS_SCALE)
     tgt_pos = tgt_u32.astype(jnp.float32) * to_f
     return _blocked_eval(tree, lists, tgt_pos, params, window_tables,
@@ -292,7 +301,7 @@ def _tiered_eval(tree, lists, tgt_u32, params, window_tables,
 
 def _tiered_eval_device(tree, lists, tgt_u32, params, window_tables,
                         maxi, maxl, ncrit, nblocks, block, engine,
-                        caps, order_b):
+                        caps, order_b, want_pot: bool = True):
     """Two-tier evaluation with DEVICE-side tier assignment.
 
     Unlike _tiered_eval, the sort by list length stays on device
@@ -305,7 +314,7 @@ def _tiered_eval_device(tree, lists, tgt_u32, params, window_tables,
     if nblocks < 16 or (maxi_s >= maxi and maxl_s >= maxl):
         return _dispatch_eval(tree, lists, tgt_u32, params,
                               window_tables, maxi, maxl, ncrit,
-                              nblocks, block, engine)
+                              nblocks, block, engine, want_pot)
     t2 = nblocks // 8
     small_idx = jnp.sort(order_b[:nblocks - t2])
     big_idx = jnp.sort(order_b[nblocks - t2:])
@@ -319,7 +328,7 @@ def _tiered_eval_device(tree, lists, tgt_u32, params, window_tables,
             overflow=lists.overflow[idxj])
         return _dispatch_eval(tree, sublists, tgt_u32[idxj], params,
                               window_tables, mi, ml, ncrit, nsub,
-                              block, engine)
+                              block, engine, want_pot)
 
     acc = jnp.zeros((nblocks, block, 3), jnp.float32)
     pot = jnp.zeros((nblocks, block), jnp.float32)
@@ -338,7 +347,8 @@ def treegrav_blocked(tree: Octree, oldacc, params: ShortRangeParams,
                      maxl: int = 512, ncrit: int = 32,
                      auto_grow: int = 3, blocking: str = "tree",
                      engine: str = None, active=None,
-                     tier_cache: dict = None, caps_cache: dict = None):
+                     tier_cache: dict = None, caps_cache: dict = None,
+                     want_pot: bool = True):
     """Short-range force at the sorted particle positions.
 
     oldacc: [N] |acc|/G in ORIGINAL order (gathered through tree.order).
@@ -372,7 +382,7 @@ def treegrav_blocked(tree: Octree, oldacc, params: ShortRangeParams,
         out = _treegrav_device(tree, oldacc, params, window_tables,
                                n_targets, block, maxi, maxl, ncrit,
                                auto_grow, engine, active, tier_cache,
-                               caps_cache)
+                               caps_cache, want_pot)
         return out
     if blocking == "tree":
         from ..ops.blockwalk import make_blocks_from_tree
@@ -496,7 +506,8 @@ def _device_blocks_and_traverse(tree, oldacc, active, params, T, block,
 
 def _treegrav_device(tree, oldacc, params, window_tables, n_targets,
                      block, maxi, maxl, ncrit, auto_grow, engine,
-                     active, tier_cache, caps_cache=None):
+                     active, tier_cache, caps_cache=None,
+                     want_pot: bool = True):
     """blocking='device' body of treegrav_blocked: ONE host sync of 6
     scalars per evaluation (vs a full position transfer + several
     array syncs in the 'tree' path)."""
@@ -555,7 +566,7 @@ def _treegrav_device(tree, oldacc, params, window_tables, n_targets,
     tgt_u32 = tree.ipos_s[tgt_idx.reshape(-1)].reshape(nb, block, 3)
     acc_b, pot_b = _tiered_eval_device(
         tree, lists, tgt_u32, params, window_tables, maxi, maxl,
-        ncrit, nb, block, engine, caps, order_b)
+        ncrit, nb, block, engine, caps, order_b, want_pot)
 
     flat_idx = jnp.where(tgt_valid, tgt_idx, n).reshape(-1)
     acc_sorted = jnp.zeros((n + 1, 3), jnp.float32).at[flat_idx].set(

@@ -32,8 +32,8 @@ RMAX_CELLS = 15.0
 
 
 @lru_cache(maxsize=4)
-def calibrated_window_table(asmth: float, nmesh: int = 96,
-                            nsamples_dir: int = 48,
+def calibrated_window_table(asmth: float, nmesh: int = 128,
+                            nsamples_dir: int = 96,
                             seed: int = 12345):
     """Measure 1 - F_pm/F_newton on a radial grid (mesh-cell units).
 
@@ -45,8 +45,15 @@ def calibrated_window_table(asmth: float, nmesh: int = 96,
     cfg = PMConfig(nmesh=nmesh, boxsize=box, G=G, asmth=asmth)
 
     rng = np.random.RandomState(seed)
-    # average over source sub-cell offsets (CIC phase) and directions
-    nsrc = 4
+    # average over source sub-cell offsets (CIC phase) and directions.
+    # The radial MEAN must be unbiased to ~1e-4: with few samples the
+    # anisotropic scatter (~1e-3) aliases into a systematic force bias
+    # that accumulates over hundreds of KDK steps (seen as excess
+    # small-scale power in dm-small).  The reference's table used
+    # 48 shifts x 48 directions on a 512^3 mesh
+    # (tools/generate-force-kernels.py); 16 x 96 at 128^3 gives a
+    # comparable standard error.
+    nsrc = 16
     dx = RMAX_CELLS / (NTAB - 1)
     radii = np.arange(1, NTAB) * dx
     # random directions, antithetic for symmetry
@@ -98,13 +105,15 @@ def window_arrays(asmth: float):
     return float(dx), jnp.asarray(wf), jnp.asarray(wp)
 
 
-def window_polynomials(asmth: float, degree: int = 23):
+def window_polynomials(asmth: float, degree: int = None):
     """Chebyshev fits of the calibrated window (TPU-friendly form).
 
     Table GATHERS with large index arrays crash the axon TPU worker;
-    a degree-23 Chebyshev evaluated by Clenshaw recursion is pure
-    fused-multiply-add, faster on the VPU, and matches the table to
-    ~1e-4 absolute (well inside the 2e-3 force tolerance).
+    a Chebyshev evaluated by Clenshaw recursion is pure
+    fused-multiply-add, faster on the VPU.  degree=None picks the
+    smallest degree whose fit residual is within 3e-4 of the degree-29
+    residual floor — the polynomial then adds nothing on top of the
+    calibration's own error bar.
 
     Returns a PolyWindow(xmax_cells, cf [deg+1], cp [deg+1]) whose
     polynomials take the scaled coordinate t = 2*(r_cells/xmax) - 1.
@@ -115,8 +124,21 @@ def window_polynomials(asmth: float, degree: int = 23):
     x = np.arange(NTAB) * dx
     xmax = x[-1]
     t = 2.0 * (x / xmax) - 1.0
-    cf = np.polynomial.chebyshev.chebfit(t, wf, degree)
-    cp = np.polynomial.chebyshev.chebfit(t, wp, degree)
+    cheb = np.polynomial.chebyshev
+
+    def fit(w, deg):
+        if deg is not None:
+            return cheb.chebfit(t, w, deg)
+        floor = np.abs(cheb.chebval(t, cheb.chebfit(t, w, 29))
+                       - w).max()
+        for d in range(8, 30, 2):
+            c = cheb.chebfit(t, w, d)
+            if np.abs(cheb.chebval(t, c) - w).max() < floor + 3e-4:
+                return c
+        return cheb.chebfit(t, w, 29)
+
+    cf = fit(wf, degree)
+    cp = fit(wp, degree)
     from .shortrange import PolyWindow
     return PolyWindow(xmax=jnp.float32(xmax),
                       cf=jnp.asarray(cf, jnp.float32),

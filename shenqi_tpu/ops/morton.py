@@ -53,6 +53,50 @@ def _compact_bits10(v):
     return v
 
 
+def morton_key_pair(ipos):
+    """60-bit Morton key as two 30-bit words (hi, lo) [N] uint32.
+
+    hi interleaves bits 31..22 of each coordinate (the classic 30-bit
+    key), lo interleaves bits 21..12 — together 20 bits/dim, matching
+    the reference's 63-bit Peano capability class
+    (libgadget/utils/peano.h:7-8, 21 bits/dim) closely enough for
+    depth-20 octrees (1M^3 cells).  Sort with lexsort((lo, hi)).
+    """
+    hi = morton_key(ipos)
+    mid = (ipos >> jnp.uint32(32 - 2 * MORTON_BITS))
+    kx = _expand_bits10(mid[:, 0])
+    ky = _expand_bits10(mid[:, 1])
+    kz = _expand_bits10(mid[:, 2])
+    lo = (kx << jnp.uint32(2)) | (ky << jnp.uint32(1)) | kz
+    return hi, lo
+
+
+def key_pair_prefix(hi, lo, level: int):
+    """(prefix_hi, prefix_lo) identifying the level-`level` cell.
+
+    level <= 10 uses hi only (prefix_lo forced 0 so comparisons work
+    uniformly); deeper levels append lo bits.
+    """
+    if level <= MAX_DEPTH:
+        return hi >> jnp.uint32(3 * (MAX_DEPTH - level)), \
+            jnp.zeros_like(lo)
+    return hi, lo >> jnp.uint32(3 * (2 * MAX_DEPTH - level))
+
+
+def key_pair_to_cell(hi, lo, level: int):
+    """Decode a (hi, lo) pair into integer cell coords at `level`.
+
+    Returns [N,3] int32 in [0, 2^level).
+    """
+    if level <= MAX_DEPTH:
+        return key_to_cell(hi, level)
+    chi = key_to_cell(hi, MAX_DEPTH)
+    # key_to_cell shifts by (MAX_DEPTH - level) internally; feed it
+    # lo as-is with the sub-level depth
+    clo = key_to_cell(lo, level - MAX_DEPTH)
+    return (chi << (level - MAX_DEPTH)) + clo
+
+
 def key_to_cell(key, level: int):
     """Decode a Morton key prefix at `level` into integer cell coords.
 

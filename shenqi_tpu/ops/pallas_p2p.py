@@ -10,13 +10,17 @@ VMEM-resident program per target block, with Pallas auto-pipelining
 the per-block source tables HBM->VMEM across grid steps.
 
 Layouts obey the TPU (8,128) tiling rules:
-  targets   tx/ty/tz   [nb, 1, BLK]     (BLK = 128 lanes)
-  sources   sx/sy/sz/sm [nb, S//128, 128]
+  targets   tx/ty/tz   [nb, 1, BLK]      (BLK = 128 lanes)
+  sources   sx/sy/sz/sm [nb, S//SCH, SCH] (SCH lanes per inner step)
   output    acc [nb, BLK, 3] f32, pot [nb, 8, BLK] (row 0 used)
 
 Positions are uint32 fixed point: the periodic separation is the
 int32 reinterpretation of the uint32 difference (exact wraparound),
 computed per component to keep every array 2-D in the kernel.
+
+`want_pot=False` (the production per-step path — the tree potential
+is only consumed by energy statistics) skips the potential window
+polynomial and accumulation entirely, ~40% of the pair FLOPs.
 """
 
 from __future__ import annotations
@@ -32,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.particles import POS_SCALE
 
 BLK = 128            # targets per block
-SCH = 128            # source lanes per inner step
+SCH = 512            # source lanes per inner step
 
 
 def _clenshaw(t, coeffs):
@@ -43,96 +47,106 @@ def _clenshaw(t, coeffs):
     return coeffs[0] + t * b1 - b2
 
 
-def _p2p_kernel(scal_ref, cfw_ref, cpw_ref,
-                tx_ref, ty_ref, tz_ref,
-                sx_ref, sy_ref, sz_ref, sm_ref,
-                acc_ref, pot_ref):
-    to_f = scal_ref[0]
-    soft = scal_ref[1]
-    inv_cellxmax = scal_ref[2]
-    g = scal_ref[3]
-    nrows = sx_ref.shape[1]          # S // SCH
+def _make_kernel(want_pot: bool, sch: int):
+    def kernel(scal_ref, cfw_ref, cpw_ref,
+               tx_ref, ty_ref, tz_ref,
+               sx_ref, sy_ref, sz_ref, sm_ref,
+               *out_refs):
+        to_f = scal_ref[0]
+        soft = scal_ref[1]
+        inv_cellxmax = scal_ref[2]
+        g = scal_ref[3]
+        nrows = sx_ref.shape[1]          # S // sch
 
-    cfw = [cfw_ref[i] for i in range(cfw_ref.shape[0])]
-    cpw = [cpw_ref[i] for i in range(cpw_ref.shape[0])]
+        cfw = [cfw_ref[i] for i in range(cfw_ref.shape[0])]
+        cpw = [cpw_ref[i] for i in range(cpw_ref.shape[0])]
 
-    tx = tx_ref[0, 0, :].reshape(BLK, 1)     # u32 [BLK,1]
-    ty = ty_ref[0, 0, :].reshape(BLK, 1)
-    tz = tz_ref[0, 0, :].reshape(BLK, 1)
+        tx = tx_ref[0, 0, :].reshape(BLK, 1)     # u32 [BLK,1]
+        ty = ty_ref[0, 0, :].reshape(BLK, 1)
+        tz = tz_ref[0, 0, :].reshape(BLK, 1)
 
-    def body(s, carry):
-        ax, ay, az, pot = carry
-        sx = sx_ref[0, s, :].reshape(1, SCH)
-        sy = sy_ref[0, s, :].reshape(1, SCH)
-        sz = sz_ref[0, s, :].reshape(1, SCH)
-        m = sm_ref[0, s, :].reshape(1, SCH)
+        def body(s, carry):
+            ax, ay, az, pot = carry
+            sx = sx_ref[0, s, :].reshape(1, sch)
+            sy = sy_ref[0, s, :].reshape(1, sch)
+            sz = sz_ref[0, s, :].reshape(1, sch)
+            m = sm_ref[0, s, :].reshape(1, sch)
 
-        def sep(a, b):
-            d = a - b                          # u32 wrap [BLK,SCH]
-            return pltpu.bitcast(d, jnp.int32).astype(jnp.float32) \
-                * to_f
+            def sep(a, b):
+                d = a - b                          # u32 wrap [BLK,sch]
+                return pltpu.bitcast(d, jnp.int32).astype(jnp.float32) \
+                    * to_f
 
-        dx = sep(sx, tx)
-        dy = sep(sy, ty)
-        dz = sep(sz, tz)
-        r2 = dx * dx + dy * dy + dz * dz
-        r = jnp.sqrt(r2)
-        rinv = jnp.where(r > 0, 1.0 / jnp.maximum(r, 1e-35), 0.0)
-        fac_n = m * rinv * rinv * rinv
-        pot_n = -m * rinv
-        u = r / soft
-        h3i = 1.0 / (soft * soft * soft)
-        fin = m * h3i * (10.666666666667 + u * u * (32.0 * u - 38.4))
-        us = jnp.maximum(u, 1e-10)
-        fout = m * h3i * (21.333333333333 - 48.0 * u + 38.4 * u * u
-                          - 10.666666666667 * u ** 3
-                          - 0.066666666667 / us ** 3)
-        wpi = -2.8 + u * u * (5.333333333333
-                              + u * u * (6.4 * u - 9.6))
-        wpo = (-3.2 + 0.066666666667 / us
-               + u * u * (10.666666666667
-                          + u * (-16.0 + u * (9.6
-                                              - 2.133333333333 * u))))
-        insoft = r2 < soft * soft
-        fac = jnp.where(insoft, jnp.where(u < 0.5, fin, fout), fac_n)
-        fpot = jnp.where(insoft, (m / soft)
-                         * jnp.where(u < 0.5, wpi, wpo), pot_n)
-        x = r * inv_cellxmax
-        t = jnp.clip(2.0 * x - 1.0, -1.0, 1.0)
-        inrange = x < 1.0
-        fw = jnp.where(inrange, jnp.clip(_clenshaw(t, cfw), 0.0, 1.0),
-                       0.0)
-        pw = jnp.where(inrange, jnp.clip(_clenshaw(t, cpw), 0.0, 1.0),
-                       0.0)
-        fall = fac * fw
-        ax = ax + jnp.sum(dx * fall, axis=1, keepdims=True)
-        ay = ay + jnp.sum(dy * fall, axis=1, keepdims=True)
-        az = az + jnp.sum(dz * fall, axis=1, keepdims=True)
-        pot = pot + jnp.sum(fpot * pw, axis=1, keepdims=True)
-        return ax, ay, az, pot
+            dx = sep(sx, tx)
+            dy = sep(sy, ty)
+            dz = sep(sz, tz)
+            r2 = dx * dx + dy * dy + dz * dz
+            r = jnp.sqrt(r2)
+            rinv = jnp.where(r > 0, 1.0 / jnp.maximum(r, 1e-35), 0.0)
+            fac_n = m * rinv * rinv * rinv
+            u = r / soft
+            h3i = 1.0 / (soft * soft * soft)
+            fin = m * h3i * (10.666666666667 + u * u * (32.0 * u - 38.4))
+            us = jnp.maximum(u, 1e-10)
+            fout = m * h3i * (21.333333333333 - 48.0 * u + 38.4 * u * u
+                              - 10.666666666667 * u ** 3
+                              - 0.066666666667 / us ** 3)
+            insoft = r2 < soft * soft
+            fac = jnp.where(insoft, jnp.where(u < 0.5, fin, fout),
+                            fac_n)
+            x = r * inv_cellxmax
+            t = jnp.clip(2.0 * x - 1.0, -1.0, 1.0)
+            inrange = x < 1.0
+            fw = jnp.where(inrange,
+                           jnp.clip(_clenshaw(t, cfw), 0.0, 1.0), 0.0)
+            fall = fac * fw
+            ax = ax + jnp.sum(dx * fall, axis=1, keepdims=True)
+            ay = ay + jnp.sum(dy * fall, axis=1, keepdims=True)
+            az = az + jnp.sum(dz * fall, axis=1, keepdims=True)
+            if want_pot:
+                pot_n = -m * rinv
+                wpi = -2.8 + u * u * (5.333333333333
+                                      + u * u * (6.4 * u - 9.6))
+                wpo = (-3.2 + 0.066666666667 / us
+                       + u * u * (10.666666666667
+                                  + u * (-16.0 + u * (9.6
+                                         - 2.133333333333 * u))))
+                fpot = jnp.where(insoft, (m / soft)
+                                 * jnp.where(u < 0.5, wpi, wpo), pot_n)
+                pw = jnp.where(inrange,
+                               jnp.clip(_clenshaw(t, cpw), 0.0, 1.0),
+                               0.0)
+                pot = pot + jnp.sum(fpot * pw, axis=1, keepdims=True)
+            return ax, ay, az, pot
 
-    z = jnp.zeros((BLK, 1), jnp.float32)
-    ax, ay, az, pot = jax.lax.fori_loop(0, nrows, body, (z, z, z, z))
-    acc_ref[0, :, 0] = ax[:, 0] * g
-    acc_ref[0, :, 1] = ay[:, 0] * g
-    acc_ref[0, :, 2] = az[:, 0] * g
-    pot_ref[0, 0, :] = pot[:, 0] * g
+        z = jnp.zeros((BLK, 1), jnp.float32)
+        ax, ay, az, pot = jax.lax.fori_loop(0, nrows, body,
+                                            (z, z, z, z))
+        acc_ref = out_refs[0]
+        acc_ref[0, :, 0] = ax[:, 0] * g
+        acc_ref[0, :, 1] = ay[:, 0] * g
+        acc_ref[0, :, 2] = az[:, 0] * g
+        if want_pot:
+            out_refs[1][0, 0, :] = pot[:, 0] * g
+    return kernel
 
 
 @partial(jax.jit, static_argnames=("boxsize", "softening", "cellsize",
-                                   "G", "interpret"))
+                                   "G", "interpret", "want_pot",
+                                   "sch"))
 def p2p_blocked(tgt_ipos, src_ipos, src_mass, boxsize, softening,
-                cellsize, window, G, interpret=False):
+                cellsize, window, G, interpret=False,
+                want_pot=True, sch=SCH):
     """Fused P2P over pre-gathered per-block source tables.
 
     tgt_ipos [nb, BLK, 3] uint32; src_ipos [nb, S, 3] uint32 with
-    S % 128 == 0; src_mass [nb, S] f32 (zero for masked lanes).
+    S % sch == 0; src_mass [nb, S] f32 (zero for masked lanes).
     window: gravity.shortrange.PolyWindow.
-    Returns (acc [nb, BLK, 3], pot [nb, BLK]), G-multiplied.
+    Returns (acc [nb, BLK, 3], pot [nb, BLK] or None), G-multiplied.
     """
     nb, S = src_mass.shape
-    assert S % SCH == 0
-    nrows = S // SCH
+    assert S % sch == 0, (S, sch)
+    nrows = S // sch
     # window.xmax may be a traced array (window is a jit argument):
     # keep it symbolic instead of float()ing it.
     inv_cellxmax = (1.0 / (cellsize
@@ -144,44 +158,37 @@ def p2p_blocked(tgt_ipos, src_ipos, src_mass, boxsize, softening,
     tx = tgt_ipos[:, :, 0].reshape(nb, 1, BLK)
     ty = tgt_ipos[:, :, 1].reshape(nb, 1, BLK)
     tz = tgt_ipos[:, :, 2].reshape(nb, 1, BLK)
-    sx = src_ipos[:, :, 0].reshape(nb, nrows, SCH)
-    sy = src_ipos[:, :, 1].reshape(nb, nrows, SCH)
-    sz = src_ipos[:, :, 2].reshape(nb, nrows, SCH)
-    sm = src_mass.reshape(nb, nrows, SCH)
+    sx = src_ipos[:, :, 0].reshape(nb, nrows, sch)
+    sy = src_ipos[:, :, 1].reshape(nb, nrows, sch)
+    sz = src_ipos[:, :, 2].reshape(nb, nrows, sch)
+    sm = src_mass.reshape(nb, nrows, sch)
+
+    tspec = pl.BlockSpec((1, 1, BLK), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, nrows, sch), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out_specs = [pl.BlockSpec((1, BLK, 3), lambda b, *_: (b, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((nb, BLK, 3), jnp.float32)]
+    if want_pot:
+        out_specs.append(pl.BlockSpec((1, 8, BLK),
+                                      lambda b, *_: (b, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((nb, 8, BLK),
+                                              jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, 1, BLK), lambda b, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BLK), lambda b, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BLK), lambda b, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nrows, SCH), lambda b, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nrows, SCH), lambda b, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nrows, SCH), lambda b, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nrows, SCH), lambda b, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, BLK, 3), lambda b, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, BLK), lambda b, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        in_specs=[tspec, tspec, tspec, sspec, sspec, sspec, sspec],
+        out_specs=tuple(out_specs),
     )
-    acc, pot = pl.pallas_call(
-        _p2p_kernel,
+    out = pl.pallas_call(
+        _make_kernel(want_pot, sch),
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((nb, BLK, 3), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 8, BLK), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(scal, window.cf, window.cp, tx, ty, tz, sx, sy, sz, sm)
-    return acc, pot[:, 0, :]
+    if want_pot:
+        return out[0], out[1][:, 0, :]
+    return out[0], None

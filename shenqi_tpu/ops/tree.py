@@ -76,12 +76,24 @@ def build_octree(ipos, mass, alive, boxsize, nlevels: int = 8,
                  ncrit: int = 32, hsml=None) -> Octree:
     """Build the octree.  Dead particles sort to the end with zero mass."""
     n = ipos.shape[0]
-    keys = morton_key(ipos)
-    # dead particles get a key above the 30-bit range so they form their
-    # own (massless) runs, never colliding with a real far-corner cell
-    keys = jnp.where(alive, keys, jnp.uint32(0xFFFFFFFF))
-    order = jnp.argsort(keys).astype(jnp.int32)
-    keys_s = keys[order]
+    deep = nlevels > MAX_DEPTH
+    if deep:
+        from .morton import morton_key_pair
+        khi, klo = morton_key_pair(ipos)
+        # dead particles: sentinel above the 30-bit range in BOTH words
+        khi = jnp.where(alive, khi, jnp.uint32(0xFFFFFFFF))
+        klo = jnp.where(alive, klo, jnp.uint32(0xFFFFFFFF))
+        order = jnp.lexsort((klo, khi)).astype(jnp.int32)
+        keys_s = khi[order]
+        keys_lo_s = klo[order]
+    else:
+        keys = morton_key(ipos)
+        # dead particles get a key above the 30-bit range so they form
+        # their own (massless) runs, never colliding with a real cell
+        keys = jnp.where(alive, keys, jnp.uint32(0xFFFFFFFF))
+        order = jnp.argsort(keys).astype(jnp.int32)
+        keys_s = keys[order]
+        keys_lo_s = None
     ipos_s = ipos[order]
     mass_s = jnp.where(alive[order], mass[order], 0.0).astype(jnp.float32)
     alive_s = alive[order]
@@ -103,10 +115,16 @@ def build_octree(ipos, mass, alive, boxsize, nlevels: int = 8,
 
     for l in range(nlevels + 1):
         cap = caps[l]
-        shift = jnp.uint32(3 * (MAX_DEPTH - l))
-        pref = keys_s >> shift
-        first = jnp.concatenate([jnp.ones(1, bool),
-                                 pref[1:] != pref[:-1]])
+        if l <= MAX_DEPTH:
+            pref = keys_s >> jnp.uint32(3 * (MAX_DEPTH - l))
+            first = jnp.concatenate([jnp.ones(1, bool),
+                                     pref[1:] != pref[:-1]])
+        else:
+            pref2 = keys_lo_s >> jnp.uint32(3 * (2 * MAX_DEPTH - l))
+            first = jnp.concatenate(
+                [jnp.ones(1, bool),
+                 (keys_s[1:] != keys_s[:-1])
+                 | (pref2[1:] != pref2[:-1])])
         seg = jnp.cumsum(first.astype(jnp.int32)) - 1  # [n]
         seg = jnp.minimum(seg, cap - 1)
         nseg = seg[-1] + 1
@@ -124,7 +142,12 @@ def build_octree(ipos, mass, alive, boxsize, nlevels: int = 8,
         valid = jnp.arange(cap) < nseg
         ps = jnp.where(valid, ps, n)
         # geometry from the first particle's key prefix
-        cell = key_to_cell(keys_s[jnp.clip(ps, 0, n - 1)], l)
+        psc = jnp.clip(ps, 0, n - 1)
+        if l <= MAX_DEPTH:
+            cell = key_to_cell(keys_s[psc], l)
+        else:
+            from .morton import key_pair_to_cell
+            cell = key_pair_to_cell(keys_s[psc], keys_lo_s[psc], l)
         cell_len = boxsize / (1 << l)
         cen = (cell.astype(jnp.float32) + 0.5) * jnp.float32(cell_len)
         cofm = cm / jnp.maximum(m, 1e-30)[:, None]

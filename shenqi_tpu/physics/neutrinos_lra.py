@@ -67,6 +67,9 @@ class DeltaTotTable:
     delta_tot: Optional[np.ndarray] = None   # [nk, Na]
     delta_nu_init: Optional[np.ndarray] = None
     delta_nu_last: Optional[np.ndarray] = None
+    # optional per-k delta_nu/delta_cdm IC ratio (from the CLASS
+    # transfer table) used at first initialization
+    init_ratio: Optional[np.ndarray] = None
 
     @classmethod
     def create(cls, CP, wavenum, time_transfer, unit_time_in_s,
@@ -159,7 +162,8 @@ class DeltaTotTable:
         (update_delta_tot + get_delta_nu_combined protocol)."""
         delta_cdm = np.asarray(delta_cdm, np.float64)
         if self.delta_tot is None:
-            self.initialize(delta_cdm)
+            r = 1.0 if self.init_ratio is None else self.init_ratio
+            self.initialize(delta_cdm, t_nu_by_t_nonu=r)
             return self.delta_nu_last
         loga = np.log(a)
         delta_nu = self.get_delta_nu_combined(a)
@@ -170,6 +174,48 @@ class DeltaTotTable:
             self.scalefact.append(loga)
         self.delta_nu_last = delta_nu
         return delta_nu
+
+    def save(self, snapdir: str):
+        """Write the delta_tot history into a snapshot
+        (petaio_save_neutrinos analog, neutrinos_lra.cpp:267): blocks
+        Neutrino/{Deltas,Scalefact,Wavenum,DeltaNuInit}."""
+        from ..io.bigfile import BigFile
+        if self.delta_tot is None:
+            return
+        bf = BigFile(snapdir)
+        nk, na = self.delta_tot.shape
+
+        def put(name, arr):
+            arr = np.asarray(arr, np.float64).ravel()
+            blk = bf.create_block(f"Neutrino/{name}", "f8", len(arr))
+            blk.write(0, arr)
+            blk.flush()
+
+        put("Deltas", self.delta_tot)          # row-major [nk, na]
+        put("Scalefact", self.scalefact)
+        put("Wavenum", self.wavenum)
+        put("DeltaNuInit", self.delta_nu_init)
+
+    def load(self, snapdir: str) -> bool:
+        """Restore the history written by save(); returns success.
+        Resuming without this would restart delta_nu from scratch and
+        bias the late-time neutrino suppression."""
+        from ..io.bigfile import BigFile
+        bf = BigFile(snapdir)
+        if "Neutrino/Deltas" not in bf:
+            return False
+        scale = np.asarray(bf["Neutrino/Scalefact"].read())
+        wav = np.asarray(bf["Neutrino/Wavenum"].read())
+        deltas = np.asarray(bf["Neutrino/Deltas"].read())
+        self.wavenum = wav
+        self.scalefact = list(scale)
+        self.delta_tot = deltas.reshape(len(wav), len(scale))
+        self.delta_nu_init = np.asarray(
+            bf["Neutrino/DeltaNuInit"].read())
+        self.time_transfer = float(np.exp(scale[0]))
+        self.delta_nu_last = self.get_delta_nu_combined(
+            float(np.exp(scale[-1])))
+        return True
 
     def potential_factor(self, a, delta_cdm):
         """Multiplier 1 + prefac * delta_nu/delta_cdm for the PM

@@ -87,13 +87,48 @@ class Simulation:
     # static shapes monotone so steady-state steps hit the jit cache
     _tier_cache: dict = field(default_factory=dict)
     _caps_cache: dict = field(default_factory=dict)
+    # rows [n_real, n) are spare capacity for spawned stars
+    n_real: int = 0
+    # anti-correlation random box shift (partmanager.h:79-82, applied
+    # run.cpp:426-428): fraction of the box drawn each PM step; the
+    # uint32 offset is EXACT so it subtracts out losslessly at output
+    random_offset_frac: float = 0.0
+    _offset_u32: object = None
+
+    def _apply_random_offset(self):
+        """Re-draw the internal particle offset (update_random_offset,
+        partmanager.c:45-62): decorrelates tree-opening errors between
+        PM steps.  Positions shift by (new - old) exactly in uint32;
+        snapshot/FOF writers subtract `self._offset_u32`."""
+        if not self.random_offset_frac:
+            return
+        rng = np.random.RandomState(
+            int(self.times.ti_current) & 0x7FFFFFFF)
+        rr = rng.uniform(0, 1, 3) * self.random_offset_frac
+        new_u = (rr * 2 ** 32).astype(np.int64).astype(np.uint32)
+        old_u = self._offset_u32 if self._offset_u32 is not None \
+            else np.zeros(3, np.uint32)
+        delta = (new_u - old_u).astype(np.uint32)
+        self.particles = dataclasses.replace(
+            self.particles,
+            ipos=self.particles.ipos + jnp.asarray(delta)[None, :])
+        self._offset_u32 = new_u
+
+    def output_ipos(self):
+        """Positions with the internal random shift removed
+        (petaio.cpp:678 convention)."""
+        if self._offset_u32 is None:
+            return self.particles.ipos
+        return self.particles.ipos - jnp.asarray(
+            self._offset_u32.astype(np.uint32))[None, :]
 
     @classmethod
     def from_arrays(cls, pos, vel, mass, ids, CP, boxsize, nmesh,
                     timeline, atime, tsp: Optional[TimestepParams] = None,
-                    gravity_kw: Optional[dict] = None):
+                    gravity_kw: Optional[dict] = None,
+                    extra_capacity: int = 0):
         n = len(pos)
-        ncap = ((n + 127) // 128) * 128
+        ncap = ((n + extra_capacity + 127) // 128) * 128
         ipos_np = np.zeros((ncap, 3), np.uint32)
         ipos_np[:n] = float_to_ipos(pos, boxsize)
         vel_np = np.zeros((ncap, 3), np.float32)
@@ -115,21 +150,23 @@ class Simulation:
         soft = default_softening(boxsize, n)
         gkw = dict(boxsize=boxsize, nmesh=nmesh, G=CP.GravInternal,
                    softening=soft,
-                   tree_nlevels=min(10, max(6, int(np.ceil(
+                   tree_nlevels=min(20, max(6, int(np.ceil(
                        np.log(max(n, 8) / 16) / np.log(8))) + 3)),
                    tree_ncrit=32)
         if gravity_kw:
             gkw.update(gravity_kw)
         gravity = GravityConfig(**gkw)
         ti = timeline.ti_from_loga(np.log(atime))
-        return cls(CP=CP, boxsize=boxsize, timeline=timeline,
-                   times=DriftKickTimes.init(ti), gravity=gravity,
-                   tsp=tsp or TimestepParams(), particles=p)
+        sim = cls(CP=CP, boxsize=boxsize, timeline=timeline,
+                  times=DriftKickTimes.init(ti), gravity=gravity,
+                  tsp=tsp or TimestepParams(), particles=p)
+        sim.n_real = n
+        return sim
 
     @classmethod
     def from_species(cls, species, CP, boxsize, nmesh, timeline, atime,
                      tsp=None, gravity_kw=None, gas_u0=None,
-                     gas_physics=None):
+                     gas_physics=None, star_headroom: int = 0):
         """Build a simulation from per-type particle sets.
 
         species: list of (ptype, pos, vel, mass, ids); gas (type 0)
@@ -148,7 +185,8 @@ class Simulation:
             np.full(len(s[1]), s[0], dtype=np.int8) for s in species])
         sim = cls.from_arrays(pos, vel, mass, ids, CP, boxsize, nmesh,
                               timeline, atime, tsp=tsp,
-                              gravity_kw=gravity_kw)
+                              gravity_kw=gravity_kw,
+                              extra_capacity=star_headroom)
         ptype_arr = np.full(sim.particles.n, 1, dtype=np.int8)
         ptype_arr[:len(ptypes)] = ptypes
         sim.particles = dataclasses.replace(
@@ -164,7 +202,8 @@ class Simulation:
                 sim.particles, hsml=jnp.asarray(hsml0))
             ent0 = np.full(ngas, 1.0, np.float32) if gas_u0 is None \
                 else np.full(ngas, gas_u0, np.float32)
-            sim.gas = GasState.create(ngas, ent0)
+            sim.gas = GasState.create(ngas, ent0,
+                                      ntot=sim.particles.n)
             sim._gas_entropy_is_u = gas_u0 is not None
             sim.gas_physics = gas_physics
         return sim
@@ -207,8 +246,40 @@ class Simulation:
 
     def _compute_pm(self, record_power=True):
         p = self.particles
+        nu_factor = None
+        nt = getattr(self, "nu_table", None)
+        if nt is not None:
+            # neutrino linear response (compute_neutrino_power,
+            # gravpm.cpp:308): measure the CDM power, advance the
+            # delta_nu integral, fold 1 + f_nu*delta_nu/delta_cdm
+            # into the potential for THIS solve
+            from .gravity.pm import measure_cdm_power
+            cfg = self.gravity.pm()
+            psc = measure_cdm_power(p.ipos, p.mass, cfg, mask=p.mask)
+            kk = np.asarray(psc.k, np.float64) * (2 * np.pi
+                                                  / self.boxsize)
+            pw = np.asarray(psc.power, np.float64)
+            nm = np.asarray(psc.nmodes, np.float64)
+            sel = nm > 0
+            delta_meas = np.sqrt(pw[sel] / nm[sel]
+                                 / max(float(psc.norm), 1e-300))
+            delta_cdm = np.interp(nt.wavenum, kk[sel], delta_meas)
+            atime = self.atime()
+            nt.update(atime, delta_cdm)
+            fac1d = nt.potential_factor(atime, delta_cdm)
+            # per-mode multiplier mesh from |k|
+            n = cfg.nmesh
+            kx = np.fft.fftfreq(n, 1.0 / n)[:, None, None]
+            ky = np.fft.fftfreq(n, 1.0 / n)[None, :, None]
+            kz = np.arange(n // 2 + 1)[None, None, :]
+            kmag = np.sqrt(kx ** 2 + ky ** 2 + kz ** 2) \
+                * (2 * np.pi / self.boxsize)
+            nu3d = np.interp(kmag.ravel(), nt.wavenum, fac1d,
+                             left=fac1d[0], right=fac1d[-1])
+            nu_factor = jnp.asarray(
+                nu3d.reshape(kmag.shape).astype(np.float32))
         accel, pot, ps = pm_forces(p.ipos, p.mass, self.gravity.pm(),
-                                   mask=p.mask)
+                                   mask=p.mask, nu_factor=nu_factor)
         self.particles = dataclasses.replace(p, grav_pm=accel,
                                              potential=pot)
         if record_power:
@@ -237,7 +308,7 @@ class Simulation:
                 maxi=self.gravity.maxi, maxl=self.gravity.maxl,
                 ncrit=self.gravity.tree_ncrit, blocking="device",
                 tier_cache=self._tier_cache,
-                caps_cache=self._caps_cache)
+                caps_cache=self._caps_cache, want_pot=False)
         else:
             acc, pot, _ = treegrav_targets(tree, p.ipos, p.old_acc,
                                            sp, self.window_tables)
@@ -281,7 +352,7 @@ class Simulation:
                 maxi=self.gravity.maxi, maxl=self.gravity.maxl,
                 ncrit=self.gravity.tree_ncrit, blocking="device",
                 active=selj, tier_cache=self._tier_cache,
-                caps_cache=self._caps_cache)
+                caps_cache=self._caps_cache, want_pot=False)
         else:
             acc, _, _ = treegrav_targets(tree, p.ipos, p.old_acc, sp,
                                          self.window_tables)
@@ -538,6 +609,10 @@ class Simulation:
                 ti_next = min(ti_next, times.pm_start + times.pm_length)
                 self._drift_all(ti_next)
             is_pm = times.is_pm()
+            if is_pm:
+                # reference redraws the box shift at each full domain
+                # decomposition, i.e. every PM step (run.cpp:426-428)
+                self._apply_random_offset()
 
             # forces: gas first (density w/ adaptive hsml + hydro,
             # run.cpp:482-505), then gravity
@@ -608,6 +683,10 @@ class Simulation:
             else:
                 bad = self._find_timesteps(first_step=first)
             if bad:
+                # emergency dump before aborting (run.cpp:794-797:
+                # dump_snapshot("TIMESTEP-DUMP") then endrun)
+                if getattr(self, "on_bad_timestep", None):
+                    self.on_bad_timestep(self)
                 raise RuntimeError(f"{bad} bad timesteps at step "
                                    f"{self.step_count}")
             self._apply_half_kick(skip_grav=self.hierarchical)

@@ -58,7 +58,9 @@ class GasState:
     delay_time: jax.Array
     generation: jax.Array
     vdisp: jax.Array
-    # star rows (gas rows flipped to ptype STAR keep their row):
+    # star bookkeeping, FULL-length [ntot] (stars live either on a
+    # flipped gas row or on a spawned row beyond the real particles —
+    # the slots_split_particle analog, slotsmanager.cpp:103):
     birth_a: jax.Array          # formation scale factor (0 = not star)
     last_enrich_myr: jax.Array  # stellar age already enriched, Myr
     mass0: jax.Array            # stellar mass at formation
@@ -68,13 +70,21 @@ class GasState:
     bh_mdot: jax.Array          # last accretion rate
     # helium reionization flag (cooling_qso_lightup)
     heiii: jax.Array = None     # bool: HeIII-ionized
+    star_metallicity: jax.Array = None  # [ntot] metallicity at birth
     # excursion-set reionization (uvbg.cpp)
     local_j21: jax.Array = None  # per-gas J21
     zreion_p: jax.Array = None   # per-gas reionization redshift (-1)
 
     @classmethod
-    def create(cls, ngas: int, entropy0) -> "GasState":
+    def create(cls, ngas: int, entropy0,
+               ntot: int = None) -> "GasState":
+        """ntot: full particle-array length (>= ngas); the star
+        bookkeeping arrays span it so spawned star rows beyond the
+        gas prefix are covered."""
+        if ntot is None:
+            ntot = ngas
         z = lambda: jnp.zeros(ngas, jnp.float32)
+        zt = lambda: jnp.zeros(ntot, jnp.float32)
         return cls(
             ngas=ngas, entropy=jnp.asarray(entropy0, jnp.float32),
             density=z(), egy_wt_density=z(), dhsml_egy=z(),
@@ -84,9 +94,10 @@ class GasState:
             ne=jnp.ones(ngas, jnp.float32), metallicity=z(), sfr=z(),
             delay_time=z(), generation=jnp.zeros(ngas, jnp.int32),
             vdisp=jnp.full(ngas, 100.0, jnp.float32),
-            birth_a=z(), last_enrich_myr=z(), mass0=z(),
-            total_returned=z(), bh_mass=z(), bh_mdot=z(),
-            heiii=jnp.zeros(ngas, bool), local_j21=z(),
+            birth_a=zt(), last_enrich_myr=zt(), mass0=zt(),
+            total_returned=zt(), bh_mass=z(), bh_mdot=z(),
+            heiii=jnp.zeros(ngas, bool), star_metallicity=zt(),
+            local_j21=z(),
             zreion_p=jnp.full(ngas, -1.0, jnp.float32))
 
 
@@ -383,15 +394,18 @@ class GasPhysics:
             return gas
         p = sim.particles
         ng = gas.ngas
+        ntot = p.n
         atime = sim.atime()
-        star = (np.asarray(p.mask[:ng])
-                & (np.asarray(p.ptype[:ng]) == STAR)
-                & (np.asarray(gas.birth_a) > 0))
+        # stars live on flipped gas rows OR spawned rows past the
+        # real particles — scan the full array
+        star = (np.asarray(p.mask)
+                & (np.asarray(p.ptype) == STAR)
+                & (np.asarray(gas.birth_a)[:ntot] > 0))
         if not star.any():
             return gas
         birth = np.asarray(gas.birth_a)
         last = np.array(gas.last_enrich_myr)
-        age_now = np.zeros(ng)
+        age_now = np.zeros(ntot)
         age_now[star] = self._age_myr(sim, birth[star],
                                       np.full(star.sum(), atime))
         # only stars with a meaningful new window enrich this call
@@ -416,7 +430,7 @@ class GasPhysics:
         has_ngb = fw > 1e-30
 
         h = sim.CP.HubbleParam
-        zmet = np.asarray(gas.metallicity)
+        zmet = np.asarray(gas.star_metallicity)
         m0 = np.asarray(gas.mass0)
         totret = np.array(gas.total_returned)
         mret = np.zeros(len(idx), np.float32)
@@ -675,33 +689,135 @@ class GasPhysics:
         return dataclasses.replace(gas, vdisp=vd)
 
     def _convert_stars(self, sim, gas: GasState, res, atime) -> int:
-        """Flip converting gas rows to stars (whole-particle conversion;
-        mass splitting spawns handled as whole conversions this round)."""
+        """Turn gas into stars (make_particle_star analog,
+        sfr_eff.cpp:604 + slots_split_particle, slotsmanager.cpp:103).
+
+        Whole conversions flip the gas row in place; SPLIT spawns
+        create a new star row in the spare capacity beyond the real
+        particles, take mass_of_star from the parent gas, and bump
+        the parent's generation — so one gas particle forms up to
+        `Generations` stars, matching the reference's counts.
+        """
         convert = np.asarray(res.form_star)
         if not convert.any():
             return 0
         ng = gas.ngas
         p = sim.particles
-        idx = np.nonzero(convert)[0]
+        whole = np.asarray(res.convert_whole)
+        mstar = np.asarray(res.mass_of_star)
+        idx_whole = np.nonzero(convert & whole)[0]
+        idx_split = np.nonzero(convert & ~whole)[0]
+
         ptype = np.array(p.ptype)
-        ptype[idx] = STAR
-        sim.particles = dataclasses.replace(
-            p, ptype=jnp.asarray(ptype))
-        # record stellar birth data for metal return
+        mask = np.array(p.mask)
+        massv = np.array(p.mass)
         birth = np.array(gas.birth_a)
-        birth[idx] = atime
-        gas.birth_a = jnp.asarray(birth)
         enr = np.array(gas.last_enrich_myr)
-        enr[idx] = 0.0
-        gas.last_enrich_myr = jnp.asarray(enr)
         m0 = np.array(gas.mass0)
-        m0[idx] = np.array(p.mass)[idx]
-        gas.mass0 = jnp.asarray(m0)
-        # dead gas rows: zero their SFR so statistics stay clean
+        smet = np.array(gas.star_metallicity)
+        gmet = np.asarray(gas.metallicity)
+        gen = np.array(gas.generation)
         sfr = np.array(gas.sfr)
-        sfr[idx] = 0.0
+
+        # --- whole conversions: flip in place ---
+        ptype[idx_whole] = STAR
+        birth[idx_whole] = atime
+        enr[idx_whole] = 0.0
+        m0[idx_whole] = massv[idx_whole]
+        smet[idx_whole] = gmet[idx_whole]
+        sfr[idx_whole] = 0.0
+
+        # --- split spawns: new rows in the spare region ---
+        nspawn = len(idx_split)
+        if nspawn:
+            n_real = getattr(sim, "n_real", p.n)
+            free = np.nonzero(~mask[n_real:])[0] + n_real
+            if len(free) < nspawn:
+                self._grow_star_capacity(
+                    sim, gas, max(nspawn - len(free), 1))
+                p = sim.particles
+                ptype = np.array(p.ptype)
+                mask = np.array(p.mask)
+                massv = np.array(p.mass)
+                birth = np.array(gas.birth_a)
+                enr = np.array(gas.last_enrich_myr)
+                m0 = np.array(gas.mass0)
+                smet = np.array(gas.star_metallicity)
+                free = np.nonzero(~mask[n_real:])[0] + n_real
+            rows = free[:nspawn]
+            ipos = np.array(p.ipos)
+            vel = np.array(p.vel)
+            hsml = np.array(p.hsml)
+            tb = np.array(p.timebin)
+            idlo = np.array(p.id_lo)
+            idhi = np.array(p.id_hi)
+
+            ms = mstar[idx_split]
+            ipos[rows] = ipos[idx_split]
+            vel[rows] = vel[idx_split]
+            hsml[rows] = hsml[idx_split]
+            tb[rows] = tb[idx_split]
+            massv[rows] = ms
+            massv[idx_split] -= ms
+            mask[rows] = True
+            ptype[rows] = STAR
+            # child id: parent id with the generation in the top byte
+            # (the reference reuses the parent ID and tracks the
+            # generation separately; the byte keeps ours unique)
+            gen_child = gen[idx_split] + 1
+            idlo[rows] = idlo[idx_split]
+            idhi[rows] = (idhi[idx_split]
+                          | (gen_child.astype(np.uint32) << 24))
+            gen[idx_split] = gen_child
+            birth[rows] = atime
+            enr[rows] = 0.0
+            m0[rows] = ms
+            smet[rows] = gmet[idx_split]
+
+            sim.particles = dataclasses.replace(
+                p, ipos=jnp.asarray(ipos), vel=jnp.asarray(vel),
+                hsml=jnp.asarray(hsml), timebin=jnp.asarray(tb),
+                id_lo=jnp.asarray(idlo), id_hi=jnp.asarray(idhi),
+                mass=jnp.asarray(massv), mask=jnp.asarray(mask),
+                ptype=jnp.asarray(ptype))
+        else:
+            sim.particles = dataclasses.replace(
+                p, ptype=jnp.asarray(ptype), mass=jnp.asarray(massv))
+
+        gas.birth_a = jnp.asarray(birth)
+        gas.last_enrich_myr = jnp.asarray(enr)
+        gas.mass0 = jnp.asarray(m0)
+        gas.star_metallicity = jnp.asarray(smet)
+        gas.generation = jnp.asarray(gen)
         gas.sfr = jnp.asarray(sfr)
         if not hasattr(sim, "star_formation_times"):
             sim.star_formation_times = []
-        sim.star_formation_times.extend([atime] * len(idx))
-        return len(idx)
+        nstars = len(idx_whole) + nspawn
+        sim.star_formation_times.extend([atime] * nstars)
+        return nstars
+
+    def _grow_star_capacity(self, sim, gas: GasState, need: int):
+        """Double the spare star capacity (SlotsIncreaseFactor
+        analog, run.cpp:236): extend every particle array and the
+        star bookkeeping arrays with dead rows.  Changes array
+        shapes, so jitted steps recompile — rare by construction."""
+        p = sim.particles
+        old = p.n
+        extra = max(old // 8, need, 1024)
+        extra = ((extra + 127) // 128) * 128
+
+        def pad(a, fill=0):
+            padw = [(0, extra)] + [(0, 0)] * (a.ndim - 1)
+            return jnp.asarray(np.pad(np.asarray(a), padw,
+                                      constant_values=fill))
+
+        new = {}
+        for f in dataclasses.fields(p):
+            v = getattr(p, f.name)
+            if isinstance(v, jax.Array) and v.ndim >= 1 \
+                    and v.shape[0] == old:
+                new[f.name] = pad(v)
+        sim.particles = dataclasses.replace(p, **new)
+        for name in ("birth_a", "last_enrich_myr", "mass0",
+                     "total_returned", "star_metallicity"):
+            setattr(gas, name, pad(getattr(gas, name)))

@@ -225,3 +225,80 @@ def test_genic_different_transfer(tmp_path):
     v1 = np.linalg.norm(blocks[1]["Velocity"], axis=1)
     assert not np.allclose(v0, v1)
     assert 0.3 < np.median(v0) / np.median(v1) < 3.0
+
+
+def test_runpower_flag4(tmp_path):
+    """RestartFlag 4 (runpower, gadget/main.cpp:106-119): power
+    spectrum of a snapshot, no evolution."""
+    out = str(tmp_path)
+    gp = tmp_path / "paramfile.genic"
+    gp.write_text(GENIC_PARAM.format(out=out))
+    run_genic(str(gp))
+    pp = tmp_path / "paramfile.gadget"
+    pp.write_text(GADGET_PARAM.format(out=out))
+    fn = run_gadget(str(pp), restart_flag=4)
+    assert os.path.exists(fn)
+    dat = np.loadtxt(fn)
+    assert dat.shape[1] == 4 and (dat[:, 1] > 0).all()
+
+
+def test_random_particle_offset_roundtrip(tmp_path):
+    """The internal box shift (run.cpp:426-428) must be exactly
+    subtracted in outputs: snapshots with and without the shift agree
+    bit-for-bit in fixed point."""
+    out = str(tmp_path)
+    gp = tmp_path / "paramfile.genic"
+    gp.write_text(GENIC_PARAM.format(out=out))
+    run_genic(str(gp))
+    pp = tmp_path / "paramfile.gadget"
+    pp.write_text(GADGET_PARAM.format(out=out)
+                  + "\nRandomParticleOffset = 8\n")
+    p2 = tmp_path / "paramfile2.gadget"
+    p2.write_text(GADGET_PARAM.format(out=out).replace(
+        "output", "output2") + "\nRandomParticleOffset = 0\n")
+    run_gadget(str(pp))
+    run_gadget(str(p2))
+    h1, b1 = read_snapshot(os.path.join(out, "output", "PART_000"))
+    h2, b2 = read_snapshot(os.path.join(out, "output2", "PART_000"))
+    o1 = np.argsort(b1[1]["ID"])
+    o2 = np.argsort(b2[1]["ID"])
+    d = b1[1]["Position"][o1] - b2[1]["Position"][o2]
+    box = h1.BoxSize
+    d = (d + box / 2) % box - box / 2
+    # identical dynamics to fixed-point output resolution: the offset
+    # only decorrelates tree OPENINGS; on this tiny test the walks
+    # make identical accept decisions, so positions match to rounding
+    assert np.abs(d).max() < 5e-4 * box
+
+
+def test_neutrino_linear_response_run(tmp_path):
+    """MassiveNuLinRespOn: the PM potential carries the delta_nu
+    response, the history is saved with snapshots and restored on
+    resume (neutrinos_lra.cpp + petaio_save_neutrinos analogs)."""
+    out = str(tmp_path)
+    gp = tmp_path / "paramfile.genic"
+    gp.write_text(GENIC_PARAM.format(out=out))
+    run_genic(str(gp))
+    pp = tmp_path / "paramfile.gadget"
+    pp.write_text(GADGET_PARAM.format(out=out)
+                  + "\nMassiveNuLinRespOn = 1\nMNue = 0.3\n")
+    sim = run_gadget(str(pp))
+    nt = sim.nu_table
+    assert nt.delta_tot is not None
+    assert nt.delta_tot.shape[1] >= 2, "history must accumulate"
+    # particles carry only Omega_cb, so the response RAISES the
+    # potential (1 + f_nu*delta_nu/delta_cdm >= 1), by LESS at small
+    # scales where neutrinos free-stream -> relative suppression
+    fac = nt.potential_factor(0.125, nt.delta_tot[:, -1])
+    assert (fac >= 1.0 - 1e-9).all()
+    assert fac[-1] < fac[0] - 1e-6, "no free-streaming suppression"
+    onu = sim.CP.ONu.get_omega_nu_nopart(0.125) * 0.125 ** 3
+    expect0 = 1 + onu / (sim.CP.Omega0
+                         - sim.CP.ONu.get_omega_nu(1.0))
+    assert abs(fac[0] - expect0) < 0.3 * (expect0 - 1)
+    from shenqi_tpu.io.bigfile import BigFile
+    snap = os.path.join(out, "output", "PART_000")
+    assert "Neutrino/Deltas" in BigFile(snap)
+    # resume restores the history
+    sim2 = run_gadget(str(pp), restart_flag=1, max_steps=1)
+    assert sim2.nu_table.delta_tot.shape[1] >= nt.delta_tot.shape[1]

@@ -69,3 +69,38 @@ def test_delta_nu_scale_dependence():
                 / (cp.Omega0 - cp.ONu.get_omega_nu(1.0)))
     assert fac[0] == pytest.approx(1 + onu_frac * ratio[0], rel=1e-6)
     assert fac[0] > fac[-1] >= 1.0
+
+
+def test_delta_tot_save_load_roundtrip(tmp_path):
+    """delta_nu checkpoint blocks (petaio_save_neutrinos analog,
+    neutrinos_lra.cpp:267): the history must survive a snapshot
+    round-trip so resume doesn't restart the response integral."""
+    import os
+    from shenqi_tpu.io.bigfile import BigFile
+
+    cp, units = make_cosmo()
+    k = np.logspace(-6, -2, 16)
+    tab = DeltaTotTable.create(cp, k, time_transfer=0.02,
+                               unit_time_in_s=units.UnitTime_in_s,
+                               unit_velocity=units.UnitVelocity_in_cm_per_s)
+    d0 = 1e-2 * (k / k[0]) ** -0.5
+    tab.update(0.02, d0)
+    for a in (0.05, 0.1, 0.2):
+        tab.update(a, d0 * a / 0.02)
+
+    snap = str(tmp_path / "SNAP")
+    BigFile(snap, create=True)
+    tab.save(snap)
+
+    tab2 = DeltaTotTable.create(cp, k * 0 + 1, time_transfer=1.0,
+                                unit_time_in_s=units.UnitTime_in_s,
+                                unit_velocity=units.UnitVelocity_in_cm_per_s)
+    assert tab2.load(snap)
+    np.testing.assert_allclose(tab2.wavenum, tab.wavenum)
+    np.testing.assert_allclose(tab2.delta_tot, tab.delta_tot)
+    np.testing.assert_allclose(tab2.scalefact, tab.scalefact)
+    assert tab2.time_transfer == pytest.approx(0.02)
+    # the restored table continues evolving identically
+    d_next_a = tab.update(0.25, d0 * 0.25 / 0.02)
+    d_next_b = tab2.update(0.25, d0 * 0.25 / 0.02)
+    np.testing.assert_allclose(d_next_a, d_next_b, rtol=1e-10)

@@ -279,3 +279,57 @@ def test_window_polynomial_matches_table():
     assert float(jnp.abs(pw_t - pw_p).max()) < 2e-4
     # beyond range both are zero
     assert float(fw_p[-1]) == 0.0 and float(pw_p[-1]) == 0.0
+
+
+def test_deep_tree_60bit_keys():
+    """nlevels > 10 engages the 60-bit (hi, lo) Morton key pair: cells
+    below level 10 must still partition ranges, carry exact moments,
+    and resolve a sub-cell-scale clump (the 512^3+ clustering case the
+    30-bit keys could not, utils/peano.h:7-8 parity)."""
+    rng = np.random.RandomState(4)
+    n = 2000
+    # one clump far tighter than a level-10 cell (box/1024)
+    clump = (BOX * 0.3 + rng.normal(0, BOX / 2 ** 14, (n // 2, 3)))
+    rest = rng.uniform(0, BOX, (n - n // 2, 3))
+    pos = np.concatenate([clump, rest]) % BOX
+    mass = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    tree = build(pos, mass, nlevels=14, ncrit=8)
+
+    valid = np.asarray(tree.valid)
+    pstart = np.asarray(tree.pstart)
+    pcount = np.asarray(tree.pcount)
+    nmass = np.asarray(tree.mass)
+    mass_s = np.asarray(tree.mass_s)
+    length = np.asarray(tree.length)
+
+    # moments exact at every level incl. below level 10
+    for i in np.nonzero(valid)[0][::7]:
+        s, c = pstart[i], pcount[i]
+        if s >= n:
+            continue
+        assert nmass[i] == pytest.approx(mass_s[s:s + c].sum(),
+                                         rel=1e-5)
+    # deep levels actually split the clump: some valid level-14 cells
+    # hold a strict subset of it
+    deep = valid & (length < BOX / 2 ** 10 * 1.01) & (pcount > 0) \
+        & (pstart < n)
+    assert deep.sum() > 8, "deep levels never resolved the clump"
+    # partition property at the deepest level
+    ll = length[valid].min()
+    sel = valid & (length == ll)
+    s, c = pstart[sel], pcount[sel]
+    o = np.argsort(s)
+    s, c = s[o], c[o]
+    np.testing.assert_array_equal(s[1:], (s + c)[:-1])
+
+    # force through the deep tree still matches the direct sum
+    params = _params(nmesh=16)
+    ipos = jnp.asarray(float_to_ipos(pos, BOX))
+    acc_tree = treegrav(tree, ipos,
+                        jnp.asarray(np.zeros(n, np.float32)),
+                        params)[0]
+    acc_dir, _ = _direct_short_range(pos.astype(np.float64),
+                                     mass.astype(np.float64), params)
+    err = np.linalg.norm(np.asarray(acc_tree) - acc_dir, axis=1)
+    scale = np.linalg.norm(acc_dir, axis=1).mean() + 1e-30
+    assert np.percentile(err / scale, 90) < 0.02

@@ -1,0 +1,269 @@
+#!/usr/bin/env python
+"""Run the reference's travis CI example end-to-end and apply its
+acceptance criteria (examples/travis/check-results.py analog).
+
+64^3 DM + 64^3 gas, 128 Mpc/h box, z=99 -> z=65.7 (a=0.01 -> 0.015),
+full physics enabled (cooling, SFR+H2, winds, metal return, BHs) at
+redshifts where they are quiescent — the check is that gravity+hydro
+evolve each species at the right LINEAR growth:
+
+  * IC input power within 2% of the CLASS table
+    (check-results.py:100-105);
+  * CDM P(k) at each output within 4% of the growth-scaled CLASS
+    CDM spectrum on large scales (bins 2:5, check-results.py:85-90);
+  * baryon P(k) tracked and reported (the reference's own baryon
+    assert slices an empty range and is vacuous; we apply a real 8%
+    check on the same bins used for CDM).
+
+The reference CI generates CLASS spectra at each output z; without
+CLASS here the z=99 tables are scaled with the growth factor from our
+own cosmology module (radiation included — a ~2% effect at z~70).
+Per-species shapes additionally use the CLASS transfer ratios frozen
+at z=99; the residual baryon-vs-cdm relative growth over this a-range
+is ~1%, inside the tolerances.
+
+Usage: python validation/travis.py [workdir]
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+EX = "/root/reference/examples/travis"
+EXDIR = "/root/reference/examples"
+
+GENIC = """
+OutputDir = {out}/IC
+FileBase = IC
+Ngrid = 64
+BoxSize = 128.0
+Omega0 = 0.288
+OmegaLambda = 0.712
+OmegaBaryon = 0.0472
+ProduceGas = 1
+HubbleParam = 0.7
+Redshift = 99
+FileWithInputSpectrum = {ex}/class_pk_99.dat
+FileWithTransferFunction = {ex}/class_tk_99.dat
+DifferentTransferFunctions = 1
+UsePeculiarVelocity = 1
+Seed = 181170
+UnitaryAmplitude = 1
+UnitLength_in_cm = 3.085678e24
+UnitMass_in_g = 1.989e43
+UnitVelocity_in_cm_per_s = 1e5
+"""
+
+GADGET = """
+InitCondFile = {out}/IC/IC
+OutputDir = {out}/output
+OutputList = 0.01,0.012,0.015
+SplitGravityTimestepsOn = 1
+TimeLimitCPU = 43000
+TimeMax = 0.015
+Omega0 = 0.288
+OmegaLambda = 0.712
+OmegaBaryon = 0.0472
+HubbleParam = 0.7
+HydroOn = 1
+CoolingOn = 1
+StarformationOn = 1
+StarformationCriterion = density,h2
+RadiationOn = 1
+DensityIndependentSphOn = 1
+MetalReturnOn = 1
+MassiveNuLinRespOn = 0
+MetalCoolFile = {exdir}/cooling_metal_UVB
+TreeCoolFile = {exdir}/TREECOOL_fg_june11
+SnapshotWithFOF = 1
+FOFHaloLinkingLength = 0.2
+FOFHaloMinLength = 32
+PartAllocFactor = 2.0
+BlackHoleOn = 1
+BlackHoleKineticOn = 1
+BlackHoleFeedbackMethod = spline,mass
+MinFoFMassForNewSeed = 1
+TimeBetweenSeedingSearch = 1.03
+CritPhysDensity = 0
+CritOverDensity = 57.7
+QuickLymanAlphaProbability = 0
+WindOn = 1
+WindModel = ofjt10,isotropic
+UnitLength_in_cm = 3.085678e24
+UnitMass_in_g = 1.989e43
+UnitVelocity_in_cm_per_s = 1e5
+"""
+
+
+def species_power(snapdir, types, boxsize, nmesh=128):
+    """Compensated-CIC P(k) of the union of particle `types`.
+
+    Returns (k [internal], P [internal]) on bins of width 2pi/box
+    (the FFTPower convention of check-results.py).
+    """
+    import jax
+    import jax.numpy as jnp
+    from shenqi_tpu.io.bigfile import BigFile
+    from shenqi_tpu.core.particles import float_to_ipos
+    from shenqi_tpu.ops.cic import cic_deposit
+
+    bf = BigFile(snapdir)
+    pos = []
+    for t in types:
+        try:
+            pos.append(np.asarray(bf[f"{t}/Position"].read()))
+        except KeyError:
+            pass
+    pos = np.concatenate(pos)
+    n = len(pos)
+    ipos = jnp.asarray(float_to_ipos(pos % boxsize, boxsize))
+
+    @jax.jit
+    def meshpk(ipos):
+        mesh = cic_deposit(ipos, jnp.ones(n, jnp.float32) / n, nmesh)
+        rho_k = jnp.fft.rfftn(mesh * nmesh ** 3 )
+        return (rho_k.real ** 2 + rho_k.imag ** 2)
+
+    pk3d = np.asarray(meshpk(ipos)) / nmesh ** 6
+    kx = np.fft.fftfreq(nmesh, 1.0 / nmesh)[:, None, None]
+    ky = np.fft.fftfreq(nmesh, 1.0 / nmesh)[None, :, None]
+    kz = np.arange(nmesh // 2 + 1)[None, None, :]
+    kmag_int = np.sqrt(kx ** 2 + ky ** 2 + kz ** 2)
+
+    def sinc(x):
+        return np.where(np.abs(x) > 1e-12, np.sin(x)
+                        / np.where(np.abs(x) > 1e-12, x, 1), 1.0)
+
+    w = np.pi / nmesh
+    wcic = (sinc(kx * w) * sinc(ky * w) * sinc(kz * w)) ** 2
+    pk3d = pk3d / wcic ** 2
+    # hermitian weights: kz=0 and kz=n/2 planes counted once
+    wgt = np.full(pk3d.shape, 2.0)
+    wgt[:, :, 0] = 1.0
+    if nmesh % 2 == 0:
+        wgt[:, :, -1] = 1.0
+    bins = np.rint(kmag_int).astype(int)
+    bins[0, 0, 0] = -1
+    nb = nmesh // 2
+    psum = np.bincount(bins.ravel()[bins.ravel() >= 0],
+                       (pk3d * wgt).ravel()[bins.ravel() >= 0],
+                       minlength=nb + 1)
+    ksum = np.bincount(bins.ravel()[bins.ravel() >= 0],
+                       (kmag_int * wgt).ravel()[bins.ravel() >= 0],
+                       minlength=nb + 1)
+    cnt = np.bincount(bins.ravel()[bins.ravel() >= 0],
+                      wgt.ravel()[bins.ravel() >= 0],
+                      minlength=nb + 1)
+    good = cnt > 0
+    kk = (ksum[good] / cnt[good]) * (2 * np.pi / boxsize)
+    pk = (psum[good] / cnt[good]) * boxsize ** 3
+    return kk, pk
+
+
+def class_species_pk(zout, cp):
+    """CLASS z=99 P(k) split per species and grown to zout.
+
+    Returns interpolators k[h/Mpc] -> P for ('cdm', 'bar', 'tot').
+    """
+    import scipy.interpolate as si
+    mat = np.loadtxt(os.path.join(EX, "class_pk_99.dat"))
+    trans = np.loadtxt(os.path.join(EX, "class_tk_99.dat"))
+    omegab, omega0 = 0.0472, 0.288
+    tk, d_b, d_cdm = trans[:, 0], trans[:, 2], trans[:, 3]
+    ttot = (omegab * d_b + (omega0 - omegab) * d_cdm) / omega0
+    D = cp.growth_factor(1.0 / (1 + 99), 1.0 / (1 + zout)) \
+        if zout != 99 else 1.0
+    intpbar = si.interp1d(tk, d_b / ttot)
+    intpdm = si.interp1d(tk, d_cdm / ttot)
+    pk = si.interp1d(mat[:, 0], mat[:, 1])
+
+    def make(f):
+        return lambda k: f(k) ** 2 * pk(k) * D ** 2
+    return {"cdm": make(intpdm), "bar": make(intpbar),
+            "tot": lambda k: pk(k) * D ** 2}
+
+
+def check_output(outdir, aout, cp, log=print):
+    boxsize = 128.0
+    z = 1.0 / aout - 1
+    snap = None
+    for name in sorted(os.listdir(outdir)):
+        if name.startswith("PART_"):
+            from shenqi_tpu.io.bigfile import BigFile
+            bf = BigFile(os.path.join(outdir, name))
+            t = float(np.asarray(bf["Header"].attrs["Time"])[0])
+            if abs(t - aout) < 1e-4:
+                snap = os.path.join(outdir, name)
+    if snap is None:
+        log(f"FAIL: no snapshot at a={aout}")
+        return False
+    theory = class_species_pk(z, cp)
+    h = 0.7
+    ok = True
+    for label, types, rtol in (("cdm", (1,), 0.04),
+                               ("bar", (0, 4), 0.08)):
+        kk, pk = species_power(snap, types, boxsize)
+        # bins 2:5 of the FFTPower convention (skip DC+fundamental)
+        sel = slice(2, 5)
+        pth = theory[label](kk[sel])
+        ratio = pk[sel] / pth
+        good = np.allclose(pk[sel], pth, rtol=rtol, atol=0)
+        log(f"a={aout} {label}: P/P_lin {ratio.round(3)} "
+            f"(rtol {rtol}) -> {'PASS' if good else 'FAIL'}")
+        ok &= good
+    return ok
+
+
+def main():
+    work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/travis_val"
+    os.makedirs(work, exist_ok=True)
+    with open(os.path.join(work, "paramfile.genic"), "w") as f:
+        f.write(GENIC.format(out=work, ex=EX))
+    with open(os.path.join(work, "paramfile.gadget"), "w") as f:
+        f.write(GADGET.format(out=work, exdir=EXDIR))
+
+    from shenqi_tpu.cli.genic_main import run_genic
+    from shenqi_tpu.cli.gadget_main import run_gadget
+    from shenqi_tpu.cosmology.background import Cosmology
+
+    lines = []
+
+    def log(msg):
+        print(msg, flush=True)
+        lines.append(str(msg))
+
+    log("Generating travis ICs (64^3 gas + 64^3 DM)...")
+    run_genic(os.path.join(work, "paramfile.genic"))
+
+    # IC input-power check (2%, check-results.py:100-105)
+    cp = Cosmology(Omega0=0.288, OmegaLambda=0.712, OmegaBaryon=0.0472,
+                   HubbleParam=0.7, RadiationOn=1)
+    icdir = os.path.join(work, "IC", "IC")
+    ok = True
+    theory = class_species_pk(99, cp)
+    kk, pk = species_power(icdir, (0, 1), 128.0)
+    sel = slice(2, 5)
+    ratio = pk[sel] / theory["tot"](kk[sel])
+    okic = np.allclose(pk[sel], theory["tot"](kk[sel]), rtol=0.02,
+                       atol=0)
+    log(f"IC total P(k): ratio {ratio.round(4)} (rtol 0.02) -> "
+        f"{'PASS' if okic else 'FAIL'}")
+    ok &= okic
+
+    log("Running travis (z=99 -> z=65.7, full physics)...")
+    run_gadget(os.path.join(work, "paramfile.gadget"))
+
+    outdir = os.path.join(work, "output")
+    for aout in (0.01, 0.012, 0.015):
+        ok &= check_output(outdir, aout, cp, log=log)
+    log("OVERALL: " + ("PASS" if ok else "FAIL"))
+    with open(os.path.join(work, "RESULT.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
