@@ -554,25 +554,30 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
     snapshot_with_fof = bool(ps.get_int("SnapshotWithFOF"))
     base_on_snapshot = on_snapshot
 
+    def run_fof(s):
+        """Build the FOF catalog for the current particle state."""
+        p = s.particles
+        npart_tot = int(np.asarray(p.mask).sum())
+        ndm = int((np.asarray(p.ptype)[np.asarray(p.mask)] == 1).sum())
+        mean_sep = boxsize / np.cbrt(max(ndm, npart_tot, 1))
+        return fof(s.output_ipos(), np.asarray(p.vel),
+                   np.asarray(p.mass),
+                   np.asarray(p.ptype), np.asarray(p.mask), boxsize,
+                   mean_sep,
+                   linking_length=ps.get_double(
+                       "FOFHaloLinkingLength"),
+                   min_length=ps.get_int("FOFHaloMinLength"),
+                   sfr=(np.pad(np.asarray(s.gas.sfr),
+                               (0, p.n - s.gas.ngas))
+                        if s.gas is not None else None))
+
     def on_snapshot_with_fof(s, a):
         base_on_snapshot(s, a)
         if not snapshot_with_fof:
             return
         import jax.numpy as _jnp
+        groups = run_fof(s)
         p = s.particles
-        npart_tot = int(np.asarray(p.mask).sum())
-        ndm = int((np.asarray(p.ptype)[np.asarray(p.mask)] == 1).sum())
-        mean_sep = boxsize / np.cbrt(max(ndm, npart_tot, 1))
-        groups = fof(s.output_ipos(), np.asarray(p.vel),
-                     np.asarray(p.mass),
-                     np.asarray(p.ptype), np.asarray(p.mask), boxsize,
-                     mean_sep,
-                     linking_length=ps.get_double(
-                         "FOFHaloLinkingLength"),
-                     min_length=ps.get_int("FOFHaloMinLength"),
-                     sfr=(np.pad(np.asarray(s.gas.sfr),
-                                 (0, p.n - s.gas.ngas))
-                          if s.gas is not None else None))
         from ..io.fofio import save_fof, save_fof_particles
         pig = os.path.join(outdir, f"{ps.get_string('FOFFileBase')}"
                            f"_{snap_counter[0] - 1:03d}")
@@ -581,9 +586,31 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
             save_fof_particles(pig, groups, p, boxsize=boxsize,
                                atime=a)
         print(f"FOF at a={a:g}: {groups.ngroups} groups -> {pig}")
+        fof_physics(s, groups)
 
-        # FOF-cadence physics: BH seeding, HeIII bubbles, excursion
-        # halo masses (run.cpp FOF block ordering)
+        # lensing potential planes at snapshot times (plane.cpp)
+        if ps.get_int("WritePlaneOn"):
+            from ..physics.plane import PlaneParams, write_planes
+            cuts = [float(x) for x in ps.get_string(
+                "PlaneCutPoints").split(",") if x.strip()]
+            normals = [int(x) for x in ps.get_string(
+                "PlaneNormals").split(",") if x.strip()]
+            par = PlaneParams(
+                Resolution=ps.get_int("PlaneResolution"),
+                Thickness=ps.get_double("PlaneThickness"),
+                CutPoints=cuts, Normals=normals or [0, 1, 2])
+            posd = (np.asarray(p.ipos, np.float64)
+                    * (boxsize / 2 ** 32))
+            write_planes(snap_counter[0] - 1, a, cp, posd,
+                         np.asarray(p.mask), boxsize, outdir,
+                         units.UnitVelocity_in_cm_per_s,
+                         units.UnitLength_in_cm, par)
+
+    def fof_physics(s, groups):
+        """FOF-cadence physics: BH seeding, HeIII bubbles, excursion
+        halo masses (run.cpp FOF block ordering)."""
+        import jax.numpy as _jnp
+        p = s.particles
         if s.gas is not None and s.gas_physics is not None:
             gpx = s.gas_physics
             gid = groups.group_id
@@ -615,25 +642,30 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
                 s.gas = gpx.helium_step(s, s.gas, groups.masses,
                                         groups.cm)
 
-        # lensing potential planes at snapshot times (plane.cpp)
-        if ps.get_int("WritePlaneOn"):
-            from ..physics.plane import PlaneParams, write_planes
-            cuts = [float(x) for x in ps.get_string(
-                "PlaneCutPoints").split(",") if x.strip()]
-            normals = [int(x) for x in ps.get_string(
-                "PlaneNormals").split(",") if x.strip()]
-            par = PlaneParams(
-                Resolution=ps.get_int("PlaneResolution"),
-                Thickness=ps.get_double("PlaneThickness"),
-                CutPoints=cuts, Normals=normals or [0, 1, 2])
-            posd = (np.asarray(p.ipos, np.float64)
-                    * (boxsize / 2 ** 32))
-            write_planes(snap_counter[0] - 1, a, cp, posd,
-                         np.asarray(p.mask), boxsize, outdir,
-                         units.UnitVelocity_in_cm_per_s,
-                         units.UnitLength_in_cm, par)
-
     sim.on_snapshot = on_snapshot_with_fof
+
+    # seeding-cadence FOF searches on PM steps (run.cpp:364,637-660):
+    # the first BHs in star-small appear at a~0.14 from a seeding FOF,
+    # well before any snapshot
+    bh_enabled = bool(ps.get_int("BlackHoleOn")) and has_gas
+    helium_obj = (sim.gas_physics.helium
+                  if getattr(sim, "gas_physics", None) else None)
+    next_seed_check = [atime]
+    seed_factor = ps.get_double("TimeBetweenSeedingSearch")
+
+    def on_pm_step(s):
+        a = s.atime()
+        seed_due = bh_enabled and a >= next_seed_check[0]
+        he_due = helium_obj is not None and helium_obj.during(
+            1.0 / a - 1.0)
+        if not (seed_due or he_due):
+            return
+        groups = run_fof(s)
+        if seed_due:
+            next_seed_check[0] = a * seed_factor
+        fof_physics(s, groups)
+
+    sim.on_pm_step = on_pm_step
 
     def on_bad_timestep(s):
         """Emergency TIMESTEP-DUMP snapshot (run.cpp:794-797)."""
@@ -662,6 +694,12 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
     fd_cpu = open(os.path.join(outdir, ps.get_string("CpuFile")), "a")
     fd_sfr = (open(os.path.join(outdir, "sfr.txt"), "a")
               if has_gas and ps.get_int("StarformationOn") else None)
+    if fd_sfr is not None and fd_sfr.tell() == 0:
+        fd_sfr.write(
+            "# SFR.txt columns are:\n"
+            "# 0. Time  1. total_sm  2. totsfrrate [Msun/yr]\n"
+            "# 3. rate_in_msunperyear  4. total_sum_mass_stars\n"
+            "# 5. avg dt  6. n star-forming  7. new stars\n")
     bh_on = has_gas and ps.get_int("BlackHoleOn")
     fd_bh = (open(os.path.join(outdir, "blackholes.txt"), "a")
              if bh_on else None)
@@ -694,15 +732,28 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
         _dump_power(s)
         energy_statistics(fd_energy, a, s.particles)
         if fd_sfr is not None and s.gas is not None:
-            total_sfr = float(np.asarray(s.gas.sfr).sum())
-            sfr_statistics(fd_sfr, a, 0.0, total_sfr, 0.0)
+            # reference writes a line only when stars could form
+            # (sfr_eff.cpp:390 `if(FdSfr && total_sm > 0)`)
+            st = getattr(s.gas_physics, "last_sfr_stats", None)
+            if st is not None and st["total_sm"] > 0:
+                sfr_statistics(fd_sfr, a, st["total_sm"],
+                               st["totsfrrate"],
+                               st["rate_in_msunperyear"],
+                               st["total_sum_mass_stars"],
+                               st["avg_dtime"], st["total_sum_part"],
+                               st["tot_newstars"])
+            if st is not None:
+                s.gas_physics.last_sfr_stats = None
         if fd_bh is not None and s.gas is not None:
             ng = s.gas.ngas
             p = s.particles
             alive_bh = (np.asarray(p.mask[:ng])
                         & (np.asarray(p.ptype[:ng]) == 5))
-            blackhole_statistics(fd_bh, a, s.gas.bh_mass,
-                                 s.gas.bh_mdot, alive_bh, units)
+            # reference emits nothing before the first BH is seeded
+            # (blackhole.cpp:221-223 early return on totbh == 0)
+            if alive_bh.any():
+                blackhole_statistics(fd_bh, a, s.gas.bh_mass,
+                                     s.gas.bh_mdot, alive_bh, units)
             if fd_bhdet is not None and alive_bh.any():
                 from ..core.particles import ipos_to_float
                 ids64 = ((np.asarray(p.id_hi[:ng]).astype(np.uint64)

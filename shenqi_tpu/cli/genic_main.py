@@ -49,7 +49,12 @@ def run_genic(paramfile: str, strict: bool = False) -> str:
     ngrid = ps.get_int("Ngrid")
     nmesh = ps.get_int("Nmesh")
     if nmesh <= 0:
-        nmesh = ngrid
+        # genic/params.cpp:194: default displacement mesh is 2*Ngrid —
+        # the finer mesh keeps the (uncompensated) CIC readout
+        # attenuation of the shifted species lattices negligible at
+        # the checked k, and the gadget RNG field is sized by Nmesh so
+        # phase parity with MP-GenIC requires the same default
+        nmesh = 2 * ngrid
     seed = ps.get_int("Seed")
     produce_gas = ps.get_int("ProduceGas")
     use_peculiar = ps.get_int("UsePeculiarVelocity")
@@ -95,11 +100,16 @@ def run_genic(paramfile: str, strict: bool = False) -> str:
         lattice_gas, ids_gas = setup_grid(ngrid, boxsize,
                                           id_offset=ngrid ** 3 + 1,
                                           shift_frac=-0.5 * (1 - fb))
-        from ..cosmology.power import DELTA_CB, DELTA_BAR, DELTA_TOT
-        t_dm = DELTA_CB if (difftrans and power.transfer_ratio) \
-            else DELTA_TOT
+        from ..cosmology.power import (DELTA_CB, DELTA_BAR, DELTA_CDM,
+                                       DELTA_TOT)
+        # genic/main.cpp:106-110: with gas + DifferentTransferFunctions
+        # the DM species uses the PURE CDM transfer (DELTA_CDM), not
+        # the cb-weighted total — using CB here suppressed the DM
+        # power by (t_cb/t_cdm)^2 ~ 10% at BAO scales
+        t_dm = DELTA_CDM if (difftrans and power.transfer_ratio) \
+            else DELTA_CB
         t_gas = DELTA_BAR if (difftrans and power.transfer_ratio) \
-            else DELTA_TOT
+            else DELTA_CB
         res_dm = displacement_fields(g_k, power, cp, lattice_dm, boxsize,
                                      time_ic, ttype=t_dm,
                                      use_peculiar=use_peculiar)

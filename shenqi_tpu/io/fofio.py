@@ -27,6 +27,10 @@ def save_fof(path: str, groups, header: SnapshotHeader, atime: float):
         UsePeculiarVelocity=header.UsePeculiarVelocity,
         TimeIC=header.TimeIC)
     hdr.extra["NTotal"] = np.array([groups.ngroups], dtype="<u8")
+    # total grouped particles per type (fofpetaio.cpp writes this for
+    # the PIG header; star-small check_results.py reads it)
+    hdr.extra["NumPartInGroupTotal"] = np.asarray(
+        groups.length_by_type, dtype="<u8").sum(axis=0)
     hdr.write(bf)
 
     G = groups.ngroups

@@ -41,6 +41,12 @@ from ..core.particles import POS_SCALE
 CHUNK = 64
 
 
+class TreeTooShallow(RuntimeError):
+    """A blocked neighbour walk hit a leaf with more than ncrit rows
+    (bottom-level overflow): the caller must rebuild the octree with
+    more levels and retry, or neighbours go missing silently."""
+
+
 def _slice_payload(payload, start, size):
     return jax.tree_util.tree_map(
         lambda a: jax.lax.dynamic_slice_in_dim(a, start, size, axis=0),
@@ -121,3 +127,181 @@ def run_walk(tree: Octree, payload, target_ipos, target_radius,
 
     return jax.vmap(one_target)(target_ipos, target_radius,
                                 target_extra, carry0)
+
+
+# ---------------------------------------------------------------------------
+# Blocked neighbor walk: same accumulate protocol, TPU-native schedule.
+#
+# The vmapped per-target walk above is the reference-semantics oracle;
+# on TPU at production sizes XLA lowers its batched dynamic slices into
+# per-target gathers whose operands blow past HBM (a 64^3-gas density
+# walk tried to stage a [262144, 262208, 3] u32 operand).  The blocked
+# engine reuses ops/blockwalk.py exactly like blocked gravity does:
+# one conservative traversal per Morton block of targets emits a leaf
+# interaction list, leaf sources are gathered once, and every target in
+# the block scans the dense [CHUNK]-sliced source table under a mask.
+
+
+def make_target_blocks(target_ipos, block: int, nb: int, level: int):
+    """Group arbitrary targets into Morton blocks, fully on device.
+\
+    Unlike blockwalk.make_blocks_device this takes raw uint32
+    positions (targets need not be tree particles — e.g. the gas
+    subset).  Returns (order [T] int32 block-gathered target ordering,
+    lane_block [T] int32 flat slot per target, bb_lo/bb_hi [nb,3],
+    overflow bool).  Blocks never straddle a level-`level` Morton cell
+    so their bboxes stay compact (see make_blocks_from_tree).
+    """
+    from .morton import morton_key
+
+    T = target_ipos.shape[0]
+    keys = morton_key(target_ipos)
+    order = jnp.argsort(keys).astype(jnp.int32)
+    ipos_o = target_ipos[order]
+    gid = morton_key(ipos_o) >> jnp.uint32(30 - 3 * level)
+
+    idx = jnp.arange(T, dtype=jnp.int32)
+    newcell = jnp.concatenate([jnp.ones(1, bool), gid[1:] != gid[:-1]])
+    cellstart = jax.lax.cummax(jnp.where(newcell, idx, 0))
+    rank = idx - cellstart
+    bflag = newcell | (rank % block == 0)
+    bid = jnp.cumsum(bflag.astype(jnp.int32)) - 1
+    blockstart = jax.lax.cummax(jnp.where(bflag, idx, 0))
+    lane = idx - blockstart
+
+    overflow = bid[-1] >= nb
+    sbid = jnp.minimum(bid, nb - 1)
+    flat = sbid * block + lane
+    to_f = jnp.float32(1.0 / (2.0 ** 32))
+    posf = ipos_o.astype(jnp.float32)
+    big = jnp.float32(3.4e38)
+    bb_lo = jnp.full((nb, 3), big, jnp.float32).at[sbid].min(
+        posf, mode="promise_in_bounds")
+    bb_hi = jnp.full((nb, 3), -big, jnp.float32).at[sbid].max(
+        posf, mode="promise_in_bounds")
+    empty = bb_lo[:, 0] >= big
+    bb_lo = jnp.where(empty[:, None], 0.0, bb_lo)
+    bb_hi = jnp.where(empty[:, None], 0.0, bb_hi)
+    return order, flat, bb_lo, bb_hi, overflow
+
+
+@partial(jax.jit, static_argnames=("accumulate", "boxsize", "symmetric",
+                                   "block", "maxl", "ncrit", "level",
+                                   "nb", "block_batch"))
+def run_walk_blocked(tree: Octree, payload, target_ipos, target_radius,
+                     target_extra, carry0, accumulate, boxsize: float,
+                     symmetric: bool = False, block: int = 64,
+                     maxl: int = 256, ncrit: int = 32, level: int = 4,
+                     nb: int = 1024, block_batch: int = 64):
+    """Blocked form of run_walk (identical accumulate protocol).
+
+    Returns (carry_out in original target order, info dict with
+    'block_overflow' and 'list_overflow' scalars — callers grow `nb`
+    or `maxl` and retry if set).
+    """
+    from .blockwalk import block_traverse, gather_leaf_sources
+
+    T = target_ipos.shape[0]
+    order, flat, bb_lo, bb_hi, b_ovf = make_target_blocks(
+        target_ipos, block, nb, level)
+    to_f = jnp.float32(boxsize / POS_SCALE)
+
+    # scatter target data into [nb*block] slots (empty slots inert)
+    def to_slots(a, fill=0):
+        out = jnp.full((nb * block,) + a.shape[1:],
+                       jnp.asarray(fill, a.dtype))
+        return out.at[flat].set(a[order], mode="promise_in_bounds")
+
+    slot_valid = jnp.zeros(nb * block, bool).at[flat].set(
+        True, mode="promise_in_bounds")
+    tipos_b = to_slots(target_ipos).reshape(nb, block, 3)
+    rad_b = to_slots(target_radius).reshape(nb, block)
+    extra_b = jax.tree_util.tree_map(
+        lambda a: to_slots(a).reshape((nb, block) + a.shape[1:]),
+        target_extra)
+    carry_b = jax.tree_util.tree_map(
+        lambda a: to_slots(a).reshape((nb, block) + a.shape[1:]),
+        carry0)
+    valid_b = slot_valid.reshape(nb, block)
+
+    block_rad = jnp.max(jnp.where(valid_b, rad_b, 0.0), axis=1)
+    # scale bboxes to internal length units for the traversal
+    bb_lo = bb_lo * to_f
+    bb_hi = bb_hi * to_f
+
+    lists = block_traverse(
+        tree, bb_lo, bb_hi, block_rad, jnp.zeros(nb, jnp.float32),
+        boxsize, 0.0, 0.0, 1, maxi=8, maxl=maxl, mode="neighbor",
+        symmetric=symmetric)
+
+    bb = min(block_batch, nb)
+    while nb % bb:
+        bb //= 2
+    nbatch = nb // bb
+    total_src = maxl * ncrit
+
+    def eval_batch(args):
+        leaf_ids, tipos, rad, extra, carry_init, valid = args
+        src_all, src_valid = gather_leaf_sources(tree, leaf_ids, ncrit,
+                                                 payload)
+        tpos = tipos.astype(jnp.float32) * to_f
+
+        def chunk_body(carry, c):
+            src = jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_slice_in_dim(
+                    a, c * CHUNK, CHUNK, axis=1), src_all)
+            live = jax.lax.dynamic_slice_in_dim(
+                src_valid, c * CHUNK, CHUNK, axis=1)  # [bb, CHUNK]
+            # dist: min-image source->target, uint32-exact wrap
+            dist = (tipos[:, :, None, :] - src["ipos"][:, None, :, :]
+                    ).astype(jnp.int32).astype(jnp.float32) * to_f
+            r2 = jnp.sum(dist * dist, axis=-1)   # [bb, block, CHUNK]
+            # vmap accumulate over (batch, lane)
+            acc2 = jax.vmap(jax.vmap(
+                accumulate,
+                in_axes=(0, 0, 0, None, 0, 0, None)),
+                in_axes=(0, 0, 0, 0, 0, 0, 0))
+            return acc2(carry, extra, tpos, src, dist, r2, live), None
+
+        carry_end, _ = jax.lax.scan(chunk_body, carry_init,
+                                    jnp.arange(total_src // CHUNK))
+        # inert (padding) lanes keep their initial carry: their radius
+        # is 0, and accumulators may divide by it (hsml) — mask, don't
+        # trust w=0 to kill the NaNs
+        return jax.tree_util.tree_map(
+            lambda new, init: jnp.where(
+                valid.reshape(valid.shape + (1,) * (new.ndim - 2)),
+                new, init),
+            carry_end, carry_init)
+
+    batched = (
+        lists.leaf_ids.reshape(nbatch, bb, maxl),
+        tipos_b.reshape(nbatch, bb, block, 3),
+        rad_b.reshape(nbatch, bb, block),
+        jax.tree_util.tree_map(
+            lambda a: a.reshape((nbatch, bb, block) + a.shape[2:]),
+            extra_b),
+        jax.tree_util.tree_map(
+            lambda a: a.reshape((nbatch, bb, block) + a.shape[2:]),
+            carry_b),
+        valid_b.reshape(nbatch, bb, block),
+    )
+    carry_out_b = jax.lax.map(eval_batch, batched)
+
+    # back to original target order
+    def from_slots(a):
+        a = a.reshape((nb * block,) + a.shape[3:])
+        picked = a[flat]                      # [T] in sorted order
+        out = jnp.zeros((T,) + a.shape[1:], a.dtype)
+        return out.at[order].set(picked, mode="promise_in_bounds")
+
+    carry_out = jax.tree_util.tree_map(from_slots, carry_out_b)
+    # leaves holding more than ncrit rows get TRUNCATED by
+    # gather_leaf_sources — silent missing neighbours.  Flag it so the
+    # caller rebuilds a deeper tree (gravity tolerates it; SPH cannot).
+    safe_l = jnp.maximum(lists.leaf_ids, 0)
+    pc = jnp.where(lists.leaf_ids >= 0, tree.pcount[safe_l], 0)
+    info = {"block_overflow": b_ovf,
+            "list_overflow": jnp.any(lists.overflow),
+            "leaf_truncated": jnp.any(pc > ncrit)}
+    return carry_out, info

@@ -52,10 +52,44 @@ def _veldisp_walk(tree: Octree, payload, target_ipos, radius, boxsize):
                     _veldisp_accum, boxsize, symmetric=False)
 
 
+def _veldisp_walk_blocked(tree, payload, target_ipos, radius, boxsize,
+                          ncrit, caps):
+    """Blocked engine (production TPU path); caps dict is mutated to
+    grow maxl/nb across the bisection loop."""
+    from ..ops.treewalk import run_walk_blocked, TreeTooShallow
+
+    t = target_ipos.shape[0]
+    z = lambda *s: jnp.zeros(s, jnp.float32)
+    carry0 = (z(t), z(t), z(t, 3), z(t))
+    extra = {"radius": radius}
+    if not caps.get("nb"):
+        nb0 = max(2 * ((t + 63) // 64), 8)
+        caps["nb"] = 1 << (nb0 - 1).bit_length()
+    while True:
+        out, info = run_walk_blocked(
+            tree, payload, target_ipos, radius, extra, carry0,
+            _veldisp_accum, boxsize, symmetric=False, ncrit=ncrit,
+            maxl=caps["maxl"], nb=caps["nb"])
+        if bool(info["leaf_truncated"]):
+            raise TreeTooShallow("veldisp: leaf > ncrit")
+        grew = False
+        if bool(info["list_overflow"]):
+            if caps["maxl"] >= 16384:
+                raise RuntimeError("veldisp list cap overflow")
+            caps["maxl"] *= 2
+            grew = True
+        if bool(info["block_overflow"]):
+            nb0 = caps.get("nb") or max(2 * ((t + 63) // 64), 8)
+            caps["nb"] = (1 << (nb0 - 1).bit_length()) * 2
+            grew = True
+        if not grew:
+            return out
+
+
 def dm_velocity_dispersion(dm_ipos, dm_vel, dm_mass, dm_alive,
                            gas_ipos, radius0, boxsize, atime,
                            nlevels=6, ncrit=32, target_ngb=40.0,
-                           maxiter=20):
+                           maxiter=20, engine="blocked"):
     """1-D physical velocity dispersion of DM around each gas target.
 
     radius0: initial search radii (e.g. 2x gas hsml).
@@ -63,27 +97,45 @@ def dm_velocity_dispersion(dm_ipos, dm_vel, dm_mass, dm_alive,
     density [T] comoving mean DM density inside the radius — used by
     BH dynamical friction).
     """
-    tree = build_octree(dm_ipos, dm_mass, dm_alive, boxsize,
-                        nlevels=nlevels, ncrit=ncrit)
-    order = tree.order
-    payload = {"ipos": tree.ipos_s, "mass": tree.mass_s,
-               "vel": dm_vel[order], "alive": dm_alive[order]}
-    t = gas_ipos.shape[0]
-    state = HsmlState(hsml=jnp.asarray(radius0, jnp.float32),
-                      left=jnp.zeros(t, jnp.float32),
-                      right=jnp.full(t, boxsize, jnp.float32),
-                      done=jnp.zeros(t, bool))
-    out = None
-    for _ in range(maxiter):
-        out = _veldisp_walk(tree, payload, gas_ipos, state.hsml,
-                            boxsize)
-        ngb = out[0]
-        # reuse the density bisection with a rough dNgb/dR (3 Ngb/R)
-        state = update_hsml(state, ngb, -3.0 * ngb / jnp.maximum(
-            state.hsml, 1e-35), ngb, target_ngb, 2.0, boxsize)
-        if bool(jnp.all(state.done)):
+    from ..ops.treewalk import TreeTooShallow
+
+    while True:
+        tree = build_octree(dm_ipos, dm_mass, dm_alive, boxsize,
+                            nlevels=nlevels, ncrit=ncrit)
+        order = tree.order
+        payload = {"ipos": tree.ipos_s, "mass": tree.mass_s,
+                   "vel": dm_vel[order], "alive": dm_alive[order]}
+        t = gas_ipos.shape[0]
+        state = HsmlState(hsml=jnp.asarray(radius0, jnp.float32),
+                          left=jnp.zeros(t, jnp.float32),
+                          right=jnp.full(t, boxsize, jnp.float32),
+                          done=jnp.zeros(t, bool))
+        caps = {"maxl": 64}
+
+        def walk(rad):
+            if engine == "blocked":
+                return _veldisp_walk_blocked(tree, payload, gas_ipos,
+                                             rad, boxsize, ncrit, caps)
+            return _veldisp_walk(tree, payload, gas_ipos, rad, boxsize)
+
+        try:
+            out = None
+            for _ in range(maxiter):
+                out = walk(state.hsml)
+                ngb = out[0]
+                # density bisection with a rough dNgb/dR (3 Ngb/R)
+                state = update_hsml(
+                    state, ngb, -3.0 * ngb / jnp.maximum(
+                        state.hsml, 1e-35), ngb, target_ngb, 2.0,
+                    boxsize)
+                if bool(jnp.all(state.done)):
+                    break
+            out = walk(state.hsml)
             break
-    out = _veldisp_walk(tree, payload, gas_ipos, state.hsml, boxsize)
+        except TreeTooShallow:
+            if nlevels >= 20:
+                raise
+            nlevels += 1
     ngb, msum, vsum, v2sum = out
     msafe = jnp.maximum(msum, 1e-35)
     vmean = vsum / msafe[:, None]

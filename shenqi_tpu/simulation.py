@@ -80,6 +80,10 @@ class Simulation:
     _accel_tree: jax.Array = None
     on_snapshot: object = None   # callback(sim, atime)
     on_step: object = None       # callback(sim) at end of each step
+    # callback(sim) on PM steps (not the first): the reference hangs
+    # FOF-cadence physics here — BH seeding searches, HeIII bubbles,
+    # excursion-set UVBG (run.cpp:637-660)
+    on_pm_step: object = None
     on_drift: object = None      # callback(sim, a0, a1) after drifts
     gas: object = None           # GasState (simulation_gas.py)
     gas_physics: object = None   # GasPhysics
@@ -638,6 +642,11 @@ class Simulation:
             update_kick_times(times)
             if is_pm and not first:
                 self._apply_pm_half_kick()
+
+            # FOF-cadence physics on PM steps: BH seeding searches,
+            # HeIII bubbles, excursion UVBG (run.cpp:637-660)
+            if is_pm and not first and self.on_pm_step is not None:
+                self.on_pm_step(self)
 
             # Strang-split source terms (cooling/SFR/winds,
             # run.cpp:604-681)

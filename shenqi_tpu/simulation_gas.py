@@ -144,6 +144,24 @@ class GasPhysics:
 
     # ---------- density + hydro ----------
     def density_hydro(self, sim, gas: GasState):
+        """Gas-tree density + hydro with deep-tree retry: a blocked
+        neighbour walk refuses truncated leaves (TreeTooShallow), and
+        dense SF clumps can overflow bottom-level cells — rebuild with
+        more levels until the walk is exact (sticky across steps)."""
+        from .ops.treewalk import TreeTooShallow
+        extra = getattr(self, "_gas_tree_levels_extra", 0)
+        while True:
+            try:
+                gas2 = self._density_hydro_once(
+                    sim, gas, min(sim.gravity.tree_nlevels + extra, 20))
+                self._gas_tree_levels_extra = extra
+                return gas2
+            except TreeTooShallow:
+                if sim.gravity.tree_nlevels + extra >= 20:
+                    raise
+                extra += 1
+
+    def _density_hydro_once(self, sim, gas: GasState, nlv: int):
         """Gas-tree density (adaptive hsml) then hydro force.
 
         Uses drift-time-predicted velocity and entropy (VelPred /
@@ -171,7 +189,7 @@ class GasPhysics:
         entvar = jnp.maximum(ent_pred, 1e-35) ** (1.0 / GAMMA)
 
         tree = build_octree(ipos_g, mass_g, gas_alive, sim.boxsize,
-                            nlevels=sim.gravity.tree_nlevels,
+                            nlevels=nlv,
                             ncrit=sim.gravity.tree_ncrit,
                             hsml=p.hsml[:ng])
         payload = make_gas_payload(tree, vel_g, entvar)
@@ -179,7 +197,8 @@ class GasPhysics:
                            np.asarray(p.hsml[:ng]), sim.boxsize,
                            self.kernel, eta=self.eta,
                            ngb_deviation=self.ngb_deviation,
-                           do_egy_density=self.density_independent_sph)
+                           do_egy_density=self.density_independent_sph,
+                           ncrit=sim.gravity.tree_ncrit)
         hsml = jnp.asarray(dout.hsml)
         gas = dataclasses.replace(
             gas, density=jnp.asarray(dout.density),
@@ -195,19 +214,23 @@ class GasPhysics:
         # ---- hydro force ----
         atime = sim.atime()
         hubble = float(sim.CP.hubble_function(atime))
-        par = HydroParams(boxsize=sim.boxsize, atime=atime,
-                          hubble=hubble,
+        # par stays at default atime/hubble: it is jit-static, and the
+        # real time factors ride in dynamically (tf) so the walk
+        # compiles once, not once per step
+        par = HydroParams(boxsize=sim.boxsize,
                           art_bulk_visc_const=self.art_bulk_visc,
                           density_contrast_limit=(
                               self.density_contrast_limit),
                           density_independent_sph=(
                               self.density_independent_sph))
+        from .sph.hydro import hydro_time_factors
+        tf = hydro_time_factors(atime, hubble)
         eom_dens = (gas.egy_wt_density
                     if self.density_independent_sph else gas.density)
         press = pressure_predict(jnp.maximum(eom_dens, 1e-35), entvar)
         cs = jnp.sqrt(GAMMA * press / jnp.maximum(eom_dens, 1e-35))
         f1 = balsara_f1(gas.div_vel, gas.curl_vel, cs, hsml,
-                        par.fac_mu)
+                        tf["fac_mu"])
         a3inv = 1.0 / atime ** 3
         decoupled = (is_decoupled(gas.delay_time, gas.density, a3inv,
                                   self.windpar)
@@ -216,7 +239,7 @@ class GasPhysics:
 
         # rebuild the tree with final hsml for correct hmax culling
         tree = build_octree(ipos_g, mass_g, gas_alive, sim.boxsize,
-                            nlevels=sim.gravity.tree_nlevels,
+                            nlevels=nlv,
                             ncrit=sim.gravity.tree_ncrit, hsml=hsml)
         order = tree.order
         dloga_tab = jnp.zeros(ng, jnp.float32)  # viscosity limiter off
@@ -238,7 +261,32 @@ class GasPhysics:
             "egyrho": eom_dens, "entvar": entvar, "pressure": press,
             "f1": f1, "dhsml": gas.dhsml_egy, "dloga": dloga_tab,
         }
-        hres = hydro_walk(tree, payload_h, targets, par, self.kernel)
+        from .sph.hydro import hydro_walk_blocked
+        maxl = getattr(self, "_hydro_maxl", 64)
+        nb = getattr(self, "_hydro_nb", None)
+        while True:
+            hres, hinfo = hydro_walk_blocked(
+                tree, payload_h, targets, par, self.kernel,
+                ncrit=sim.gravity.tree_ncrit, maxl=maxl, nb=nb,
+                tf=tf)
+            if bool(hinfo["leaf_truncated"]):
+                from .ops.treewalk import TreeTooShallow
+                raise TreeTooShallow(
+                    "hydro: leaf > ncrit; rebuild a deeper octree")
+            grew = False
+            if bool(hinfo["list_overflow"]):
+                if maxl >= 16384:
+                    raise RuntimeError("hydro list cap overflow")
+                maxl *= 2
+                grew = True
+            if bool(hinfo["block_overflow"]):
+                nb0 = nb or max(2 * ((ng + 63) // 64), 8)
+                nb = (1 << (nb0 - 1).bit_length()) * 2
+                grew = True
+            if not grew:
+                break
+        self._hydro_maxl = maxl
+        self._hydro_nb = nb
         accel = jnp.where((gas_alive & ~decoupled)[:, None],
                           hres.accel, 0.0)
         dts = jnp.where(gas_alive & ~decoupled, hres.dt_entropy, 0.0)
@@ -299,6 +347,23 @@ class GasPhysics:
                 gas, entropy=res.entropy, ne=res.ne,
                 metallicity=res.metallicity, sfr=res.sfr)
             nstars = self._convert_stars(sim, gas, res, atime)
+
+            # per-step SF statistics for sfr.txt (sfr_eff.cpp
+            # write_sfr_txt inputs); one host pull per source step
+            sfr_sum = float(jnp.sum(jnp.where(gas_alive, res.sfr,
+                                              0.0)))
+            unit_sfr = max(self.sfrpar.UnitSfr_in_solar_per_year,
+                           1e-35)
+            total_sm = sfr_sum * dtime / unit_sfr
+            spawned = float(jnp.sum(jnp.where(
+                gas_alive & res.form_star, res.mass_of_star, 0.0)))
+            n_sf = int(jnp.sum(gas_alive & (res.sfr > 0)))
+            self.last_sfr_stats = {
+                "total_sm": total_sm, "totsfrrate": sfr_sum,
+                "rate_in_msunperyear": sfr_sum,
+                "total_sum_mass_stars": spawned,
+                "avg_dtime": dtime, "total_sum_part": n_sf,
+                "tot_newstars": nstars}
 
             if self.winds_on and self.windpar:
                 from .physics.winds import (WIND_SUBGRID,

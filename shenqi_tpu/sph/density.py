@@ -86,6 +86,19 @@ def _density_accum(spec: KernelSpec):
     return accumulate
 
 
+# accumulate closures must be cached: run_walk_blocked jits on the
+# callable's identity, and a fresh closure per call would retrace
+_ACCUM_CACHE = {}
+
+
+def _density_accum_cached(spec: KernelSpec):
+    fn = _ACCUM_CACHE.get(spec)
+    if fn is None:
+        fn = _density_accum(spec)
+        _ACCUM_CACHE[spec] = fn
+    return fn
+
+
 @partial(jax.jit, static_argnames=("spec",))
 def density_walk(tree: Octree, payload, target_ipos, target_vel,
                  hsml, boxsize, spec: KernelSpec = CUBIC):
@@ -97,6 +110,37 @@ def density_walk(tree: Octree, payload, target_ipos, target_vel,
     out = run_walk(tree, payload, target_ipos, hsml, extra, carry0,
                    _density_accum(spec), boxsize, symmetric=False)
     return DensityResult(*out)
+
+
+def density_walk_blocked(tree: Octree, payload, target_ipos,
+                         target_vel, hsml, boxsize,
+                         spec: KernelSpec = CUBIC, ncrit: int = 32,
+                         block: int = 64, maxl: int = 64,
+                         nb: int = None, level: int = None):
+    """Blocked-engine density evaluation (production TPU path).
+
+    Same physics as density_walk; one traversal per Morton block of
+    targets + dense masked evaluation (ops/treewalk.run_walk_blocked).
+    Returns (DensityResult, info) — info carries overflow flags the
+    hsml loop checks to grow maxl/nb and retry.
+    """
+    from ..ops.treewalk import run_walk_blocked
+    from ..ops.blockwalk import auto_block_level
+
+    t = target_ipos.shape[0]
+    if nb is None:
+        nb = max(2 * ((t + block - 1) // block), 8)
+        nb = 1 << (nb - 1).bit_length()
+    if level is None:
+        level = auto_block_level(t, block)
+    z = lambda *s: jnp.zeros(s, jnp.float32)
+    carry0 = (z(t), z(t), z(t), z(t), z(t), z(t), z(t, 3), z(t, 3))
+    extra = {"hsml": hsml, "vel": target_vel}
+    out, info = run_walk_blocked(
+        tree, payload, target_ipos, hsml, extra, carry0,
+        _density_accum_cached(spec), boxsize, symmetric=False,
+        block=block, maxl=maxl, ncrit=ncrit, level=level, nb=nb)
+    return DensityResult(*out), info
 
 
 class HsmlState(NamedTuple):
@@ -172,12 +216,17 @@ def density(tree: Octree, payload, target_ipos, target_vel,
             target_entvar, hsml0, boxsize, spec: KernelSpec = CUBIC,
             eta: float = 1.0, ngb_deviation: float = 2.0,
             do_egy_density: bool = True,
-            maxiter: int = MAXITER) -> DensityOutput:
+            maxiter: int = MAXITER, engine: str = "blocked",
+            ncrit: int = 32) -> DensityOutput:
     """Full adaptive-H density loop (do_hsml_loop analog, host-driven).
 
     payload must hold sorted (tree order) arrays: ipos, mass, vel,
     entvar (A^{1/gamma} predictions; pass ones when not using
     pressure-entropy SPH).
+
+    engine='blocked' (default) is the TPU-native schedule; 'walk' is
+    the per-particle reference-semantics oracle (cross-checked in
+    tests/test_density.py, unusable at production sizes on TPU).
     """
     des = float(desnumngb(spec, eta))
     t = target_ipos.shape[0]
@@ -185,18 +234,46 @@ def density(tree: Octree, payload, target_ipos, target_vel,
                       left=jnp.zeros(t, jnp.float32),
                       right=jnp.full(t, boxsize, jnp.float32),
                       done=jnp.zeros(t, bool))
+    caps = {"maxl": 64, "nb": None}
+
+    def walk(hsml):
+        if engine != "blocked":
+            return density_walk(tree, payload, target_ipos,
+                                target_vel, hsml, boxsize, spec)
+        while True:
+            res, info = density_walk_blocked(
+                tree, payload, target_ipos, target_vel, hsml,
+                boxsize, spec, ncrit=ncrit, maxl=caps["maxl"],
+                nb=caps["nb"])
+            if bool(info["leaf_truncated"]):
+                from ..ops.treewalk import TreeTooShallow
+                raise TreeTooShallow(
+                    "density: leaf > ncrit; rebuild a deeper octree")
+            grew = False
+            if bool(info["list_overflow"]):
+                if caps["maxl"] >= 16384:
+                    raise RuntimeError(
+                        f"density list cap {caps['maxl']} overflowed")
+                caps["maxl"] *= 2
+                grew = True
+            if bool(info["block_overflow"]):
+                nb0 = caps["nb"] or max(
+                    2 * ((t + 63) // 64), 8)
+                caps["nb"] = (1 << (nb0 - 1).bit_length()) * 2
+                grew = True
+            if not grew:
+                return res
+
     res = None
     it = 0
     for it in range(maxiter):
-        res = density_walk(tree, payload, target_ipos, target_vel,
-                           state.hsml, boxsize, spec)
+        res = walk(state.hsml)
         state = update_hsml(state, res.ngb, res.dhsml_rho, res.rho,
                             des, ngb_deviation, boxsize)
         if bool(jnp.all(state.done)):
             break
     # recompute at final hsml if last update changed anything
-    res = density_walk(tree, payload, target_ipos, target_vel,
-                       state.hsml, boxsize, spec)
+    res = walk(state.hsml)
 
     hsml = state.hsml
     rho = jnp.maximum(res.rho, 1e-35)

@@ -30,9 +30,16 @@ from .kernels import KernelSpec, CUBIC, dwk as kern_dwk
 
 
 class HydroParams(NamedTuple):
+    """STATIC hydro configuration.  Time-dependent comoving factors
+    (fac_mu/fac_vsic_fix/hubble_a2, the reference HydroPriv fields)
+    are deliberately NOT here: they change every step, and as part of
+    a jit-static argument they would force a recompile per step.
+    They ride in as dynamic per-target columns via
+    `hydro_time_factors` instead."""
     boxsize: float
-    atime: float = 1.0
-    hubble: float = 0.1                # H(a) internal
+    atime: float = 1.0     # retained for backward compat; NOT used by
+    hubble: float = 0.1    # the walks when tf overrides are given
+
     art_bulk_visc_const: float = 0.75
     density_contrast_limit: float = 2.0
     density_independent_sph: bool = True
@@ -48,6 +55,21 @@ class HydroParams(NamedTuple):
     @property
     def hubble_a2(self):
         return self.hubble * self.atime ** 2
+
+    def static_key(self):
+        """The recompile-relevant subset."""
+        return self._replace(atime=1.0, hubble=0.1)
+
+
+def hydro_time_factors(atime, hubble):
+    """Dynamic (traced) comoving factors for the hydro walk."""
+    atime = jnp.float32(atime)
+    hubble = jnp.float32(hubble)
+    return {
+        "fac_mu": atime ** (3 * (GAMMA - 1) / 2) / atime,
+        "fac_vsic_fix": hubble * atime ** (3 * GAMMA_MINUS1),
+        "hubble_a2": hubble * atime ** 2,
+    }
 
 
 class HydroResult(NamedTuple):
@@ -92,7 +114,7 @@ def _hydro_accum(spec: KernelSpec, par: HydroParams):
 
         dv = extra["vel"][None, :] - src["vel"]
         vdotr = jnp.sum(dist * dv, axis=-1)
-        vdotr2 = vdotr + par.hubble_a2 * r2
+        vdotr2 = vdotr + extra["hubble_a2"] * r2
         r = jnp.sqrt(jnp.maximum(r2, 1e-35))
 
         dwk_i = kern_dwk(spec, jnp.minimum(r / H_i, 1.0), H_i)
@@ -100,21 +122,21 @@ def _hydro_accum(spec: KernelSpec, par: HydroParams):
 
         # artificial viscosity (Gadget-2 eq 13-14) where approaching
         approach = vdotr2 < 0
-        mu_ij = par.fac_mu * vdotr2 / r
+        mu_ij = extra["fac_mu"] * vdotr2 / r
         rho_ij = 0.5 * (extra["density"] + density_j)
         vsig_visc = cs_i + cs_j - 3 * mu_ij
         maxvsig = jnp.maximum(maxvsig, jnp.max(
             jnp.where(inside & approach, vsig_visc, 0.0)))
         f2 = jnp.abs(src["divvel"]) / (
             jnp.abs(src["divvel"]) + src["curlvel"]
-            + 0.0001 * cs_j / par.fac_mu / jnp.maximum(H_j, 1e-35))
+            + 0.0001 * cs_j / extra["fac_mu"] / jnp.maximum(H_j, 1e-35))
         visc = (0.25 * par.art_bulk_visc_const * vsig_visc * (-mu_ij)
                 / jnp.maximum(rho_ij, 1e-35) * (extra["f1"] + f2))
         # viscosity limiter against the timestep
         dloga = 2 * jnp.maximum(extra["dloga"], src["dloga"])
         denom = (0.5 * (extra["mass"] + src["mass"])
                  * (dwk_i + dwk_j) * r * dloga)
-        visc_lim = 0.5 * par.fac_vsic_fix * vdotr2 / jnp.where(
+        visc_lim = 0.5 * extra["fac_vsic_fix"] * vdotr2 / jnp.where(
             jnp.abs(denom) > 0, denom, 1.0)
         apply_lim = (dloga > 0) & ((dwk_i + dwk_j) < 0) \
             & (extra["mass"] + src["mass"] > 0)
@@ -169,20 +191,82 @@ def hydro_walk(tree: Octree, payload, targets, par: HydroParams,
     t = targets["ipos"].shape[0]
     carry0 = (jnp.zeros((t, 3), jnp.float32), jnp.zeros(t, jnp.float32),
               jnp.zeros(t, jnp.float32))
-    press = targets["pressure"]
-    egyrho = jnp.maximum(targets["egyrho"], 1e-35)
-    extra = dict(targets)
-    extra["soundspeed"] = jnp.sqrt(GAMMA * press / egyrho)
-    extra["p_over_rho2"] = press / (egyrho * egyrho)
+    extra = _hydro_extra(targets, par, t)
     # symmetric walk: search radius is own hsml; node hmax covers j side
     out = run_walk(tree, payload, targets["ipos"], targets["hsml"],
-                   extra, carry0, _hydro_accum(spec, par), par.boxsize,
-                   symmetric=True)
+                   extra, carry0,
+                   _hydro_accum_cached(spec, par.static_key()),
+                   par.boxsize, symmetric=True)
     acc, dts, maxvsig = out
     # entropy rate conversion (hydratree2.hpp:140)
     dts = dts * GAMMA_MINUS1 / (par.hubble_a2 * jnp.maximum(
         targets["density"], 1e-35) ** GAMMA_MINUS1)
     return HydroResult(accel=acc, dt_entropy=dts, max_signal_vel=maxvsig)
+
+
+_HYDRO_ACCUM_CACHE = {}
+
+
+def _hydro_accum_cached(spec, par_static):
+    key = (spec, par_static)
+    accum = _HYDRO_ACCUM_CACHE.get(key)
+    if accum is None:
+        accum = _hydro_accum(spec, par_static)
+        _HYDRO_ACCUM_CACHE[key] = accum
+    return accum
+
+
+def _hydro_extra(targets, par, t, tf=None):
+    """Targets + derived columns + time factors broadcast to [T].
+
+    The time factors are DATA, not static config, so distinct times
+    share one compiled walk (tf from hydro_time_factors; falls back to
+    par's legacy atime/hubble properties)."""
+    press = targets["pressure"]
+    egyrho = jnp.maximum(targets["egyrho"], 1e-35)
+    extra = dict(targets)
+    extra["soundspeed"] = jnp.sqrt(GAMMA * press / egyrho)
+    extra["p_over_rho2"] = press / (egyrho * egyrho)
+    if tf is None:
+        tf = {"fac_mu": jnp.float32(par.fac_mu),
+              "fac_vsic_fix": jnp.float32(par.fac_vsic_fix),
+              "hubble_a2": jnp.float32(par.hubble_a2)}
+    for k, v in tf.items():
+        extra[k] = jnp.broadcast_to(jnp.float32(v), (t,))
+    return extra
+
+
+def hydro_walk_blocked(tree: Octree, payload, targets,
+                       par: HydroParams, spec: KernelSpec = CUBIC,
+                       ncrit: int = 32, block: int = 64,
+                       maxl: int = 64, nb: int = None,
+                       level: int = None, tf=None):
+    """Blocked-engine hydro force (production TPU path; see
+    ops/treewalk.run_walk_blocked).  Same physics as hydro_walk.
+    Returns (HydroResult, info dict with overflow flags)."""
+    from ..ops.treewalk import run_walk_blocked
+    from ..ops.blockwalk import auto_block_level
+
+    t = targets["ipos"].shape[0]
+    if nb is None:
+        nb = max(2 * ((t + block - 1) // block), 8)
+        nb = 1 << (nb - 1).bit_length()
+    if level is None:
+        level = auto_block_level(t, block)
+    carry0 = (jnp.zeros((t, 3), jnp.float32),
+              jnp.zeros(t, jnp.float32), jnp.zeros(t, jnp.float32))
+    extra = _hydro_extra(targets, par, t, tf)
+    accum = _hydro_accum_cached(spec, par.static_key())
+    out, info = run_walk_blocked(
+        tree, payload, targets["ipos"], targets["hsml"], extra,
+        carry0, accum, par.boxsize, symmetric=True, block=block,
+        maxl=maxl, ncrit=ncrit, level=level, nb=nb)
+    acc, dts, maxvsig = out
+    hub_a2 = (tf or {}).get("hubble_a2", par.hubble_a2)
+    dts = dts * GAMMA_MINUS1 / (hub_a2 * jnp.maximum(
+        targets["density"], 1e-35) ** GAMMA_MINUS1)
+    return (HydroResult(accel=acc, dt_entropy=dts,
+                        max_signal_vel=maxvsig), info)
 
 
 def balsara_f1(divvel, curlvel, soundspeed, hsml, fac_mu):

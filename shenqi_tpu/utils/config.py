@@ -88,12 +88,19 @@ class ParameterSet:
         if decl.ptype == "string":
             return raw.strip('"')
         if decl.ptype == "enum":
-            key = raw.strip('"')
-            if key not in decl.enum_table:
-                raise ParamError(
-                    f"{decl.name}: unknown enum value '{key}' "
-                    f"(allowed: {sorted(decl.enum_table)})")
-            return decl.enum_table[key]
+            # multi-valued enums OR together, split on , | & or
+            # whitespace (reference paramset.c param_format_enum)
+            import re
+            keys = [k for k in re.split(r"[,|&\s]+", raw.strip('"'))
+                    if k]
+            value = 0
+            for key in keys:
+                if key not in decl.enum_table:
+                    raise ParamError(
+                        f"{decl.name}: unknown enum value '{key}' "
+                        f"(allowed: {sorted(decl.enum_table)})")
+                value |= decl.enum_table[key]
+            return value
         raise ParamError(f"unknown ptype {decl.ptype}")
 
     def set_from_string(self, name: str, raw: str):

@@ -42,10 +42,20 @@ def energy_statistics(fd, atime, particles, sph=None, boxsize=None):
     fd.flush()
 
 
-def sfr_statistics(fd, atime, total_sm, total_sfr, dtime):
-    """Append one line to sfr.txt: scale factor, expected mass formed,
-    total SFR (Msun/yr), actual mass formed (sfr.txt layout)."""
-    fd.write(f"{atime:g} {total_sm:g} {total_sfr:g} {dtime:g}\n")
+def sfr_statistics(fd, atime, total_sm, totsfrrate,
+                   rate_in_msunperyear, total_sum_mass_stars,
+                   avg_dtime, total_sum_part, tot_newstars):
+    """Append one line to sfr.txt in the reference's 8-column layout
+    (sfr_eff.cpp write_sfr_txt / examples/star-small/check_results.py
+    column list): scale factor, expected stellar mass formed (internal
+    units), instantaneous SFR of active particles [Msun/yr], expected
+    SFR from total_sm [Msun/yr], actual spawned stellar mass this step
+    (internal units), mean active-particle timestep, number of
+    star-forming particles, number of new stars this step."""
+    fd.write(f"{atime:g} {total_sm:g} {totsfrrate:g} "
+             f"{rate_in_msunperyear:g} {total_sum_mass_stars:g} "
+             f"{avg_dtime:g} {int(total_sum_part)} "
+             f"{int(tot_newstars)}\n")
     fd.flush()
 
 

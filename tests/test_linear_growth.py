@@ -16,16 +16,21 @@ from shenqi_tpu.core.timeline import Timeline
 from shenqi_tpu.genic.ic import generate_dm_ics
 from shenqi_tpu.run import PMSimulation
 
-CLASS_PK = "/root/reference/examples/dm-small/class_pk_9.dat"
-BOX = 64000.0
+CLASS_PK = "/root/reference/examples/class_pk_99.dat"
+BOX = 128000.0
 NGRID = 32
 
 
 def test_linear_growth():
+    """z=99 -> z=65.7 like the reference travis example: deeply linear,
+    so the 4% tolerance tests the growth physics, not the realization's
+    mode-coupling noise (at z=9->4 and 32^3 the per-bin nonlinear
+    scatter is +-20% and the old version of this test passed or failed
+    on the luck of the phase draw)."""
     units = default_units()
     cp = Cosmology(Omega0=0.288, OmegaLambda=0.712, OmegaBaryon=0.0472,
                    HubbleParam=0.7, RadiationOn=1)
-    a_ic, a_end = 0.1, 0.2
+    a_ic, a_end = 0.01, 0.015
     cp.init(TimeBegin=a_ic, units=units)
     power = InputPower.from_file(CLASS_PK, cp, units.UnitLength_in_cm)
 
@@ -36,11 +41,16 @@ def test_linear_growth():
     vel_int = vel * a_ic
 
     timeline = Timeline.setup([a_end], a_ic, a_end)
+    # PM-only with asmth=0 MUST use nmesh == ngrid: on a finer force
+    # mesh the particle-lattice harmonics (k ~ ngrid*k_f) survive, and
+    # the CIC deconvolution 1/sinc^4 (~6x at that k on a 2x mesh)
+    # turns them into a spurious force that inflates linear growth by
+    # ~2.5%/e-fold (measured: single-mode force ratio 1.75 at
+    # nmesh=2*ngrid vs 0.999 at nmesh=ngrid).  Production TreePM is
+    # immune: asmth=1.5 cells suppresses those k entirely.
     sim = PMSimulation.from_arrays(pos, vel_int, mass, ids, cp, BOX,
-                                   nmesh=2 * NGRID, timeline=timeline,
+                                   nmesh=NGRID, timeline=timeline,
                                    atime=a_ic)
-    # PM-only run: no short-range force exists to complement the
-    # long/short split, so disable the k-space smoothing
     sim.asmth = 0.0
     sim.run_steps(nsteps=200, dloga_max=0.02)
     assert sim.atime() == pytest.approx(a_end, rel=1e-3)
@@ -52,7 +62,7 @@ def test_linear_growth():
     assert a1 == pytest.approx(a_end, rel=1e-3)
 
     growth = cp.growth_factor(a_end, a_ic)  # D(a_end)/D(a_ic) > 1
-    assert growth > 1.5  # z=9 -> z=4 grows ~2x
+    assert growth > 1.3  # z=99 -> z=65.7 grows ~1.5x
 
     # compare on large scales: k < 1/4 of particle nyquist.  Individual
     # low-k bins hold only 6-30 modes (mode-coupling noise), so check the
