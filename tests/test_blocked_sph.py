@@ -122,9 +122,14 @@ def test_blocked_hydro_matches_walk():
         "dloga": zero,
     }
     h1 = hydro_walk(tree, payload_h, targets, par)
-    h2, info = hydro_walk_blocked(tree, payload_h, targets, par,
-                                  tf=tf)
-    assert not bool(info["list_overflow"])
+    maxl = 64
+    while True:   # grow caps like the production loop
+        h2, info = hydro_walk_blocked(tree, payload_h, targets, par,
+                                      maxl=maxl, tf=tf)
+        if not bool(info["list_overflow"]):
+            break
+        maxl *= 2
+        assert maxl <= 4096
     assert not bool(info["leaf_truncated"])
     scale = float(jnp.max(jnp.abs(h1.accel)))
     np.testing.assert_allclose(np.asarray(h2.accel),
