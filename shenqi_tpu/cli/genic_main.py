@@ -88,10 +88,38 @@ def run_genic(paramfile: str, strict: bool = False) -> str:
 
     total_mass = cp.Omega0 * cp.RhoCrit * boxsize ** 3
     species = []   # (ptype, pos, vel, ids, mass)
+
+    # neutrino particle species (genic/main.cpp:87-98,200-231):
+    # thermal Fermi-Dirac velocities + DELTA_NU transfer displacements
+    ngrid_nu = ps.get_int("NGridNu")
+    mnu_sum = sum(cp.MNu)
+    omega_nu = cp.ONu.get_omega_nu(1.0) if mnu_sum > 0 else 0.0
+    nufrac = 0.0
+    nu_sampler = None
+    if ngrid_nu > 0 and mnu_sum > 0:
+        from ..genic.thermal import NU_V0, FermiDiracSampler
+        v_th = NU_V0(redshift, mnu_sum / 3.0,
+                     units.UnitVelocity_in_cm_per_s)
+        if not use_peculiar:
+            v_th /= np.sqrt(time_ic)
+        # genic/params.cpp:162: the z=0-scale cap is blown up by (1+z)
+        max_v = (ps.get_double("Max_nuvel") * (1 + redshift)
+                 * (units.UnitVelocity_in_cm_per_s / 1e5))
+        nu_sampler = FermiDiracSampler(v_th, max_v)
+        nufrac = nu_sampler.nufrac()
+        print(f"F-D velocity scale {v_th:g}; particle mass fraction "
+              f"{nufrac:g}")
+
+    # compute_mass (libgenic/save.cpp:90): CDM excludes baryons when
+    # gas particles exist and neutrinos whenever MNu > 0 (the nu mass
+    # lives in particles * nufrac and/or the linear response)
+    omega_cdm_mass = cp.Omega0 - omega_nu \
+        - (cp.OmegaBaryon if produce_gas else 0.0)
+
     if produce_gas:
         # center-of-mass-preserving half-cell split (genic/main.cpp:63-64):
         # shift_dm = +0.5*(Ob/O0) cells, shift_gas = -0.5*((O0-Ob)/O0)
-        mass_dm = ((cp.Omega0 - cp.OmegaBaryon) * cp.RhoCrit
+        mass_dm = (omega_cdm_mass * cp.RhoCrit
                    * boxsize ** 3 / ngrid ** 3)
         mass_gas = cp.OmegaBaryon * cp.RhoCrit * boxsize ** 3 / ngrid ** 3
         fb = cp.OmegaBaryon / cp.Omega0
@@ -119,11 +147,45 @@ def run_genic(paramfile: str, strict: bool = False) -> str:
         species.append((1, res_dm.pos, res_dm.vel, ids_dm, mass_dm))
         species.append((0, res_gas.pos, res_gas.vel, ids_gas, mass_gas))
     else:
-        mass_dm = total_mass / ngrid ** 3
-        lattice, ids = setup_grid(ngrid, boxsize)
+        mass_dm = omega_cdm_mass * cp.RhoCrit * boxsize ** 3 \
+            / ngrid ** 3
+        # nu-particle runs shift DM/nu lattices apart like the gas
+        # split (genic/main.cpp:67-72)
+        shift_dm = (0.5 * omega_nu / cp.Omega0
+                    if ngrid_nu > 0 and mnu_sum > 0 else 0.0)
+        lattice, ids = setup_grid(ngrid, boxsize,
+                                  shift_frac=shift_dm)
         res = displacement_fields(g_k, power, cp, lattice, boxsize,
                                   time_ic, use_peculiar=use_peculiar)
         species.append((1, res.pos, res.vel, ids, mass_dm))
+
+    if ngrid_nu > 0 and mnu_sum > 0:
+        from ..cosmology.power import DELTA_NU
+        from ..genic.thermal import add_thermal_speeds
+        shift_nu = (-0.5 * (cp.Omega0 - omega_nu) / cp.Omega0
+                    if not produce_gas else 0.0)
+        lattice_nu, ids_nu = setup_grid(
+            ngrid_nu, boxsize,
+            id_offset=1 + sum(len(s[1]) for s in species),
+            shift_frac=shift_nu)
+        t_nu = DELTA_NU if power.transfer_ratio else None
+        if t_nu is not None:
+            res_nu = displacement_fields(
+                g_k, power, cp, lattice_nu, boxsize, time_ic,
+                ttype=t_nu, use_peculiar=use_peculiar)
+            pos_nu, vel_nu = res_nu.pos, res_nu.vel
+        else:
+            # no transfer table: thermal-only neutrinos on the grid
+            pos_nu = lattice_nu
+            vel_nu = np.zeros_like(lattice_nu, dtype=np.float32)
+        rng_nu = np.random.RandomState(seed + 2)
+        vel_nu = add_thermal_speeds(
+            np.asarray(vel_nu, np.float64), rng_nu,
+            nu_sampler.v_amp, nu_sampler.max_v)
+        mass_nu = (nufrac * omega_nu * cp.RhoCrit * boxsize ** 3
+                   / ngrid_nu ** 3)
+        species.append((2, pos_nu, vel_nu.astype(np.float32),
+                        ids_nu, mass_nu))
 
     # write the IC snapshot
     outdir = ps.get_string("OutputDir")
@@ -149,7 +211,7 @@ def run_genic(paramfile: str, strict: bool = False) -> str:
         [ps.get_int("UnitaryAmplitude")], dtype="<i4")
     hdr.extra["InvertPhase"] = np.array([ps.get_int("InvertPhase")],
                                         dtype="<i4")
-    hdr.extra["FractionNuInParticles"] = np.array([0.0])
+    hdr.extra["FractionNuInParticles"] = np.array([nufrac])
     hdr.write(bf)
     for t, pos, vel, ids, mass in species:
         blk = bf.create_block(f"{t}/Position", "<f8", len(pos), nmemb=3)

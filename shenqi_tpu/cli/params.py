@@ -256,6 +256,9 @@ def genic_params() -> ParameterSet:
     d("MWDM_therm", OPTIONAL, 0, "WDM thermal mass")
     i("NgridNu", OPTIONAL, 0, "Neutrino particle grid")
     d("Max_nuvel", OPTIONAL, 5000, "Max nu thermal velocity")
+    i("NGridNu", OPTIONAL, 0,
+      "Neutrino particles per side (0 = no nu particles; "
+      "genic/params.cpp)")
     i("MakeGlassGas", OPTIONAL, -1, "Glass gas pre-IC")
     i("MakeGlassCDM", OPTIONAL, 0, "Glass CDM pre-IC")
     d("UnitLength_in_cm", OPTIONAL, 3.085678e21, "kpc/h")

@@ -138,8 +138,10 @@ def nufrac_low(qc: float) -> float:
 class HybridNu:
     """Hybrid particle/analytic neutrino bookkeeping.
 
-    Below a critical (unperturbed, z=0) velocity the species is followed
-    analytically; faster neutrinos become particles after nu_crit_time.
+    The SLOW neutrinos (below the critical z=0 velocity) become N-body
+    particles once a > nu_crit_time — they are the ones that cluster
+    nonlinearly; the fast tail stays in the linear response
+    (omega_nu_single.cpp init_hybrid_nu / particle_nu_fraction).
     """
 
     def __init__(self, enabled=False, mnu=(0, 0, 0), vcrit=0.0,
@@ -155,9 +157,13 @@ class HybridNu:
                     self.nufrac_low[i] = nufrac_low(qc)
 
     def particle_fraction(self, a: float, i: int) -> float:
+        """Fraction of the species' mass in live particles — the
+        BELOW-vcrit share (omega_nu_single.cpp:229-238; an earlier
+        revision here returned the complement, which would have put
+        the free-streaming tail into particles)."""
         if not self.enabled or a <= self.nu_crit_time:
             return 0.0
-        return 1.0 - self.nufrac_low[i]
+        return self.nufrac_low[i]
 
 
 class OmegaNu:

@@ -71,6 +71,18 @@ class FermiDiracSampler:
         pdf = x * x / (np.exp(x) + 1)
         return self.v_amp * float((x * pdf).sum() / pdf.sum())
 
+    def nufrac(self) -> float:
+        """Fraction of the FD distribution below max_v — the share of
+        neutrino MASS carried by particles when velocities are capped
+        (init_thermalvel's return, libgenic/thermal.cpp)."""
+        if self.max_v is None:
+            return 1.0
+        xcap = min(self.max_v / max(self.v_amp, 1e-300),
+                   MAX_FERMI_DIRAC)
+        x = self.x
+        pdf = x * x / (np.exp(x) + 1)
+        return float(pdf[x <= xcap].sum() / pdf.sum())
+
 
 def add_thermal_speeds(vel: np.ndarray, rng: np.random.RandomState,
                        v_amp: float, max_v: float = None) -> np.ndarray:

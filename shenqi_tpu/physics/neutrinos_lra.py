@@ -29,7 +29,7 @@ from scipy.interpolate import PchipInterpolator
 from ..utils.constants import HUBBLE, LIGHTCGS
 
 
-def specialJ(x):
+def specialJ_fit(x):
     """FD-averaged sinc fit (neutrinos_lra.cpp specialJ_fit):
     accurate to <3% rel, 0.07% abs."""
     x = np.asarray(x, dtype=np.float64)
@@ -40,6 +40,49 @@ def specialJ(x):
            / (1. + 2.1734 * x2 + 1.6787 * np.exp(4.1811 * np.log(
                np.maximum(x, 1e-30))) + 0.1467 * x8))
     return np.where(x <= 0, 1.0, out)
+
+
+FD_NORM = 1.5 * 1.202056903159594    # integral q^2/(e^q+1) dq, 0..inf
+
+
+def nufrac_low(qc: float) -> float:
+    """Mass fraction of the FD distribution below dimensionless
+    momentum qc (omega_nu_single.cpp:198): the share of neutrinos a
+    hybrid run follows as particles."""
+    if qc <= 0:
+        return 0.0
+    val, _ = quad(lambda q: q * q / (np.exp(q) + 1), 0, qc,
+                  epsrel=1e-10, limit=200)
+    return val / FD_NORM
+
+
+def _II(x, qc, n):
+    """Asymptotic series term for the truncated FD fourier transform
+    (neutrinos_lra.cpp:575, YAH appendix)."""
+    from scipy.special import j0
+    return ((n * n + n ** 3 * qc + n * qc * x * x - x * x) * qc
+            * j0(qc * x)
+            + (2 * n + n * n * qc + qc * x * x) * np.cos(qc * x))
+
+
+def Jfrac_high(x, qc, nufrac_lo):
+    """Fourier transform of the q > qc tail of the FD distribution
+    (neutrinos_lra.cpp Jfrac_high): the free-streaming kernel when
+    the slow neutrinos are followed as particles instead."""
+    x = np.asarray(x, np.float64)
+    integ = np.zeros_like(x)
+    for n in range(1, 20):
+        integ += (-((-1.0) ** n) * np.exp(-n * qc)
+                  / (n * n + x * x) ** 2 * _II(x, qc, n))
+    return integ / (FD_NORM * (1 - nufrac_lo))
+
+
+def specialJ(x, qc: float = -1.0, nufrac_lo: float = 0.0):
+    """Free-streaming kernel; truncated at qc for hybrid runs
+    (neutrinos_lra.cpp:603)."""
+    if qc > 0:
+        return Jfrac_high(x, qc, nufrac_lo)
+    return specialJ_fit(x)
 
 
 def fslength(CP, logai, logaf, light):
@@ -82,12 +125,39 @@ class DeltaTotTable:
         tab.omeganonu = CP.Omega0 - CP.ONu.get_omega_nu(1.0)
         return tab
 
+    def enable_hybrid(self, vcrit_kms: float, nu_crit_time: float,
+                      unit_velocity: float):
+        """init_hybrid_nu analog; vcrit in km/s at z=0 scale.
+        Installs the shared HybridNu on CP.ONu so the background
+        (get_omega_nu_nopart) and the response see the same split."""
+        from ..cosmology.neutrinos import HybridNu
+        self.CP.ONu.hybnu = HybridNu(
+            enabled=True, mnu=self.CP.MNu,
+            vcrit=vcrit_kms * 1e5, light_internal=LIGHTCGS,
+            nu_crit_time=nu_crit_time, kBtnu=self.CP.ONu.kBtnu)
+
+    def particle_nu_fraction(self, a) -> float:
+        """Fraction of neutrino mass in N-body particles at a
+        (omega_nu_single.cpp:229)."""
+        return self.CP.ONu.hybnu.particle_fraction(a, 0)
+
+    @property
+    def vcrit_c(self) -> float:
+        return self.CP.ONu.hybnu.vcrit
+
+    @property
+    def nufrac_lo(self) -> float:
+        return float(self.CP.ONu.hybnu.nufrac_low[0])
+
     def _get_delta_tot(self, delta_nu, delta_cdm, a):
+        """neutrinos_lra.cpp:69-73 exactly: the nu share of delta_tot
+        shrinks when part of Omega_nu gravitates as particles."""
         onu_a3 = self.CP.ONu.get_omega_nu_nopart(a) * a ** 3
         onu1 = self.CP.ONu.get_omega_nu(1.0)
+        partnu = self.particle_nu_fraction(a)
         fcdm = 1 - onu_a3 / (self.omeganonu + onu1)
         return fcdm * (delta_cdm + delta_nu * onu_a3
-                       / (self.omeganonu + onu1))
+                       / (self.omeganonu + onu1 * partnu))
 
     def initialize(self, delta_cdm_init, t_nu_by_t_nonu=1.0):
         """First call: set ICs at time_transfer
@@ -110,9 +180,16 @@ class DeltaTotTable:
         deriv_prefac = (self.time_transfer
                         * (self.CP.hubble_function(self.time_transfer)
                            / self.light) * self.time_transfer)
+        # hybrid: once particles carry the slow neutrinos, the LRA
+        # integrates only the q > qc tail (neutrinos_lra.cpp:660-668)
+        partnu = self.particle_nu_fraction(a)
+        qc = self.vcrit_c * mnubykT if partnu > 0 else -1.0
         x = self.wavenum * fsl_a0a / (mnubykT if mnubykT > 0 else 1.0)
-        delta_nu = (specialJ(x) * self.delta_nu_init
+        delta_nu = (specialJ(x, qc, self.nufrac_lo)
+                    * self.delta_nu_init
                     * (1. + deriv_prefac * fsl_a0a))
+        if partnu > 0 and 1 - partnu < 1e-3:
+            return delta_nu       # everything is particles
 
         na = self.delta_tot.shape[1]
         if na > 1 and mnubykT > 0:
@@ -135,7 +212,8 @@ class DeltaTotTable:
                 def integrand(logai):
                     fsl = float(fs_sp(logai))
                     ai = np.exp(logai)
-                    sj = float(specialJ(k * fsl / mnubykT))
+                    sj = float(specialJ(k * fsl / mnubykT, qc,
+                                        self.nufrac_lo))
                     return (fsl / (ai * self.CP.hubble_function(ai))
                             * sj * float(dtot_sp(logai)))
 
@@ -219,10 +297,13 @@ class DeltaTotTable:
 
     def potential_factor(self, a, delta_cdm):
         """Multiplier 1 + prefac * delta_nu/delta_cdm for the PM
-        potential (gravpm.cpp:412-424)."""
+        potential (gravpm.cpp:202-209,412-424); with hybrid particle
+        neutrinos the particle share moves to the denominator."""
         delta_nu = self.delta_nu_last
-        onu_a3 = self.CP.ONu.get_omega_nu_nopart(a) * a ** 3
-        prefac = onu_a3 / self.omeganonu
+        onu_nop = self.CP.ONu.get_omega_nu_nopart(a)
+        omega_hybrid = (self.CP.ONu.get_omega_nu(1.0)
+                        * self.particle_nu_fraction(a) / a ** 3)
+        prefac = onu_nop / (self.omeganonu / a ** 3 + omega_hybrid)
         ratio = np.where(np.asarray(delta_cdm) > 0,
                          delta_nu / np.maximum(delta_cdm, 1e-35), 0.0)
         return 1.0 + prefac * ratio

@@ -166,29 +166,87 @@ def species_power(snapdir, types, boxsize, nmesh=128):
 
 
 def class_species_pk(zout, cp):
-    """CLASS z=99 P(k) split per species and grown to zout.
+    """Per-species linear P(k) at zout from the CLASS z=99 tables.
+
+    The reference CI regenerates CLASS spectra at every output z; we
+    instead EVOLVE the z=99 per-species amplitudes with the two-fluid
+    (CDM + baryon, both pressureless at z < 100 on these scales)
+    linear system — the same physics the simulation integrates:
+
+      x_s'' + (2 + dlnH/dlna) x_s' = (3/2) (Omega_cb(a)/E^2) x_m
+
+    with x_m = f_c x_c + f_b x_b, seeded by the CLASS per-species
+    density AND velocity transfer columns (the velocity seed is what
+    makes delta_b catch up to delta_cdm between z=99 and z=66 — a 30%
+    effect in P_b at the BAO bins that a frozen-ratio scaling misses).
 
     Returns interpolators k[h/Mpc] -> P for ('cdm', 'bar', 'tot').
     """
-    import scipy.interpolate as si
+    from scipy.integrate import solve_ivp
+    from shenqi_tpu.cosmology.power import (
+        InputPower, DELTA_BAR, DELTA_CDM, VEL_BAR, VEL_CDM)
+    from shenqi_tpu.utils.units import default_units
+
+    units = default_units()
     mat = np.loadtxt(os.path.join(EX, "class_pk_99.dat"))
-    trans = np.loadtxt(os.path.join(EX, "class_tk_99.dat"))
-    omegab, omega0 = 0.0472, 0.288
-    tk, d_b, d_cdm = trans[:, 0], trans[:, 2], trans[:, 3]
-    ttot = (omegab * d_b + (omega0 - omegab) * d_cdm) / omega0
-    D = cp.growth_factor(1.0 / (1 + 99), 1.0 / (1 + zout)) \
-        if zout != 99 else 1.0
+    power = InputPower.from_file(os.path.join(EX, "class_pk_99.dat"),
+                                 cp, units.UnitLength_in_cm)
+    power.load_transfer(os.path.join(EX, "class_tk_99.dat"),
+                        1.0 / (1 + 99))
+
+    # load_transfer re-grids the ratio arrays onto the power table's
+    # logk grid (power.py:233-240)
+    ktab = 10.0 ** np.asarray(power.logk)    # h/Mpc
+    xb0 = power.transfer_ratio[DELTA_BAR]
+    xc0 = power.transfer_ratio[DELTA_CDM]
+    ub0 = power.growth_ratio[VEL_BAR]
+    uc0 = power.growth_ratio[VEL_CDM]
+
+    a_ic, a_out = 1.0 / (1 + 99), 1.0 / (1 + zout)
+    fb = cp.OmegaBaryon / (cp.OmegaBaryon + cp.OmegaCDM)
+    fc = 1.0 - fb
+
+    def E2(a):
+        return (cp.hubble_function(a) / cp.Hubble) ** 2
+
+    def dlnH(a, eps=1e-5):
+        return (np.log(E2(a * (1 + eps)))
+                - np.log(E2(a * (1 - eps)))) / (4 * eps)
+
+    om_cb = cp.OmegaBaryon + cp.OmegaCDM
+
+    if zout != 99:
+        def rhs(lna, y):
+            a = np.exp(lna)
+            n = len(y) // 4
+            xc, uc, xb, ub = (y[:n], y[n:2 * n], y[2 * n:3 * n],
+                              y[3 * n:])
+            src = 1.5 * (om_cb / a ** 3 / E2(a)) * (fc * xc + fb * xb)
+            damp = 2 + dlnH(a)
+            return np.concatenate([uc, src - damp * uc,
+                                   ub, src - damp * ub])
+
+        y0 = np.concatenate([xc0, uc0, xb0, ub0])
+        sol = solve_ivp(rhs, (np.log(a_ic), np.log(a_out)), y0,
+                        rtol=1e-8, atol=1e-12, method="RK45")
+        n = len(ktab)
+        xc, xb = sol.y[:n, -1], sol.y[2 * n:3 * n, -1]
+    else:
+        xc, xb = xc0, xb0
+
     # log-k interpolation: the tables are log-spaced and the baryon
     # ratio wiggles (BAO) — linear-in-k interp errs by several % there
-    intpbar = lambda k: np.interp(np.log(k), np.log(tk), d_b / ttot)
-    intpdm = lambda k: np.interp(np.log(k), np.log(tk), d_cdm / ttot)
-    pk = lambda k: np.exp(np.interp(np.log(k), np.log(mat[:, 0]),
-                                    np.log(mat[:, 1])))
+    intpbar = lambda k: np.interp(np.log(k), np.log(ktab), xb)
+    intpdm = lambda k: np.interp(np.log(k), np.log(ktab), xc)
+    xm = fc * xc + fb * xb
+    intptot = lambda k: np.interp(np.log(k), np.log(ktab), xm)
+    pk99 = lambda k: np.exp(np.interp(np.log(k), np.log(mat[:, 0]),
+                                      np.log(mat[:, 1])))
 
     def make(f):
-        return lambda k: f(k) ** 2 * pk(k) * D ** 2
+        return lambda k: f(k) ** 2 * pk99(k)
     return {"cdm": make(intpdm), "bar": make(intpbar),
-            "tot": lambda k: pk(k) * D ** 2}
+            "tot": make(intptot)}
 
 
 def check_output(outdir, aout, cp, log=print):
@@ -250,6 +308,8 @@ def main():
     # the realization.)
     cp = Cosmology(Omega0=0.288, OmegaLambda=0.712, OmegaBaryon=0.0472,
                    HubbleParam=0.7, RadiationOn=1)
+    from shenqi_tpu.utils.units import default_units
+    cp.init(0.01, default_units())   # growth_factor needs ONu set up
     icdir = os.path.join(work, "IC", "IC")
     ok = True
     theory = class_species_pk(99, cp)
