@@ -42,6 +42,44 @@ def _lattice(npart_side, box, rng):
     return pos % box
 
 
+def _clustered(npart_side, box, seed=181170):
+    """Clustered distribution: Zeldovich displacements from a CDM-like
+    spectrum with the amplitude boosted into shell crossing (~z<1
+    displacement scale).  Deterministic, cheap (one FFT), and gives
+    the deep tree + inhomogeneous interaction lists of an evolved
+    snapshot — a near-uniform jittered lattice measures only the
+    dispatch overhead (round-1 mistake)."""
+    n = npart_side
+    rng = np.random.RandomState(seed)
+    white = rng.normal(size=(n, n, n)).astype(np.float32)
+    gk = np.fft.rfftn(white) / n ** 1.5
+    kx = np.fft.fftfreq(n, 1.0 / n)[:, None, None]
+    ky = np.fft.fftfreq(n, 1.0 / n)[None, :, None]
+    kz = np.arange(n // 2 + 1)[None, None, :]
+    k2 = kx ** 2 + ky ** 2 + kz ** 2
+    k2[0, 0, 0] = 1.0
+    kmag = np.sqrt(k2) * (2 * np.pi / box)
+    # CDM-ish shape: P ~ k / (1 + (k/keq)^3), keq a few fundamentals
+    keq = 8 * 2 * np.pi / box
+    pk = kmag / (1.0 + (kmag / keq) ** 3.4)
+    amp = np.sqrt(pk)
+    amp[0, 0, 0] = 0.0
+    cell = box / n
+    kf = 2 * np.pi / box
+    disp = []
+    for kj in (kx, ky, kz):
+        dk = gk * amp * (1j * kj * kf) / (k2 * kf * kf)
+        disp.append(np.fft.irfftn(dk, s=(n, n, n)).real * n ** 3)
+    disp = np.stack([d.ravel() for d in disp], -1)
+    # normalize rms displacement to ~2.5 cells: deep shell crossing
+    rms = np.sqrt(np.mean(disp ** 2))
+    disp *= 2.5 * cell / max(rms, 1e-30)
+    grid = (np.arange(n) + 0.5) * cell
+    X, Y, Z = np.meshgrid(grid, grid, grid, indexing="ij")
+    pos = np.stack([X.ravel(), Y.ravel(), Z.ravel()], -1) + disp
+    return pos % box
+
+
 def bench_pm(npart_side, nmesh, nsteps, box=50000.0):
     import jax
     import jax.numpy as jnp
@@ -84,8 +122,7 @@ def bench_treepm(npart_side, nsteps, box=50000.0):
     from shenqi_tpu.ops.tree import build_octree
     from shenqi_tpu.core.particles import float_to_ipos, POS_SCALE
 
-    rng = np.random.RandomState(0)
-    pos = _lattice(npart_side, box, rng)
+    pos = _clustered(npart_side, box)
     n = len(pos)
     nmesh = 2 * npart_side
     ipos = jnp.asarray(float_to_ipos(pos, box))
@@ -97,7 +134,9 @@ def bench_treepm(npart_side, nsteps, box=50000.0):
                           rcut=6 * cellsize, asmth=1.5, use_bh=1,
                           softening=box / npart_side / 30 * 2.8,
                           G=43007.1)
-    nlevels = int(os.environ.get("BENCH_TREE_LEVELS", 6))
+    auto_lv = max(6, int(np.ceil(np.log(max(n, 8) / 16)
+                                 / np.log(8))) + 3)
+    nlevels = int(os.environ.get("BENCH_TREE_LEVELS", auto_lv))
     maxi = int(os.environ.get("BENCH_MAXI", 1024))
     maxl = int(os.environ.get("BENCH_MAXL", 512))
     blk = int(os.environ.get("BENCH_BLOCK", 128))
@@ -150,12 +189,21 @@ def _run_stage(stage: str, timeout_s: int, extra_env=None):
 
 
 def main():
-    tree_side = int(os.environ.get("BENCH_TREE_SIDE", 32))
+    # 128^3 clustered TreePM: 2.1M particles, the honest scale (the
+    # round-1 32^3 jittered lattice was dispatch-bound)
+    tree_side = int(os.environ.get("BENCH_TREE_SIDE", 128))
     pm_side = int(os.environ.get("BENCH_NPART_SIDE", 128))
     pm_mesh = int(os.environ.get("BENCH_NMESH", 256))
-    stage_budget = int(os.environ.get("BENCH_STAGE_SECONDS", 420))
+    stage_budget = int(os.environ.get("BENCH_STAGE_SECONDS", 1500))
 
     treepm_ps = _run_stage("treepm", stage_budget)
+    # fused Pallas P2P/M2P engine comparison at the same config
+    pallas_ps = _run_stage("treepm", stage_budget,
+                           extra_env={"SHENQI_ENGINE": "pallas"})
+    engine = "xla"
+    if pallas_ps and (not treepm_ps or pallas_ps > treepm_ps):
+        treepm_ps = pallas_ps
+        engine = "pallas"
     pm_ps = _run_stage("pm", stage_budget)
 
     if treepm_ps is None and pm_ps is None:
@@ -173,7 +221,8 @@ def main():
 
     value = treepm_ps if treepm_ps else pm_ps
     if treepm_ps:
-        metric = (f"treepm particle-steps/sec ({tree_side}^3 tree+pm"
+        metric = (f"treepm particle-steps/sec ({tree_side}^3 "
+                  f"clustered, {engine} engine"
                   + (f"; pm-only {pm_side}^3/{pm_mesh}: {pm_ps:.3g}"
                      if pm_ps else "") + ")")
     else:
@@ -181,16 +230,23 @@ def main():
 
     baseline_file = os.path.join(os.path.dirname(__file__),
                                  "BENCH_BASELINE.json")
+    config = f"treepm{tree_side}" if treepm_ps else f"pm{pm_side}"
     vs_baseline = 1.0
+    base = None
     if os.path.exists(baseline_file):
         with open(baseline_file) as f:
-            base = json.load(f).get("value", 0)
-        if base > 0:
-            vs_baseline = value / base
+            rec = json.load(f)
+        # a baseline from a different config (e.g. the old 32^3
+        # lattice) is not comparable — re-anchor
+        if rec.get("config", "") == config and rec.get("value", 0) > 0:
+            base = rec["value"]
+    if base is not None:
+        vs_baseline = value / base
     else:
         try:
             with open(baseline_file, "w") as f:
-                json.dump({"value": value, "metric": metric}, f)
+                json.dump({"value": value, "metric": metric,
+                           "config": config}, f)
         except OSError:
             pass
 

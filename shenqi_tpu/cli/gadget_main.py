@@ -267,7 +267,8 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
                 TempClouds=ps.get_double("TempClouds"),
                 MaxSfrTimescale=ps.get_double("MaxSfrTimescale"),
                 Generations=int(ps.get_double("Generations")),
-                MinGasTemp=ps.get_double("MinGasTemp"))
+                MinGasTemp=ps.get_double("MinGasTemp"),
+                Criterion=ps.get_enum("StarformationCriterion"))
             from ..physics.cooling_rates import UVBG
             sfrpar.init(cp, units, avg_bar, UVBG(), coolpar)
             if winds_on:
@@ -664,6 +665,8 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
         if seed_due:
             next_seed_check[0] = a * seed_factor
         fof_physics(s, groups)
+        if getattr(s, "walltime", None) is not None:
+            s.walltime.measure("FOF")
 
     sim.on_pm_step = on_pm_step
 
@@ -689,6 +692,7 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
     from ..utils.stats import (energy_statistics, sfr_statistics,
                                blackhole_statistics, bh_details)
     wt = Walltime()
+    sim.walltime = wt        # stage timers inside the run loop
     fd_energy = open(os.path.join(outdir,
                                   ps.get_string("EnergyFile")), "a")
     fd_cpu = open(os.path.join(outdir, ps.get_string("CpuFile")), "a")
@@ -728,7 +732,7 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
 
     def on_step(s):
         a = s.atime()
-        wt.measure("/Step")
+        wt.measure("Misc")
         _dump_power(s)
         energy_statistics(fd_energy, a, s.particles)
         if fd_sfr is not None and s.gas is not None:

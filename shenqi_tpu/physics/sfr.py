@@ -79,6 +79,9 @@ class SFRParams:
     MinGasTemp: float = 5.0
     QuickLymanAlphaProbability: float = 0.0
     QuickLymanAlphaTempThresh: float = 1e5
+    # StarformationCriterion bits (sfr_eff.h:17-19): 1=density,
+    # 3=density+h2 (Krumholz-Gnedin molecular fraction)
+    Criterion: int = 1
     # derived (init())
     temp_to_u: float = 0.0
     EgySpecCold: float = 0.0
@@ -87,6 +90,7 @@ class SFRParams:
     PhysDensThresh: float = 0.0
     UnitSfr_in_solar_per_year: float = 0.0
     avg_baryon_mass: float = 0.0
+    tau_fmol_unit: float = 0.0
 
     def init(self, CP, units, avg_baryon_mass, uvbg0: UVBG,
              coolpar: CoolingParams):
@@ -101,6 +105,10 @@ class SFRParams:
         self.avg_baryon_mass = avg_baryon_mass
         self.OverDensThresh = (self.CritOverDensity * CP.OmegaBaryon
                                * CP.RhoCrit)
+        # column-density unit for the H2 fit (sfr_eff.cpp:196)
+        self.tau_fmol_unit = (units.UnitDensity_in_cgs
+                              * CP.HubbleParam
+                              * units.UnitLength_in_cm)
         mw_neutral = 4.0 / (1 + 3 * HYDROGEN_MASSFRAC)
         self.EgySpecCold = (self.temp_to_u / mw_neutral
                             * self.TempClouds)
@@ -183,6 +191,28 @@ def get_sfr_eeqos(density, ne, metallicity, dtime, a3inv, redshift,
         ne=jnp.where(on_eeqos, ne_new, ne))
 
 
+def sfr_factor_due_to_h2(gradrho_mag, hsml, density, metallicity,
+                         atime, sp: SFRParams):
+    """Krumholz & Gnedin (2011) molecular-fraction SFR multiplier
+    (sfr_eff.cpp get_sfr_factor_due_to_h2 / ev_NH_from_GradRho):
+    column density estimated from rho^2/|grad rho| + rho*hsml, dust
+    optical depth from metallicity, f_H2 from the KG fit."""
+    a2 = atime * atime
+    zoverzsun = metallicity / METAL_YIELD
+    ev_nh = jnp.where(gradrho_mag > 0,
+                      density * density
+                      / jnp.maximum(gradrho_mag, 1e-35), 0.0)
+    ev_nh = ev_nh + density * hsml
+    tau_fmol = ev_nh / a2 * (0.1 + zoverzsun)
+    tau_fmol = tau_fmol * (434.78 * sp.tau_fmol_unit)
+    y = 0.756 * (1 + 3.1 * jnp.maximum(zoverzsun, 1e-30) ** 0.365)
+    y = jnp.log(1 + 0.6 * y + 0.01 * y * y) \
+        / (0.6 * jnp.maximum(tau_fmol, 1e-35))
+    y = 1 - 0.75 * y / (1 + 0.25 * y)
+    y = jnp.clip(y, 0.0, 1.0)
+    return jnp.where(tau_fmol > 0, y, 1.0)
+
+
 class SFResult(NamedTuple):
     sfr: jax.Array            # Msun/yr per particle
     entropy: jax.Array        # updated entropy (relaxed / cooled)
@@ -196,7 +226,8 @@ class SFResult(NamedTuple):
 def starformation_step(key, density, egywt_density, entropy, mass, ne,
                        metallicity, generation, dtime, a3inv, redshift,
                        uvbg: UVBG, sp: SFRParams, coolpar: CoolingParams,
-                       cu: CoolingUnits, is_gas) -> SFResult:
+                       cu: CoolingUnits, is_gas, gradrho_mag=None,
+                       hsml=None) -> SFResult:
     """One SF + cooling source step for all gas (vectorized).
 
     Implements cooling_and_starformation's per-particle work
@@ -211,6 +242,13 @@ def starformation_step(key, density, egywt_density, entropy, mass, ne,
     # --- star formation rate ---
     cloudmass = data.cloudfrac * mass
     rate = (1 - sp.FactorSN) * cloudmass / jnp.maximum(data.tsfr, 1e-30)
+    # molecular-H2 criterion (sfr_eff.cpp:821-825): scale the rate by
+    # the Krumholz-Gnedin molecular fraction
+    if (sp.Criterion & 2) and gradrho_mag is not None \
+            and hsml is not None:
+        atime = (1.0 / a3inv) ** (1.0 / 3.0)
+        rate = rate * sfr_factor_due_to_h2(
+            gradrho_mag, hsml, density, metallicity, atime, sp)
     rate = jnp.where(on, rate, 0.0)
     sm = rate * dtime
     p = sm / jnp.maximum(mass, 1e-30)

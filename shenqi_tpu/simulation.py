@@ -84,6 +84,13 @@ class Simulation:
     # FOF-cadence physics here — BH seeding searches, HeIII bubbles,
     # excursion-set UVBG (run.cpp:637-660)
     on_pm_step: object = None
+    # optional utils.walltime.Walltime: stage boundaries in run() are
+    # charged to reference timer names (PMgrav/Tree/SPH/...)
+    walltime: object = None
+
+    def _wt(self, name: str):
+        if self.walltime is not None:
+            self.walltime.measure(name)
     on_drift: object = None      # callback(sim, a0, a1) after drifts
     gas: object = None           # GasState (simulation_gas.py)
     gas_physics: object = None   # GasPhysics
@@ -214,16 +221,27 @@ class Simulation:
 
     def init_gas_entropy(self):
         """After the first density pass, convert the stored u0 into
-        entropy A = u (gamma-1) / (rho a^-3)^(gamma-1)
-        (init.cpp uniform-temperature setup)."""
+        entropy (init.cpp uniform-temperature setup).  With
+        pressure-entropy SPH the conversion is a FIXED POINT — entropy
+        depends on EgyWtDensity which depends on entropy — iterated to
+        1e-3 like setup_density_indep_entropy (init.cpp:403-449);
+        otherwise a single A = u (g-1)/(rho a^-3)^(g-1)."""
         if self.gas is None or not getattr(self, "_gas_entropy_is_u",
                                            False):
             return
         from .utils.constants import GAMMA_MINUS1
-        a3inv = 1.0 / self.atime() ** 3
-        rho = jnp.maximum(self.gas.density, 1e-35) * a3inv
-        ent = self.gas.entropy * GAMMA_MINUS1 / rho ** GAMMA_MINUS1
-        self.gas = dataclasses.replace(self.gas, entropy=ent)
+        gp = self.gas_physics
+        u0 = self.gas.entropy    # holds u until this conversion
+        if gp is not None and gp.density_independent_sph:
+            # u0 is uniform at init; use the (scalar) median
+            u_init = float(jnp.median(u0))
+            self.gas = gp.setup_density_indep_entropy(self, self.gas,
+                                                      u_init)
+        else:
+            a3inv = 1.0 / self.atime() ** 3
+            rho = jnp.maximum(self.gas.density, 1e-35) * a3inv
+            ent = u0 * GAMMA_MINUS1 / rho ** GAMMA_MINUS1
+            self.gas = dataclasses.replace(self.gas, entropy=ent)
         self._gas_entropy_is_u = False
 
     # ---------- pieces ----------
@@ -607,11 +625,13 @@ class Simulation:
         while max_steps > 0:
             max_steps -= 1
             times = self.times
+            self._wt("Misc")
             if not first:
                 ti_next = find_next_kick(times.ti_current,
                                          times.mintimebin)
                 ti_next = min(ti_next, times.pm_start + times.pm_length)
                 self._drift_all(ti_next)
+                self._wt("Drift")
             is_pm = times.is_pm()
             if is_pm:
                 # reference redraws the box shift at each full domain
@@ -626,8 +646,10 @@ class Simulation:
                     # first pass: convert initial u to entropy and
                     # recompute the pressure-dependent parts next step
                     self.init_gas_entropy()
+                self._wt("SPH")
             if is_pm:
                 self._compute_pm()
+                self._wt("PMgrav")
             if self.hierarchical:
                 if first:
                     self._compute_tree(first_step=True)
@@ -636,6 +658,7 @@ class Simulation:
                     self._hier_second_half()
             else:
                 self._compute_tree(first_step=first)
+            self._wt("Tree")
 
             if not first:
                 self._apply_half_kick(skip_grav=self.hierarchical)
@@ -670,11 +693,14 @@ class Simulation:
                 dtime = dloga / hubble
                 self.gas, nstars = self.gas_physics.source_terms(
                     self, self.gas, dtime)
+                self._wt("Cooling")
                 # black holes: accretion/feedback/swallow/mergers
                 self.gas = self.gas_physics.blackhole_step(
                     self, self.gas, dtime)
+                self._wt("BH")
                 # stellar mass + metal return (metal_return.cpp)
                 self.gas = self.gas_physics.metal_return(self, self.gas)
+                self._wt("MetalReturn")
 
             # sync point outputs
             sp = self.timeline.find_current_sync_point(times.ti_current)
@@ -682,6 +708,7 @@ class Simulation:
                 if self.on_snapshot:
                     self.on_snapshot(self, self.atime())
                 self.snapshots.append(self.atime())
+                self._wt("Snapshot")
 
             if self.timeline.find_next_sync_point(times.ti_current) \
                     is None:
@@ -691,6 +718,7 @@ class Simulation:
                 bad = self._hier_first_half(first_step=first)
             else:
                 bad = self._find_timesteps(first_step=first)
+            self._wt("Timeline")
             if bad:
                 # emergency dump before aborting (run.cpp:794-797:
                 # dump_snapshot("TIMESTEP-DUMP") then endrun)

@@ -74,6 +74,8 @@ class GasState:
     # excursion-set reionization (uvbg.cpp)
     local_j21: jax.Array = None  # per-gas J21
     zreion_p: jax.Array = None   # per-gas reionization redshift (-1)
+    # |GradRho| from the density pass (h2 SF criterion input)
+    gradrho_mag: jax.Array = None
 
     @classmethod
     def create(cls, ngas: int, entropy0,
@@ -98,7 +100,8 @@ class GasState:
             total_returned=zt(), bh_mass=z(), bh_mdot=z(),
             heiii=jnp.zeros(ngas, bool), star_metallicity=zt(),
             local_j21=z(),
-            zreion_p=jnp.full(ngas, -1.0, jnp.float32))
+            zreion_p=jnp.full(ngas, -1.0, jnp.float32),
+            gradrho_mag=z())
 
 
 @dataclass
@@ -193,12 +196,15 @@ class GasPhysics:
                             ncrit=sim.gravity.tree_ncrit,
                             hsml=p.hsml[:ng])
         payload = make_gas_payload(tree, vel_g, entvar)
+        if not hasattr(self, "_density_caps"):
+            self._density_caps = {}
         dout = sph_density(tree, payload, ipos_g, vel_g, entvar,
                            np.asarray(p.hsml[:ng]), sim.boxsize,
                            self.kernel, eta=self.eta,
                            ngb_deviation=self.ngb_deviation,
                            do_egy_density=self.density_independent_sph,
-                           ncrit=sim.gravity.tree_ncrit)
+                           ncrit=sim.gravity.tree_ncrit,
+                           caps=self._density_caps)
         hsml = jnp.asarray(dout.hsml)
         gas = dataclasses.replace(
             gas, density=jnp.asarray(dout.density),
@@ -206,7 +212,9 @@ class GasPhysics:
             dhsml_egy=jnp.asarray(dout.dhsml_egy_density_factor),
             div_vel=jnp.asarray(dout.div_vel),
             curl_vel=jnp.asarray(dout.curl_vel),
-            dt_hsml=jnp.asarray(dout.dt_hsml))
+            dt_hsml=jnp.asarray(dout.dt_hsml),
+            gradrho_mag=jnp.linalg.norm(
+                jnp.asarray(dout.grad_rho), axis=-1))
         # store hsml back on particles
         new_hsml = p.hsml.at[:ng].set(hsml)
         sim.particles = dataclasses.replace(p, hsml=new_hsml)
@@ -295,6 +303,62 @@ class GasPhysics:
             max_signal_vel=jnp.asarray(hres.max_signal_vel))
         return gas
 
+    def setup_density_indep_entropy(self, sim, gas: GasState,
+                                    u_init: float) -> GasState:
+        """Pressure-entropy IC fixed point (init.cpp:403-449
+        setup_density_indep_entropy): iterate
+        entropy = (g-1) u / (EgyWtDensity/a^3)^(g-1)  followed by an
+        EgyWtDensity recomputation until the density converges
+        (rel 1e-3, <=100 iters).  Starts from EgyWtDensity = Density,
+        which the reference found converges best."""
+        from .sph.density import density_walk_blocked
+        from .utils.constants import GAMMA_MINUS1 as GM1
+
+        p = sim.particles
+        ng = gas.ngas
+        gas_alive = (p.mask & (p.ptype == GAS))[:ng]
+        ipos_g = p.ipos[:ng]
+        mass_g = jnp.where(gas_alive, p.mass[:ng], 0.0)
+        hsml = p.hsml[:ng]
+        a3 = sim.atime() ** 3
+        egywt = jnp.maximum(gas.density, 1e-35)
+        tree = build_octree(ipos_g, mass_g, gas_alive, sim.boxsize,
+                            nlevels=sim.gravity.tree_nlevels,
+                            ncrit=sim.gravity.tree_ncrit)
+        order = tree.order
+        vel0 = jnp.zeros((ng, 3), jnp.float32)
+        maxl = 128
+        stop = False
+        entropy = gas.entropy
+        for j in range(100):
+            entropy = (GM1 * u_init
+                       / jnp.maximum(egywt / a3, 1e-35) ** GM1)
+            entvar = jnp.maximum(entropy, 1e-35) ** (1.0 / GAMMA)
+            payload = {"ipos": tree.ipos_s, "mass": tree.mass_s,
+                       "vel": vel0[order], "entvar": entvar[order]}
+            while True:
+                res, info = density_walk_blocked(
+                    tree, payload, ipos_g, vel0, hsml, sim.boxsize,
+                    self.kernel, ncrit=sim.gravity.tree_ncrit,
+                    maxl=maxl)
+                if not bool(info["list_overflow"]):
+                    break
+                maxl *= 2
+            new_egywt = jnp.maximum(res.egy_rho, 1e-35) \
+                / jnp.maximum(entvar, 1e-35)
+            if stop:
+                egywt = new_egywt
+                break
+            maxdiff = float(jnp.max(jnp.where(
+                gas_alive,
+                jnp.abs(new_egywt - egywt)
+                / jnp.maximum(new_egywt, 1e-35), 0.0)))
+            egywt = new_egywt
+            if maxdiff < 1e-3:
+                stop = True     # one more iteration, then stop
+        return dataclasses.replace(gas, entropy=entropy,
+                                   egy_wt_density=egywt)
+
     # ---------- source terms (Strang split) ----------
     def source_terms(self, sim, gas: GasState, dtime: float):
         """Cooling + star formation + winds after the kick."""
@@ -342,7 +406,8 @@ class GasPhysics:
                 self.next_key(), gas.density, gas.egy_wt_density,
                 gas.entropy, p.mass[:ng], gas.ne, gas.metallicity,
                 gas.generation, dtime, a3inv, redshift, uvbg,
-                self.sfrpar, self.coolpar, self.coolunits, gas_alive)
+                self.sfrpar, self.coolpar, self.coolunits, gas_alive,
+                gradrho_mag=gas.gradrho_mag, hsml=p.hsml[:ng])
             gas = dataclasses.replace(
                 gas, entropy=res.entropy, ne=res.ne,
                 metallicity=res.metallicity, sfr=res.sfr)

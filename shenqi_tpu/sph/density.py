@@ -217,7 +217,7 @@ def density(tree: Octree, payload, target_ipos, target_vel,
             eta: float = 1.0, ngb_deviation: float = 2.0,
             do_egy_density: bool = True,
             maxiter: int = MAXITER, engine: str = "blocked",
-            ncrit: int = 32) -> DensityOutput:
+            ncrit: int = 32, caps: dict = None) -> DensityOutput:
     """Full adaptive-H density loop (do_hsml_loop analog, host-driven).
 
     payload must hold sorted (tree order) arrays: ipos, mass, vel,
@@ -234,7 +234,10 @@ def density(tree: Octree, payload, target_ipos, target_vel,
                       left=jnp.zeros(t, jnp.float32),
                       right=jnp.full(t, boxsize, jnp.float32),
                       done=jnp.zeros(t, bool))
-    caps = {"maxl": 64, "nb": None}
+    if caps is None:
+        caps = {"maxl": 64, "nb": None}
+    caps.setdefault("maxl", 64)
+    caps.setdefault("nb", None)
 
     def walk(hsml):
         if engine != "blocked":

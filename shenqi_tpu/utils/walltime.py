@@ -55,12 +55,14 @@ class Walltime:
         return "\n".join(lines)
 
     def write_cpu_log(self, f: TextIO, atime: float):
-        """One step record in a cpu.txt-like format."""
+        """One step record in the REFERENCE cpu.txt format
+        (walltime.cpp:185-205 header + indented timing tree), so
+        tools/parsebench.py reads our logs unchanged."""
         f.write(f"Step {self.step_number}, Time: {atime:g}, "
-                f"Walltime: {self.elapsed():g}\n")
+                f"MPIs: 1 Threads: 1 Elapsed: {self.elapsed():g}\n")
         total = sum(self.step_acc.values()) or 1.0
         for name in sorted(self.step_acc):
             v = self.step_acc[name]
-            f.write(f"  {name:<28s} {v:10.3f}  "
+            f.write(f"    {name.lstrip('/'):<26s} {v:10.3f}  "
                     f"{100 * v / total:5.1f}%\n")
         f.flush()
