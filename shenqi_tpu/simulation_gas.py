@@ -446,13 +446,22 @@ class GasPhysics:
                                          wres.delay_time)
                 else:
                     # non-subgrid: new stars kick their gas
-                    # neighbours (sfr_wind_feedback)
+                    # neighbours (sfr_wind_feedback).  The star count
+                    # varies per step — pad to a power-of-two bucket
+                    # (mass-0 lanes kick nothing) so the dense pair
+                    # kernel compiles O(log) times, not once per count
                     sidx = np.nonzero(np.asarray(res.form_star))[0]
+                    ns0 = len(sidx)
+                    nbkt = max(8, 1 << (max(ns0, 1) - 1).bit_length())
+                    sidx = np.pad(sidx, (0, nbkt - ns0))
+                    smask = jnp.asarray(
+                        np.arange(nbkt) < ns0)
                     p2 = sim.particles
                     vel3, ent, delay0 = winds_star_feedback(
                         self.next_key(), p2.ipos[sidx],
                         jnp.maximum(p2.hsml[sidx], 1e-3),
-                        p2.mass[sidx], gas.vdisp[sidx],
+                        jnp.where(smask, p2.mass[sidx], 0.0),
+                        gas.vdisp[sidx],
                         p2.ipos[:ng], p2.mass[:ng], p2.vel[:ng],
                         gas.entropy, gas.density, gas.delay_time,
                         gas_alive & ~res.form_star, sim.boxsize,
@@ -543,6 +552,12 @@ class GasPhysics:
         if not act.any():
             return gas
         idx = np.nonzero(act)[0]
+        # pow2 bucket so the dense pair kernels compile O(log) times
+        # rather than once per distinct active-star count
+        ns0 = len(idx)
+        nbkt = max(8, 1 << (ns0 - 1).bit_length())
+        idx = np.pad(idx, (0, nbkt - ns0))
+        lane = np.arange(nbkt) < ns0
 
         # kernel-weight environment first: a star with no gas inside
         # its hsml cannot scatter; defer its enrichment to a later
@@ -551,7 +566,8 @@ class GasPhysics:
         from .physics.metal_return import metal_return_step
         gas_alive = (p.mask & (p.ptype == GAS))[:ng]
         star_ipos = p.ipos[idx]
-        star_hsml = jnp.maximum(p.hsml[idx], 1e-3)
+        star_hsml = jnp.where(jnp.asarray(lane),
+                              jnp.maximum(p.hsml[idx], 1e-3), 0.0)
         gmass = jnp.where(gas_alive, p.mass[:ng], 0.0)
         env = bh_gas_environment(star_ipos, star_hsml, p.ipos[:ng],
                                  gmass, gas.density,
@@ -566,7 +582,7 @@ class GasPhysics:
         mret = np.zeros(len(idx), np.float32)
         zret = np.zeros(len(idx), np.float32)
         for j, i in enumerate(idx):
-            if not has_ngb[j]:
+            if j >= ns0 or not has_ngb[j]:
                 continue
             mfrac, zfrac, _ = self.metals.star_return(
                 float(zmet[i]), float(last[i]), float(age_now[i]), h)
@@ -594,6 +610,8 @@ class GasPhysics:
         new_mass = p.mass.at[:ng].add(jnp.where(gas_alive, dm, 0.0))
         mass_after = np.array(new_mass)
         for j, i in enumerate(idx):
+            if j >= ns0:
+                continue
             mass_after[i] = max(mass_after[i] - mret[j],
                                 0.1 * m0[i])
         sim.particles = dataclasses.replace(

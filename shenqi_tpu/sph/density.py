@@ -239,15 +239,15 @@ def density(tree: Octree, payload, target_ipos, target_vel,
     caps.setdefault("maxl", 64)
     caps.setdefault("nb", None)
 
-    def walk(hsml):
+    def walk(t_ipos, t_vel, hsml, nsub):
         if engine != "blocked":
-            return density_walk(tree, payload, target_ipos,
-                                target_vel, hsml, boxsize, spec)
+            return density_walk(tree, payload, t_ipos, t_vel, hsml,
+                                boxsize, spec)
         while True:
             res, info = density_walk_blocked(
-                tree, payload, target_ipos, target_vel, hsml,
+                tree, payload, t_ipos, t_vel, hsml,
                 boxsize, spec, ncrit=ncrit, maxl=caps["maxl"],
-                nb=caps["nb"])
+                nb=caps.get(("nb", nsub)))
             if bool(info["leaf_truncated"]):
                 from ..ops.treewalk import TreeTooShallow
                 raise TreeTooShallow(
@@ -260,23 +260,54 @@ def density(tree: Octree, payload, target_ipos, target_vel,
                 caps["maxl"] *= 2
                 grew = True
             if bool(info["block_overflow"]):
-                nb0 = caps["nb"] or max(
-                    2 * ((t + 63) // 64), 8)
-                caps["nb"] = (1 << (nb0 - 1).bit_length()) * 2
+                nb0 = caps.get(("nb", nsub)) or max(
+                    2 * ((nsub + 63) // 64), 8)
+                caps[("nb", nsub)] = (1 << (nb0 - 1).bit_length()) * 2
                 grew = True
             if not grew:
                 return res
 
-    res = None
+    # iteration 1: all targets; later iterations walk only the
+    # particles whose hsml changed (the reference re-queues only
+    # unconverged particles, do_hsml_loop/density_check_neighbours —
+    # re-walking everything made SPH ~94% of a full-physics step).
+    # Subset sizes are pow2-bucketed so distinct counts share
+    # compiles; each particle's stored result always corresponds to
+    # its latest hsml, so no final full recompute is needed.
+    res = walk(target_ipos, target_vel, state.hsml, t)
+    res_arrays = list(res)
     it = 0
     for it in range(maxiter):
-        res = walk(state.hsml)
-        state = update_hsml(state, res.ngb, res.dhsml_rho, res.rho,
-                            des, ngb_deviation, boxsize)
-        if bool(jnp.all(state.done)):
+        hsml_prev = state.hsml
+        state = update_hsml(state, res_arrays[0], res_arrays[2],
+                            res_arrays[1], des, ngb_deviation,
+                            boxsize)
+        changed = np.asarray(state.hsml != hsml_prev)
+        nch = int(changed.sum())
+        if nch == 0:
             break
-    # recompute at final hsml if last update changed anything
-    res = walk(state.hsml)
+        if engine != "blocked" or nch > t // 2:
+            res = walk(target_ipos, target_vel, state.hsml, t)
+            res_arrays = list(res)
+            continue
+        sel = np.nonzero(changed)[0]
+        nbkt = max(64, 1 << (nch - 1).bit_length())
+        # pad with the out-of-range index t: gathers clip (walk input
+        # is inert, radius 0) and scatters DROP, so padded lanes can
+        # never collide with a real row's fresh result
+        sel_p = np.full(nbkt, t, dtype=np.int64)
+        sel_p[:nch] = sel
+        selj = jnp.asarray(sel_p)
+        lane = jnp.asarray(np.arange(nbkt) < nch)
+        sub = walk(target_ipos[jnp.minimum(selj, t - 1)],
+                   target_vel[jnp.minimum(selj, t - 1)],
+                   jnp.where(lane, state.hsml[jnp.minimum(selj,
+                                                          t - 1)],
+                             0.0), nbkt)
+        for k in range(len(res_arrays)):
+            res_arrays[k] = res_arrays[k].at[selj].set(
+                sub[k], mode="drop")
+    res = DensityResult(*res_arrays)
 
     hsml = state.hsml
     rho = jnp.maximum(res.rho, 1e-35)
