@@ -127,6 +127,15 @@ class SnapshotHeader:
         hdr.CMBTemperature = float(get("CMBTemperature", 2.7255))
         hdr.class_radiation_convention = int(
             get("class_radiation_convention", 1))
+        # keep every other attribute (Seed, FractionNuInParticles,
+        # NumPartInGroupTotal, ...) readable via hdr.extra
+        known = set(hdr.__dataclass_fields__) | {
+            "TotNumPartInit", "OmegaFld", "W0_Fld", "WA_Fld",
+            "OmegaUR", "CMBTemperature",
+            "class_radiation_convention"}
+        for name in a.keys():
+            if name not in known:
+                hdr.extra[name] = a.raw(name)
         return hdr
 
 

@@ -274,6 +274,12 @@ def density(tree: Octree, payload, target_ipos, target_vel,
     # Subset sizes are pow2-bucketed so distinct counts share
     # compiles; each particle's stored result always corresponds to
     # its latest hsml, so no final full recompute is needed.
+    # SHENQI_DENSITY_SUBSET=0 falls back to full walks every
+    # iteration (the subset path intermittently kills the axon TPU
+    # worker inside full runs even though every isolated repro of it
+    # passes — suspected async/donation interaction; see round-2 log)
+    import os
+    use_subset = os.environ.get("SHENQI_DENSITY_SUBSET", "1") != "0"
     res = walk(target_ipos, target_vel, state.hsml, t)
     res_arrays = list(res)
     it = 0
@@ -286,7 +292,7 @@ def density(tree: Octree, payload, target_ipos, target_vel,
         nch = int(changed.sum())
         if nch == 0:
             break
-        if engine != "blocked" or nch > t // 2:
+        if engine != "blocked" or not use_subset or nch > t // 2:
             res = walk(target_ipos, target_vel, state.hsml, t)
             res_arrays = list(res)
             continue
