@@ -258,6 +258,20 @@ class Simulation:
             ipos=_drift(self.particles.ipos, self.particles.vel,
                         self.particles.mask, jnp.float32(fac),
                         jnp.float32(POS_SCALE / self.boxsize)))
+        if self.gas is not None:
+            # predict smoothing lengths through the drift
+            # (drift.cpp:55-66, Gadget-4 style: Hsml += DtHsml*ddrift,
+            # capped) — without this the density bisection restarts
+            # from stale radii and needs ~10 extra walks per step
+            ng = self.gas.ngas
+            p = self.particles
+            h0 = p.hsml[:ng]
+            h1 = h0 + self.gas.dt_hsml * jnp.float32(fac)
+            h1 = jnp.clip(h1, 0.5 * h0, 2.0 * h0)
+            is_gas = (p.ptype[:ng] == 0) & p.mask[:ng]
+            self.particles = dataclasses.replace(
+                p, hsml=p.hsml.at[:ng].set(
+                    jnp.where(is_gas & (h0 > 0), h1, h0)))
         if self.on_drift is not None:
             self.on_drift(self, a0,
                           self.timeline.atime_from_ti(ti_next))
