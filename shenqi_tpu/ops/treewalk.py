@@ -187,12 +187,13 @@ def make_target_blocks(target_ipos, block: int, nb: int, level: int):
 
 @partial(jax.jit, static_argnames=("accumulate", "boxsize", "symmetric",
                                    "block", "maxl", "ncrit", "level",
-                                   "nb", "block_batch"))
+                                   "nb", "block_batch", "eval_chunk"))
 def run_walk_blocked(tree: Octree, payload, target_ipos, target_radius,
                      target_extra, carry0, accumulate, boxsize: float,
                      symmetric: bool = False, block: int = 64,
                      maxl: int = 256, ncrit: int = 32, level: int = 4,
-                     nb: int = 1024, block_batch: int = 64):
+                     nb: int = 1024, block_batch: int = 128,
+                     eval_chunk: int = 256):
     """Blocked form of run_walk (identical accumulate protocol).
 
     Returns (carry_out in original target order, info dict with
@@ -239,6 +240,11 @@ def run_walk_blocked(tree: Octree, payload, target_ipos, target_radius,
         bb //= 2
     nbatch = nb // bb
     total_src = maxl * ncrit
+    # eval chunk: bigger slabs mean fewer sequential device kernels —
+    # the dense eval is launch-bound, not FLOP-bound, on this chip
+    ech = eval_chunk
+    while total_src % ech:
+        ech //= 2
 
     def eval_batch(args):
         leaf_ids, tipos, rad, extra, carry_init, valid = args
@@ -249,9 +255,9 @@ def run_walk_blocked(tree: Octree, payload, target_ipos, target_radius,
         def chunk_body(carry, c):
             src = jax.tree_util.tree_map(
                 lambda a: jax.lax.dynamic_slice_in_dim(
-                    a, c * CHUNK, CHUNK, axis=1), src_all)
+                    a, c * ech, ech, axis=1), src_all)
             live = jax.lax.dynamic_slice_in_dim(
-                src_valid, c * CHUNK, CHUNK, axis=1)  # [bb, CHUNK]
+                src_valid, c * ech, ech, axis=1)  # [bb, ech]
             # dist: min-image source->target, uint32-exact wrap
             dist = (tipos[:, :, None, :] - src["ipos"][:, None, :, :]
                     ).astype(jnp.int32).astype(jnp.float32) * to_f
@@ -264,7 +270,7 @@ def run_walk_blocked(tree: Octree, payload, target_ipos, target_radius,
             return acc2(carry, extra, tpos, src, dist, r2, live), None
 
         carry_end, _ = jax.lax.scan(chunk_body, carry_init,
-                                    jnp.arange(total_src // CHUNK))
+                                    jnp.arange(total_src // ech))
         # inert (padding) lanes keep their initial carry: their radius
         # is 0, and accumulators may divide by it (hsml) — mask, don't
         # trust w=0 to kill the NaNs
