@@ -48,7 +48,7 @@ from .ops.tree import build_octree
 from .utils.constants import CM_PER_MPC
 
 
-@partial(jax.jit, donate_argnums=(0,))
+@jax.jit    # NOTE: deliberately NOT donated — see density subset note
 def _drift(ipos, vel, alive, driftfac, pos_scale_over_box):
     dx = vel * driftfac * pos_scale_over_box
     newpos = ipos + dx.astype(jnp.int32).astype(jnp.uint32)

@@ -272,29 +272,37 @@ class GasPhysics:
         from .sph.hydro import hydro_walk_blocked
         maxl = getattr(self, "_hydro_maxl", 64)
         nb = getattr(self, "_hydro_nb", None)
+        hblock = getattr(self, "_hydro_block", 64)
         while True:
             hres, hinfo = hydro_walk_blocked(
                 tree, payload_h, targets, par, self.kernel,
                 ncrit=sim.gravity.tree_ncrit, maxl=maxl, nb=nb,
-                tf=tf)
+                block=hblock, tf=tf)
             if bool(hinfo["leaf_truncated"]):
                 from .ops.treewalk import TreeTooShallow
                 raise TreeTooShallow(
                     "hydro: leaf > ncrit; rebuild a deeper octree")
             grew = False
             if bool(hinfo["list_overflow"]):
-                if maxl >= 16384:
+                # bounded like density: past maxl 2048 the compiled
+                # walk exceeds HBM; halve the target blocks instead
+                if maxl < 2048:
+                    maxl *= 2
+                elif hblock > 8:
+                    hblock //= 2
+                    nb = None
+                else:
                     raise RuntimeError("hydro list cap overflow")
-                maxl *= 2
                 grew = True
             if bool(hinfo["block_overflow"]):
-                nb0 = nb or max(2 * ((ng + 63) // 64), 8)
+                nb0 = nb or max(2 * ((ng + hblock - 1) // hblock), 8)
                 nb = (1 << (nb0 - 1).bit_length()) * 2
                 grew = True
             if not grew:
                 break
         self._hydro_maxl = maxl
         self._hydro_nb = nb
+        self._hydro_block = hblock
         accel = jnp.where((gas_alive & ~decoupled)[:, None],
                           hres.accel, 0.0)
         dts = jnp.where(gas_alive & ~decoupled, hres.dt_entropy, 0.0)
@@ -328,6 +336,7 @@ class GasPhysics:
         order = tree.order
         vel0 = jnp.zeros((ng, 3), jnp.float32)
         maxl = 128
+        blk = 64
         stop = False
         entropy = gas.entropy
         for j in range(100):
@@ -340,10 +349,15 @@ class GasPhysics:
                 res, info = density_walk_blocked(
                     tree, payload, ipos_g, vel0, hsml, sim.boxsize,
                     self.kernel, ncrit=sim.gravity.tree_ncrit,
-                    maxl=maxl)
+                    maxl=maxl, block=blk)
                 if not bool(info["list_overflow"]):
                     break
-                maxl *= 2
+                if maxl < 2048:
+                    maxl *= 2
+                elif blk > 8:
+                    blk //= 2
+                else:
+                    raise RuntimeError("init density list overflow")
             new_egywt = jnp.maximum(res.egy_rho, 1e-35) \
                 / jnp.maximum(entvar, 1e-35)
             if stop:

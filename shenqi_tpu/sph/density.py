@@ -239,6 +239,14 @@ def density(tree: Octree, payload, target_ipos, target_vel,
     caps.setdefault("maxl", 64)
     caps.setdefault("nb", None)
 
+    # the interaction-list cap is bounded: compiling a walk beyond
+    # maxl~2048 at 256k targets exceeds the chip's HBM at COMPILE time
+    # (measured 17.5G/15.75G).  When a block still overflows at the
+    # cap, the target blocks are HALVED instead — smaller bboxes mean
+    # shorter lists at the same total work.
+    MAXL_CAP = 2048
+    caps.setdefault("block", 64)
+
     def walk(t_ipos, t_vel, hsml, nsub):
         if engine != "blocked":
             return density_walk(tree, payload, t_ipos, t_vel, hsml,
@@ -247,22 +255,28 @@ def density(tree: Octree, payload, target_ipos, target_vel,
             res, info = density_walk_blocked(
                 tree, payload, t_ipos, t_vel, hsml,
                 boxsize, spec, ncrit=ncrit, maxl=caps["maxl"],
-                nb=caps.get(("nb", nsub)))
+                nb=caps.get(("nb", nsub, caps["block"])),
+                block=caps["block"])
             if bool(info["leaf_truncated"]):
                 from ..ops.treewalk import TreeTooShallow
                 raise TreeTooShallow(
                     "density: leaf > ncrit; rebuild a deeper octree")
             grew = False
             if bool(info["list_overflow"]):
-                if caps["maxl"] >= 16384:
+                if caps["maxl"] < MAXL_CAP:
+                    caps["maxl"] *= 2
+                elif caps["block"] > 8:
+                    caps["block"] //= 2
+                else:
                     raise RuntimeError(
-                        f"density list cap {caps['maxl']} overflowed")
-                caps["maxl"] *= 2
+                        "density list overflow at minimum block size")
                 grew = True
             if bool(info["block_overflow"]):
-                nb0 = caps.get(("nb", nsub)) or max(
-                    2 * ((nsub + 63) // 64), 8)
-                caps[("nb", nsub)] = (1 << (nb0 - 1).bit_length()) * 2
+                key = ("nb", nsub, caps["block"])
+                nb0 = caps.get(key) or max(
+                    2 * ((nsub + caps["block"] - 1)
+                         // caps["block"]), 8)
+                caps[key] = (1 << (nb0 - 1).bit_length()) * 2
                 grew = True
             if not grew:
                 return res

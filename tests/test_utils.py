@@ -25,7 +25,11 @@ def test_walltime_accumulates():
     buf = io.StringIO()
     w.write_cpu_log(buf, atime=0.5)
     out = buf.getvalue()
-    assert "/Grav/Tree" in out and "Step 0" in out
+    # cpu.txt rows use the reference format: indented name without
+    # the leading slash (walltime.cpp:185-205), parseable by
+    # tools/parsebench.py
+    assert "Grav/Tree" in out and "Step 0" in out
+    assert "MPIs: 1 Threads: 1 Elapsed:" in out
     w.reset_step()
     assert w.step_acc == {}
     assert w.total_acc["/Grav/Tree"] >= 0.01
