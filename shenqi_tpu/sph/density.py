@@ -230,9 +230,16 @@ def density(tree: Octree, payload, target_ipos, target_vel,
     """
     des = float(desnumngb(spec, eta))
     t = target_ipos.shape[0]
+    # bracket ceiling: with right = boxsize a single void particle's
+    # probing radius makes its whole target block's interaction list
+    # cover the tree (the block engine pays max-radius per block) —
+    # physical smoothing lengths sit at a few mean separations
+    sep = boxsize / max(t, 1) ** (1.0 / 3.0)
+    hmax_allowed = min(boxsize / 2.0,
+                       max(8.0 * sep, 2.0 * float(np.max(hsml0))))
     state = HsmlState(hsml=jnp.asarray(hsml0, jnp.float32),
                       left=jnp.zeros(t, jnp.float32),
-                      right=jnp.full(t, boxsize, jnp.float32),
+                      right=jnp.full(t, hmax_allowed, jnp.float32),
                       done=jnp.zeros(t, bool))
     if caps is None:
         caps = {"maxl": 64, "nb": None}
@@ -302,6 +309,8 @@ def density(tree: Octree, payload, target_ipos, target_vel,
         state = update_hsml(state, res_arrays[0], res_arrays[2],
                             res_arrays[1], des, ngb_deviation,
                             boxsize)
+        state = state._replace(hsml=jnp.minimum(state.hsml,
+                                                hmax_allowed))
         changed = np.asarray(state.hsml != hsml_prev)
         nch = int(changed.sum())
         if nch == 0:
