@@ -71,9 +71,11 @@ def _clustered(npart_side, box, seed=181170):
         dk = gk * amp * (1j * kj * kf) / (k2 * kf * kf)
         disp.append(np.fft.irfftn(dk, s=(n, n, n)).real * n ** 3)
     disp = np.stack([d.ravel() for d in disp], -1)
-    # normalize rms displacement to ~2.5 cells: deep shell crossing
+    # normalize rms displacement to ~1.5 cells: strong clustering
+    # with first shell crossings (2.5 cells produced caustic stacks
+    # extreme enough to wedge the traversal on the TPU)
     rms = np.sqrt(np.mean(disp ** 2))
-    disp *= 2.5 * cell / max(rms, 1e-30)
+    disp *= 1.5 * cell / max(rms, 1e-30)
     grid = (np.arange(n) + 0.5) * cell
     X, Y, Z = np.meshgrid(grid, grid, grid, indexing="ij")
     pos = np.stack([X.ravel(), Y.ravel(), Z.ravel()], -1) + disp

@@ -45,8 +45,16 @@ def _blocked_eval(tree: Octree, lists, tgt_pos, params: ShortRangeParams,
     keeps a 64^3+ walk inside a single v5e's 16 GB.
     """
     box = params.boxsize
-    CH = 64
-    PCH = 128
+    # chunk sizes tuned for the v5e: the eval is launch/pipeline-bound
+    # (measured 29s/step at 128^3 with CH=64/PCH=128 vs ~100 GFLOP/s
+    # achieved); wider chunks cut sequential kernel count 4x while a
+    # [batch, BLK, PCH, 3] temporary stays ~50 MB
+    CH = 256
+    while maxi % CH:
+        CH //= 2
+    PCH = 512
+    while (maxl * ncrit) % PCH:
+        PCH //= 2
     total_src = maxl * ncrit
 
     bb = min(block_batch, nblocks)

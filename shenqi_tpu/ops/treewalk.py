@@ -307,7 +307,13 @@ def run_walk_blocked(tree: Octree, payload, target_ipos, target_radius,
     # caller rebuilds a deeper tree (gravity tolerates it; SPH cannot).
     safe_l = jnp.maximum(lists.leaf_ids, 0)
     pc = jnp.where(lists.leaf_ids >= 0, tree.pcount[safe_l], 0)
+    # per-target overflow: which targets sat in a block whose list
+    # overflowed (callers can re-do just those with the per-particle
+    # oracle instead of growing caps without bound)
+    ovf_slot = jnp.repeat(lists.overflow, block)      # [nb*block]
+    tovf = from_slots(ovf_slot)
     info = {"block_overflow": b_ovf,
             "list_overflow": jnp.any(lists.overflow),
-            "leaf_truncated": jnp.any(pc > ncrit)}
+            "leaf_truncated": jnp.any(pc > ncrit),
+            "target_overflow": tovf}
     return carry_out, info

@@ -1,0 +1,289 @@
+"""Distributed SPH density + hydro over the slab domain.
+
+The reference runs every SPH stage distributed (density2.cpp,
+hydra2.cpp over MPI ranks with treewalk export/import).  The TPU-slab
+analog: ghost rows within the kernel support arrive from the slab
+neighbours via the ppermute halo ring (domain.halo_exchange), then the
+ENTIRE blocked neighbour walk (ops/treewalk.run_walk_blocked — the
+same engine as single-device) runs device-locally on
+[local + ghosts].  Per-device memory and work are O(N/D + halo).
+
+The host drives the adaptive-hsml bisection exactly like
+sph/density.density does on one device; each pass is one jitted
+shard_map call.  The halo width is a static cap checked at runtime:
+if any smoothing length outgrows it the pass flags `width_exceeded`
+and the caller rebuilds with a wider halo.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:                          # older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..ops.tree import build_octree
+from ..ops.blockwalk import auto_block_level
+from ..core.particles import POS_SCALE
+from ..sph.kernels import KernelSpec, CUBIC
+from ..sph.density import DensityResult, _density_accum_cached
+from ..sph.hydro import (HydroParams, _hydro_accum_cached,
+                         _hydro_extra)
+from .domain import halo_exchange
+
+
+def _combined_tree(fields, ghost_names, width_fp, ndev, gcap,
+                   nlevels, ncrit, boxsize, with_hmax=False,
+                   axis_name="dp"):
+    """Halo exchange + octree over [local + ghosts]."""
+    from ..ops.morton import morton_key
+
+    ship = {k: fields[k] for k in ghost_names}
+    ghosts, n_lost = halo_exchange(ship, width_fp, ndev, gcap,
+                                   axis_name)
+    comb = {k: jnp.concatenate([fields[k], ghosts[k]])
+            for k in ghost_names}
+    alive = comb["mass"] > 0
+    ipos = comb["ipos"]
+    keys = morton_key(ipos)
+    imax = jnp.argmax(jnp.where(alive, keys, 0))
+    ipos = jnp.where(alive[:, None], ipos, ipos[imax])
+    comb["ipos"] = ipos
+    tree = build_octree(ipos, comb["mass"], alive, boxsize,
+                        nlevels=nlevels, ncrit=ncrit,
+                        hsml=comb["hsml"] if with_hmax else None)
+    return tree, comb, alive, n_lost
+
+
+def make_density_pass(mesh, boxsize: float, width_fp: int,
+                      spec: KernelSpec = CUBIC, nlevels: int = 8,
+                      ncrit: int = 32, block: int = 64,
+                      maxl: int = 128, gcap: int = None,
+                      nb: int = None):
+    """Jitted shard_map density pass over 'dp'-sharded gas fields.
+
+    fn(fields, hsml) -> (DensityResult arrays [D*C], info); fields
+    must hold ipos/mass/vel/entvar (mass 0 = dead/non-gas row).
+    """
+    from ..ops.treewalk import run_walk_blocked
+
+    ndev = mesh.devices.size
+
+    field_specs = {"ipos": P("dp", None), "mass": P("dp"),
+                   "vel": P("dp", None), "entvar": P("dp")}
+    res_specs = DensityResult(*([P("dp")] * 6 + [P("dp", None)] * 2))
+    info_specs = {k: P() for k in
+                  ("halo_lost", "list_overflow", "block_overflow",
+                   "leaf_truncated", "width_exceeded")}
+
+    @partial(shard_map, mesh=mesh, in_specs=(field_specs, P("dp")),
+             out_specs=(res_specs, info_specs), check_vma=False)
+    def one_pass(fields, hsml):
+        C = fields["ipos"].shape[0]
+        g = gcap if gcap is not None else C
+        f = dict(fields)
+        f["hsml"] = hsml
+        tree, comb, alive, n_lost = _combined_tree(
+            f, ("ipos", "mass", "vel", "entvar", "hsml"), width_fp,
+            ndev, g, nlevels, ncrit, boxsize)
+        order = tree.order
+        payload = {"ipos": tree.ipos_s, "mass": tree.mass_s,
+                   "vel": comb["vel"][order],
+                   "entvar": comb["entvar"][order]}
+        t = C
+        nbl = nb
+        if nbl is None:
+            nbl = max(2 * ((t + block - 1) // block), 8)
+            nbl = 1 << (nbl - 1).bit_length()
+        level = auto_block_level(t, block)
+        z = lambda *s: jnp.zeros(s, jnp.float32)
+        carry0 = (z(t), z(t), z(t), z(t), z(t), z(t), z(t, 3),
+                  z(t, 3))
+        extra = {"hsml": hsml, "vel": fields["vel"]}
+        out, winfo = run_walk_blocked(
+            tree, payload, fields["ipos"], hsml, extra, carry0,
+            _density_accum_cached(spec), boxsize, symmetric=False,
+            block=block, maxl=maxl, ncrit=ncrit, level=level, nb=nbl)
+        width_len = jnp.float32(width_fp / 2.0 ** 32 * boxsize)
+        info = {
+            "halo_lost": n_lost,
+            "list_overflow": jax.lax.psum(
+                winfo["list_overflow"].astype(jnp.int32), "dp"),
+            "block_overflow": jax.lax.psum(
+                winfo["block_overflow"].astype(jnp.int32), "dp"),
+            "leaf_truncated": jax.lax.psum(
+                winfo["leaf_truncated"].astype(jnp.int32), "dp"),
+            "width_exceeded": jax.lax.psum(jnp.sum(
+                ((fields["mass"] > 0) & (hsml > width_len))
+                .astype(jnp.int32)), "dp"),
+        }
+        return DensityResult(*out), info
+
+    return jax.jit(one_pass)
+
+
+def make_hydro_pass(mesh, par: HydroParams, width_fp: int,
+                    spec: KernelSpec = CUBIC, nlevels: int = 8,
+                    ncrit: int = 32, block: int = 64,
+                    maxl: int = 128, gcap: int = None,
+                    nb: int = None):
+    """Jitted shard_map hydro-force pass (symmetric walk).
+
+    fn(fields, tf) -> ((accel [D*C,3], dt_entropy_raw [D*C],
+    maxvsig [D*C]), info).  fields: ipos/mass/vel/hsml plus the hydro
+    payload columns density/eomdensity/entvar/pressure/divvel/curlvel/
+    dhsml_egy/dloga/decoupled and target-side f1/egyrho/dhsml.
+    tf: hydro_time_factors dict (dynamic scalars).
+    NOTE: dt_entropy is returned RAW (before the
+    GAMMA_MINUS1/(hubble a^2 rho^..) conversion) — apply it outside.
+    """
+    from ..ops.treewalk import run_walk_blocked
+
+    ndev = mesh.devices.size
+    ghost_names = ("ipos", "mass", "vel", "hsml", "density",
+                   "eomdensity", "entvar", "pressure", "divvel",
+                   "curlvel", "dhsml_egy", "dloga", "decoupled")
+
+    field_specs = {k: P("dp", None) if k in ("ipos", "vel")
+                   else P("dp") for k in ghost_names}
+    for k in ("f1", "egyrho", "dhsml"):
+        field_specs[k] = P("dp")
+    tf_specs = {k: P() for k in ("fac_mu", "fac_vsic_fix",
+                                 "hubble_a2")}
+    out_specs = (P("dp", None), P("dp"), P("dp"))
+    info_specs = {k: P() for k in
+                  ("halo_lost", "list_overflow", "block_overflow",
+                   "leaf_truncated", "width_exceeded")}
+
+    @partial(shard_map, mesh=mesh, in_specs=(field_specs, tf_specs),
+             out_specs=(out_specs, info_specs), check_vma=False)
+    def one_pass(fields, tf):
+        C = fields["ipos"].shape[0]
+        g = gcap if gcap is not None else C
+        tree, comb, alive, n_lost = _combined_tree(
+            fields, ghost_names, width_fp, ndev, g, nlevels, ncrit,
+            boxsize=par.boxsize, with_hmax=True)
+        order = tree.order
+        payload = {"ipos": tree.ipos_s, "mass": tree.mass_s}
+        for k in ghost_names[2:]:
+            payload[k] = comb[k][order]
+
+        targets = {
+            "ipos": fields["ipos"], "vel": fields["vel"],
+            "hsml": fields["hsml"], "mass": fields["mass"],
+            "density": fields["density"],
+            "egyrho": fields["egyrho"], "entvar": fields["entvar"],
+            "pressure": fields["pressure"], "f1": fields["f1"],
+            "dhsml": fields["dhsml"], "dloga": fields["dloga"],
+        }
+        extra = _hydro_extra(targets, par, C, tf)
+        t = C
+        nbl = nb
+        if nbl is None:
+            nbl = max(2 * ((t + block - 1) // block), 8)
+            nbl = 1 << (nbl - 1).bit_length()
+        level = auto_block_level(t, block)
+        carry0 = (jnp.zeros((t, 3), jnp.float32),
+                  jnp.zeros(t, jnp.float32),
+                  jnp.zeros(t, jnp.float32))
+        out, winfo = run_walk_blocked(
+            tree, payload, fields["ipos"], fields["hsml"], extra,
+            carry0, _hydro_accum_cached(spec, par.static_key()),
+            par.boxsize, symmetric=True, block=block, maxl=maxl,
+            ncrit=ncrit, level=level, nb=nbl)
+        width_len = jnp.float32(width_fp / 2.0 ** 32 * par.boxsize)
+        info = {
+            "halo_lost": n_lost,
+            "list_overflow": jax.lax.psum(
+                winfo["list_overflow"].astype(jnp.int32), "dp"),
+            "block_overflow": jax.lax.psum(
+                winfo["block_overflow"].astype(jnp.int32), "dp"),
+            "leaf_truncated": jax.lax.psum(
+                winfo["leaf_truncated"].astype(jnp.int32), "dp"),
+            "width_exceeded": jax.lax.psum(jnp.sum(
+                ((fields["mass"] > 0) & (fields["hsml"] > width_len))
+                .astype(jnp.int32)), "dp"),
+        }
+        return out, info
+
+    return jax.jit(one_pass)
+
+
+# pass-builder cache: rebuilding the shard_map closure per bisection
+# iteration would retrace every call
+_PASS_CACHE = {}
+
+
+def _cached_density_pass(mesh, boxsize, width, spec, nlv, ncrit,
+                         maxl):
+    key = ("dens", id(mesh), boxsize, width, spec, nlv, ncrit, maxl)
+    fn = _PASS_CACHE.get(key)
+    if fn is None:
+        fn = make_density_pass(mesh, boxsize, width, spec,
+                               nlevels=nlv, ncrit=ncrit, maxl=maxl)
+        _PASS_CACHE[key] = fn
+    return fn
+
+
+def density_slab(mesh, fields, hsml0, boxsize, spec: KernelSpec = CUBIC,
+                 eta: float = 1.0, ngb_deviation: float = 2.0,
+                 nlevels: int = 8, ncrit: int = 32,
+                 maxiter: int = 60):
+    """Adaptive-hsml density loop over slab-sharded gas
+    (do_hsml_loop over D devices).  fields: dict sharded over 'dp'
+    with ipos/mass/vel/entvar.  Returns (DensityResult, hsml, info).
+    """
+    from ..sph.density import HsmlState, update_hsml
+    from ..sph.kernels import desnumngb
+
+    des = float(desnumngb(spec, eta))
+    hsml = jnp.asarray(hsml0, jnp.float32)
+    t = hsml.shape[0]
+    # dead rows (capacity padding / non-gas) are done from the start
+    dead = np.asarray(fields["mass"]) <= 0
+    state = HsmlState(hsml=hsml, left=jnp.zeros(t, jnp.float32),
+                      right=jnp.full(t, boxsize, jnp.float32),
+                      done=jnp.asarray(dead))
+    hmax0 = float(np.max(np.where(dead, 0.0, np.asarray(hsml))))
+    # quantize the halo width to box/32 steps: a distinct width is a
+    # distinct compiled shard_map program, and hmax jitters run-to-run
+    w0 = int(3 * hmax0 / boxsize * 2 ** 32) + (1 << 12)
+    step = 1 << 27                      # box/32 in fixed point
+    caps = {"maxl": 128, "nlv": nlevels,
+            "width": ((w0 + step - 1) // step) * step}
+
+    def run(hsml):
+        while True:
+            fn = _cached_density_pass(
+                mesh, boxsize, caps["width"], spec, caps["nlv"],
+                ncrit, caps["maxl"])
+            res, info = fn(fields, hsml)
+            grew = False
+            if int(info["list_overflow"]):
+                caps["maxl"] *= 2
+                grew = True
+            if int(info["leaf_truncated"]):
+                caps["nlv"] = min(caps["nlv"] + 1, 20)
+                grew = True
+            if int(info["width_exceeded"]):
+                caps["width"] *= 2
+                grew = True
+            if not grew:
+                return res, info
+
+    res = info = None
+    for _ in range(maxiter):
+        res, info = run(state.hsml)
+        state = update_hsml(state, res.ngb, res.dhsml_rho, res.rho,
+                            des, ngb_deviation, boxsize)
+        if bool(jnp.all(state.done)):
+            break
+    res, info = run(state.hsml)
+    return res, state.hsml, info

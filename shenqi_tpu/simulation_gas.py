@@ -269,40 +269,63 @@ class GasPhysics:
             "egyrho": eom_dens, "entvar": entvar, "pressure": press,
             "f1": f1, "dhsml": gas.dhsml_egy, "dloga": dloga_tab,
         }
-        from .sph.hydro import hydro_walk_blocked
+        from .sph.hydro import hydro_walk_blocked, hydro_walk
         maxl = getattr(self, "_hydro_maxl", 64)
         nb = getattr(self, "_hydro_nb", None)
-        hblock = getattr(self, "_hydro_block", 64)
         while True:
             hres, hinfo = hydro_walk_blocked(
                 tree, payload_h, targets, par, self.kernel,
                 ncrit=sim.gravity.tree_ncrit, maxl=maxl, nb=nb,
-                block=hblock, tf=tf)
+                tf=tf)
             if bool(hinfo["leaf_truncated"]):
                 from .ops.treewalk import TreeTooShallow
                 raise TreeTooShallow(
                     "hydro: leaf > ncrit; rebuild a deeper octree")
             grew = False
             if bool(hinfo["list_overflow"]):
-                # bounded like density: past maxl 2048 the compiled
-                # walk exceeds HBM; halve the target blocks instead
                 if maxl < 2048:
                     maxl *= 2
-                elif hblock > 8:
-                    hblock //= 2
-                    nb = None
+                    grew = True
                 else:
-                    raise RuntimeError("hydro list cap overflow")
-                grew = True
+                    # overflow tail at the HBM-bounded cap: re-do just
+                    # those targets with the per-particle oracle (see
+                    # sph/density._oracle_patch)
+                    sel_all = np.nonzero(np.asarray(
+                        hinfo["target_overflow"]))[0]
+                    acc, dts, mvs = (hres.accel, hres.dt_entropy,
+                                     hres.max_signal_vel)
+                    for c0 in range(0, len(sel_all), 256):
+                        sel = sel_all[c0:c0 + 256]
+                        nov = len(sel)
+                        nbkt = max(16, 1 << (nov - 1).bit_length())
+                        sel_p = np.full(nbkt, ng, dtype=np.int64)
+                        sel_p[:nov] = sel
+                        selj = jnp.asarray(sel_p)
+                        gidx = jnp.minimum(selj, ng - 1)
+                        lane = jnp.asarray(np.arange(nbkt) < nov)
+                        tsub = {k: v[gidx] for k, v in
+                                targets.items()}
+                        tsub["hsml"] = jnp.where(lane,
+                                                 tsub["hsml"], 0.0)
+                        hs = hydro_walk(tree, payload_h, tsub,
+                                        par, self.kernel, tf=tf)
+                        acc = acc.at[selj].set(hs.accel,
+                                               mode="drop")
+                        dts = dts.at[selj].set(hs.dt_entropy,
+                                               mode="drop")
+                        mvs = mvs.at[selj].set(hs.max_signal_vel,
+                                               mode="drop")
+                    from .sph.hydro import HydroResult
+                    hres = HydroResult(accel=acc, dt_entropy=dts,
+                                       max_signal_vel=mvs)
             if bool(hinfo["block_overflow"]):
-                nb0 = nb or max(2 * ((ng + hblock - 1) // hblock), 8)
+                nb0 = nb or max(2 * ((ng + 63) // 64), 8)
                 nb = (1 << (nb0 - 1).bit_length()) * 2
                 grew = True
             if not grew:
                 break
         self._hydro_maxl = maxl
         self._hydro_nb = nb
-        self._hydro_block = hblock
         accel = jnp.where((gas_alive & ~decoupled)[:, None],
                           hres.accel, 0.0)
         dts = jnp.where(gas_alive & ~decoupled, hres.dt_entropy, 0.0)

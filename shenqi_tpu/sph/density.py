@@ -247,12 +247,38 @@ def density(tree: Octree, payload, target_ipos, target_vel,
     caps.setdefault("nb", None)
 
     # the interaction-list cap is bounded: compiling a walk beyond
-    # maxl~2048 at 256k targets exceeds the chip's HBM at COMPILE time
-    # (measured 17.5G/15.75G).  When a block still overflows at the
-    # cap, the target blocks are HALVED instead — smaller bboxes mean
-    # shorter lists at the same total work.
+    # maxl~2048 at 256k targets exceeds the chip's HBM at COMPILE
+    # time (measured 17.5G/15.75G), and shrinking blocks explodes the
+    # block count.  Targets whose block STILL overflows at the cap
+    # (void particles probing box-scale radii into dense regions) are
+    # re-done with the per-particle oracle walk — exactly the
+    # reference's per-particle cost model for exactly the pathological
+    # cases, while the 99.9% common case stays on the dense engine.
     MAXL_CAP = 2048
-    caps.setdefault("block", 64)
+
+    def _oracle_patch(res, t_ipos, t_vel, hsml, tovf):
+        sel_all = np.nonzero(np.asarray(tovf))[0]
+        tsub = t_ipos.shape[0]
+        out = list(res)
+        # the vmapped oracle stages a [targets, sources] slab on TPU:
+        # keep chunks small
+        OCH = 256
+        for c0 in range(0, len(sel_all), OCH):
+            sel = sel_all[c0:c0 + OCH]
+            nov = len(sel)
+            nbkt = max(16, 1 << (nov - 1).bit_length())
+            sel_p = np.full(nbkt, tsub, dtype=np.int64)
+            sel_p[:nov] = sel
+            selj = jnp.asarray(sel_p)
+            gidx = jnp.minimum(selj, tsub - 1)
+            lane = jnp.asarray(np.arange(nbkt) < nov)
+            sub = density_walk(tree, payload, t_ipos[gidx],
+                               t_vel[gidx],
+                               jnp.where(lane, hsml[gidx], 0.0),
+                               boxsize, spec)
+            for k in range(len(out)):
+                out[k] = out[k].at[selj].set(sub[k], mode="drop")
+        return DensityResult(*out)
 
     def walk(t_ipos, t_vel, hsml, nsub):
         if engine != "blocked":
@@ -262,8 +288,7 @@ def density(tree: Octree, payload, target_ipos, target_vel,
             res, info = density_walk_blocked(
                 tree, payload, t_ipos, t_vel, hsml,
                 boxsize, spec, ncrit=ncrit, maxl=caps["maxl"],
-                nb=caps.get(("nb", nsub, caps["block"])),
-                block=caps["block"])
+                nb=caps.get(("nb", nsub)))
             if bool(info["leaf_truncated"]):
                 from ..ops.treewalk import TreeTooShallow
                 raise TreeTooShallow(
@@ -272,17 +297,14 @@ def density(tree: Octree, payload, target_ipos, target_vel,
             if bool(info["list_overflow"]):
                 if caps["maxl"] < MAXL_CAP:
                     caps["maxl"] *= 2
-                elif caps["block"] > 8:
-                    caps["block"] //= 2
+                    grew = True
                 else:
-                    raise RuntimeError(
-                        "density list overflow at minimum block size")
-                grew = True
+                    res = _oracle_patch(res, t_ipos, t_vel, hsml,
+                                        info["target_overflow"])
             if bool(info["block_overflow"]):
-                key = ("nb", nsub, caps["block"])
+                key = ("nb", nsub)
                 nb0 = caps.get(key) or max(
-                    2 * ((nsub + caps["block"] - 1)
-                         // caps["block"]), 8)
+                    2 * ((nsub + 63) // 64), 8)
                 caps[key] = (1 << (nb0 - 1).bit_length()) * 2
                 grew = True
             if not grew:

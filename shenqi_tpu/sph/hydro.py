@@ -179,7 +179,7 @@ def _hydro_accum(spec: KernelSpec, par: HydroParams):
 
 @partial(jax.jit, static_argnames=("spec", "par"))
 def hydro_walk(tree: Octree, payload, targets, par: HydroParams,
-               spec: KernelSpec = CUBIC) -> HydroResult:
+               spec: KernelSpec = CUBIC, tf=None) -> HydroResult:
     """Hydro force walk.
 
     payload (tree-sorted): ipos, mass, hsml, vel, density, eomdensity,
@@ -191,7 +191,7 @@ def hydro_walk(tree: Octree, payload, targets, par: HydroParams,
     t = targets["ipos"].shape[0]
     carry0 = (jnp.zeros((t, 3), jnp.float32), jnp.zeros(t, jnp.float32),
               jnp.zeros(t, jnp.float32))
-    extra = _hydro_extra(targets, par, t)
+    extra = _hydro_extra(targets, par, t, tf)
     # symmetric walk: search radius is own hsml; node hmax covers j side
     out = run_walk(tree, payload, targets["ipos"], targets["hsml"],
                    extra, carry0,
@@ -199,7 +199,8 @@ def hydro_walk(tree: Octree, payload, targets, par: HydroParams,
                    par.boxsize, symmetric=True)
     acc, dts, maxvsig = out
     # entropy rate conversion (hydratree2.hpp:140)
-    dts = dts * GAMMA_MINUS1 / (par.hubble_a2 * jnp.maximum(
+    hub_a2 = (tf or {}).get("hubble_a2", par.hubble_a2)
+    dts = dts * GAMMA_MINUS1 / (hub_a2 * jnp.maximum(
         targets["density"], 1e-35) ** GAMMA_MINUS1)
     return HydroResult(accel=acc, dt_entropy=dts, max_signal_vel=maxvsig)
 
