@@ -91,7 +91,7 @@ def run_genic(paramfile: str, strict: bool = False) -> str:
 
     # neutrino particle species (genic/main.cpp:87-98,200-231):
     # thermal Fermi-Dirac velocities + DELTA_NU transfer displacements
-    ngrid_nu = ps.get_int("NGridNu")
+    ngrid_nu = ps.get_int("NgridNu")
     mnu_sum = sum(cp.MNu)
     omega_nu = cp.ONu.get_omega_nu(1.0) if mnu_sum > 0 else 0.0
     nufrac = 0.0

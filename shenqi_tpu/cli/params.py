@@ -254,11 +254,10 @@ def genic_params() -> ParameterSet:
     d("MNum", OPTIONAL, 0, "Neutrino mass 2")
     d("MNut", OPTIONAL, 0, "Neutrino mass 3")
     d("MWDM_therm", OPTIONAL, 0, "WDM thermal mass")
-    i("NgridNu", OPTIONAL, 0, "Neutrino particle grid")
-    d("Max_nuvel", OPTIONAL, 5000, "Max nu thermal velocity")
-    i("NGridNu", OPTIONAL, 0,
+    i("NgridNu", OPTIONAL, 0,
       "Neutrino particles per side (0 = no nu particles; "
-      "genic/params.cpp)")
+      "genic/params.cpp:159)")
+    d("Max_nuvel", OPTIONAL, 5000, "Max nu thermal velocity")
     i("MakeGlassGas", OPTIONAL, -1, "Glass gas pre-IC")
     i("MakeGlassCDM", OPTIONAL, 0, "Glass CDM pre-IC")
     d("UnitLength_in_cm", OPTIONAL, 3.085678e21, "kpc/h")

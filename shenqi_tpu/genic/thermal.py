@@ -50,6 +50,7 @@ class FermiDiracSampler:
 
     def __init__(self, v_amp: float, max_v: float = None):
         self.v_amp = v_amp
+        # full-range table (for nufrac: mass fraction below the cap)
         x = np.linspace(0, MAX_FERMI_DIRAC, self.NBINS)
         pdf = x * x / (np.exp(x) + 1)
         cdf = np.cumsum(pdf)
@@ -57,13 +58,24 @@ class FermiDiracSampler:
         self.x = x
         self.cdf = cdf
         self.max_v = max_v
+        # sampling table TRUNCATED at the cap (libgenic/thermal.cpp
+        # init_thermalvel builds the CDF only up to max_fd): particles
+        # sample the conditional distribution below max_v, rather than
+        # clamping — clamping would pile the excluded tail's mass at
+        # exactly the cap speed.
+        xcap = MAX_FERMI_DIRAC
+        if max_v is not None and v_amp > 0:
+            xcap = min(max_v / v_amp, MAX_FERMI_DIRAC)
+        xs = np.linspace(0, xcap, self.NBINS)
+        pdfs = xs * xs / (np.exp(xs) + 1)
+        cdfs = np.cumsum(pdfs)
+        cdfs /= cdfs[-1]
+        self._x_samp = xs
+        self._cdf_samp = cdfs
 
     def sample_speeds(self, rng: np.random.RandomState, n: int):
         u = rng.uniform(0, 1, n)
-        speeds = np.interp(u, self.cdf, self.x) * self.v_amp
-        if self.max_v is not None:
-            speeds = np.minimum(speeds, self.max_v)
-        return speeds
+        return np.interp(u, self._cdf_samp, self._x_samp) * self.v_amp
 
     def mean_speed(self) -> float:
         """<v> = v_amp * int x^3 f / int x^2 f = v_amp * 3.151..."""

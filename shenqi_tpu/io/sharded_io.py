@@ -11,6 +11,7 @@ memory is one group of shards, never the global state.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Dict
 
 import numpy as np
@@ -37,6 +38,10 @@ def save_snapshot_sharded(path: str, header: SnapshotHeader,
     slab order — a deterministic global order — so two writes of the
     same state are byte-identical, and reading back + sorting by ID
     reproduces the logical state exactly.
+
+    Velocity follows the header's UsePeculiarVelocity convention
+    (petaio.cpp:732-745 GTVelocity: vel/atime if peculiar, raw code
+    velocity otherwise).  The caller's header is not mutated.
     """
     ndev = mesh.devices.size
     ipos_s = _shard_hosts(fields["ipos"], mesh)
@@ -52,9 +57,10 @@ def save_snapshot_sharded(path: str, header: SnapshotHeader,
     bf = BigFile(path, create=True)
     hdr_tot = np.zeros(6, dtype=np.uint64)
     hdr_tot[ptype] = ntot
-    header.TotNumPart = hdr_tot
-    header.Time = atime
+    header = dataclasses.replace(header, TotNumPart=hdr_tot,
+                                 Time=atime)
     header.write(bf)
+    vfac = 1.0 / atime if header.UsePeculiarVelocity else 1.0
 
     specs = [("Position", "<f8", 3), ("Velocity", "<f4", 3),
              ("Mass", "<f4", 1), ("ID", "<u8", 1)]
@@ -74,7 +80,7 @@ def save_snapshot_sharded(path: str, header: SnapshotHeader,
                    * (boxsize / POS_SCALE))
             blks["Position"].write(off, pos.astype("<f8"))
             blks["Velocity"].write(
-                off, (vel_s[d][a] / atime).astype("<f4"))
+                off, (vel_s[d][a] * vfac).astype("<f4"))
             blks["Mass"].write(off, mass_s[d][a].astype("<f4"))
             blks["ID"].write(
                 off, (pid_s[d][a].astype(np.uint64) + 1))
@@ -85,28 +91,99 @@ def save_snapshot_sharded(path: str, header: SnapshotHeader,
 
 def load_snapshot_sharded(path: str, mesh, boxsize: float,
                           ptype: int = 1, capacity: int = None,
-                          block: int = 128):
+                          block: int = 128, chunk: int = 1 << 20):
     """Read a PART snapshot straight into slab-sharded fields.
 
-    Each device reads only the rows that fall in its slab (two-pass:
-    stream Position x-coords to bucket rows by owner slab, then read
-    the owned row ranges).  Returns (sharded fields dict, capacity).
+    Two-pass bounded-memory read: pass 1 streams Position x-coords in
+    `chunk`-row pieces to count rows per owner slab (fixing the
+    capacity); pass 2 builds ONE device's shard at a time (streaming
+    the file again, keeping only that slab's rows) and places it on
+    its device, assembling the global sharded arrays from the
+    per-device pieces.  Peak host memory is one chunk + one shard,
+    never the global state.  Returns (sharded fields dict, capacity).
     """
-    from ..parallel.domain import distribute_slabs
-    from ..core.particles import float_to_ipos
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    bf = BigFile(path)
-    pos = np.asarray(bf[f"{ptype}/Position"].read())
-    vel = np.asarray(bf[f"{ptype}/Velocity"].read())
-    mass = np.asarray(bf[f"{ptype}/Mass"].read())
-    ids = np.asarray(bf[f"{ptype}/ID"].read())
+    from ..core.particles import float_to_ipos
+    from ..ops.morton import morton_key
+    from .bigfile import BigFile as _BF
+
+    ndev = mesh.devices.size
+    bf = _BF(path)
     hdr = SnapshotHeader.read(bf)
     atime = float(hdr.Time)
-    fields = {
-        "ipos": np.asarray(float_to_ipos(pos % boxsize, boxsize)),
-        "vel": (vel * atime).astype(np.float32),
-        "mass": mass.astype(np.float32),
-        "pid": (ids - 1).astype(np.int32),
+    vfac = atime if hdr.UsePeculiarVelocity else 1.0
+    bpos = bf[f"{ptype}/Position"]
+    bvel = bf[f"{ptype}/Velocity"]
+    bmass = bf[f"{ptype}/Mass"]
+    bid = bf[f"{ptype}/ID"]
+    ntot = bpos.size
+
+    def dest_of(pos_chunk):
+        ip = np.asarray(float_to_ipos(pos_chunk % boxsize, boxsize))
+        l = int(np.log2(ndev))
+        d = (ip[:, 0] >> np.uint32(32 - l)).astype(np.int64) \
+            if l else np.zeros(len(ip), np.int64)
+        return ip, d
+
+    # ---- pass 1: per-slab counts ----
+    counts = np.zeros(ndev, np.int64)
+    for s0 in range(0, ntot, chunk):
+        c = min(chunk, ntot - s0)
+        _, d = dest_of(np.asarray(bpos.read(s0, c)))
+        counts += np.bincount(d, minlength=ndev)
+    if capacity is None:
+        capacity = int(counts.max())
+        capacity = ((capacity + block - 1) // block) * block
+        capacity = max(capacity, block)
+    if counts.max() > capacity:
+        raise ValueError(f"slab occupancy {counts.max()} exceeds "
+                         f"capacity {capacity}")
+
+    # ---- pass 2: one shard at a time ----
+    devices = list(mesh.devices.ravel())
+    shard_specs = {
+        "ipos": (np.uint32, (3,)),
+        "vel": (np.float32, (3,)),
+        "mass": (np.float32, ()),
+        "pid": (np.int32, ()),
     }
-    return distribute_slabs(mesh, fields, capacity=capacity,
-                            block=block)
+    per_dev = {name: [] for name in shard_specs}
+    for dev_i, dev in enumerate(devices):
+        bufs = {name: np.zeros((capacity,) + tail, dt)
+                for name, (dt, tail) in shard_specs.items()}
+        fill = 0
+        for s0 in range(0, ntot, chunk):
+            c = min(chunk, ntot - s0)
+            ip, d = dest_of(np.asarray(bpos.read(s0, c)))
+            sel = d == dev_i
+            k = int(sel.sum())
+            if not k:
+                continue
+            bufs["ipos"][fill:fill + k] = ip[sel]
+            bufs["vel"][fill:fill + k] = (
+                np.asarray(bvel.read(s0, c))[sel] * vfac)
+            bufs["mass"][fill:fill + k] = np.asarray(
+                bmass.read(s0, c)).reshape(-1)[sel]
+            bufs["pid"][fill:fill + k] = (
+                np.asarray(bid.read(s0, c)).reshape(-1)[sel]
+                .astype(np.int64) - 1)
+            fill += k
+        # local Morton sort of alive rows (octree block-quality
+        # invariant, matching distribute_slabs)
+        keys = np.asarray(morton_key(jnp.asarray(bufs["ipos"][:fill])))
+        order = np.argsort(keys, kind="stable")
+        for name in bufs:
+            bufs[name][:fill] = bufs[name][:fill][order]
+        for name in bufs:
+            per_dev[name].append(jax.device_put(bufs[name], dev))
+
+    out = {}
+    for name, (dt, tail) in shard_specs.items():
+        gshape = (ndev * capacity,) + tail
+        spec = P("dp", *([None] * len(tail)))
+        out[name] = jax.make_array_from_single_device_arrays(
+            gshape, NamedSharding(mesh, spec), per_dev[name])
+    return out, capacity

@@ -210,6 +210,10 @@ class DensityOutput:
     grad_rho: np.ndarray
     dt_hsml: np.ndarray
     niter: int
+    # targets whose bisection hit the hmax_allowed bracket ceiling
+    # (deviation from the reference's boxsize bracket, observable so
+    # void particles converging under-neighboured are not silent)
+    n_hmax_capped: int = 0
 
 
 def density(tree: Octree, payload, target_ipos, target_vel,
@@ -242,9 +246,8 @@ def density(tree: Octree, payload, target_ipos, target_vel,
                       right=jnp.full(t, hmax_allowed, jnp.float32),
                       done=jnp.zeros(t, bool))
     if caps is None:
-        caps = {"maxl": 64, "nb": None}
+        caps = {}
     caps.setdefault("maxl", 64)
-    caps.setdefault("nb", None)
 
     # the interaction-list cap is bounded: compiling a walk beyond
     # maxl~2048 at 256k targets exceeds the chip's HBM at COMPILE
@@ -377,13 +380,17 @@ def density(tree: Octree, payload, target_ipos, target_vel,
         dhsml_egy = dhsml_fac
         egy_wt_density = rho
 
+    n_capped = int(jnp.sum(hsml >= jnp.float32(hmax_allowed) * 0.999))
+    if n_capped:
+        print(f"density: {n_capped} targets at the hmax bracket "
+              f"ceiling {hmax_allowed:g} (may be under-neighboured)")
     return DensityOutput(
         hsml=hsml, numngb=res.ngb, density=res.rho,
         dhsml_density_factor=dhsml_fac,
         egy_wt_density=egy_wt_density,
         dhsml_egy_density_factor=dhsml_egy,
         div_vel=div_vel, curl_vel=curl_vel, grad_rho=res.grad_rho,
-        dt_hsml=dt_hsml, niter=it + 1)
+        dt_hsml=dt_hsml, niter=it + 1, n_hmax_capped=n_capped)
 
 
 def make_gas_payload(tree: Octree, vel, entvar, extra=None):

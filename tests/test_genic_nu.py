@@ -15,7 +15,7 @@ PARAM = """
 OutputDir = {out}/IC
 FileBase = IC
 Ngrid = 12
-NGridNu = 6
+NgridNu = 6
 BoxSize = 300000
 Omega0 = 0.288
 OmegaLambda = 0.712
