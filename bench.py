@@ -142,6 +142,9 @@ def bench_treepm(npart_side, nsteps, box=50000.0):
     maxi = int(os.environ.get("BENCH_MAXI", 1024))
     maxl = int(os.environ.get("BENCH_MAXL", 512))
     blk = int(os.environ.get("BENCH_BLOCK", 128))
+    # refined = sub-block MAC + packed source tables (round 3, the
+    # production schedule); 'blocked' runs the round-2 padded schedule
+    schedule = os.environ.get("SHENQI_SCHEDULE", "blocked")
 
     tier_cache, caps_cache = {}, {}
     # steady state uses the relative-acceleration MAC with the
@@ -150,6 +153,23 @@ def bench_treepm(npart_side, nsteps, box=50000.0):
     # with use_bh=1 + oldacc=0 benchmarks the worst-case opening
     sp_rel = sp._replace(use_bh=0)
 
+    def shortrange(tree, oldacc, params):
+        if schedule == "refined":
+            from shenqi_tpu.gravity.shortrange_refined import \
+                treegrav_refined
+            acc, _, _ = treegrav_refined(
+                tree, oldacc, params, None, n_targets=n, block=blk,
+                maxi=maxi, maxl=maxl, ncrit=32,
+                tier_cache=tier_cache, caps_cache=caps_cache,
+                want_pot=False)
+            return acc
+        acc, _, _ = treegrav_blocked(
+            tree, oldacc, params, None,
+            n_targets=n, block=blk, maxi=maxi, maxl=maxl, ncrit=32,
+            blocking="device", tier_cache=tier_cache,
+            caps_cache=caps_cache, want_pot=False)
+        return acc
+
     def step(ipos, vel, mass, oldacc, kick, drift):
         accel_pm, _, _ = pm_forces(ipos, mass, cfg,
                                    want_potential=False)
@@ -157,11 +177,7 @@ def bench_treepm(npart_side, nsteps, box=50000.0):
                             nlevels=nlevels, ncrit=32)
         # production path: device-side cell-anchored blocks, cached
         # tier caps — no host position transfer per step
-        acc_tree, _, _ = treegrav_blocked(
-            tree, oldacc, sp_rel, None,
-            n_targets=n, block=blk, maxi=maxi, maxl=maxl, ncrit=32,
-            blocking="device", tier_cache=tier_cache,
-            caps_cache=caps_cache, want_pot=False)
+        acc_tree = shortrange(tree, oldacc, sp_rel)
         accel = accel_pm + acc_tree
         oldacc = jnp.linalg.norm(accel, axis=-1) / jnp.float32(sp.G)
         vel = vel + accel * kick
@@ -175,11 +191,7 @@ def bench_treepm(npart_side, nsteps, box=50000.0):
     tree0 = build_octree(ipos, mass, mass > 0, box,
                          nlevels=nlevels, ncrit=32)
     acc0_pm, _, _ = pm_forces(ipos, mass, cfg, want_potential=False)
-    acc0_t, _, _ = treegrav_blocked(
-        tree0, jnp.zeros(n, jnp.float32), sp, None, n_targets=n,
-        block=blk, maxi=maxi, maxl=maxl, ncrit=32,
-        blocking="device", tier_cache=tier_cache,
-        caps_cache=caps_cache, want_pot=False)
+    acc0_t = shortrange(tree0, jnp.zeros(n, jnp.float32), sp)
     oldacc = jnp.linalg.norm(acc0_pm + acc0_t, axis=-1) \
         / jnp.float32(sp.G)
     ipos, vel, oldacc = step(ipos, vel, mass, oldacc, k, k)
@@ -229,7 +241,7 @@ def main():
     treepm_ps2 = _run_stage("treepm", stage_budget)
     if treepm_ps2 and (not treepm_ps or treepm_ps2 > treepm_ps):
         treepm_ps = treepm_ps2
-    engine = "xla"
+    engine = os.environ.get("SHENQI_SCHEDULE", "blocked")
     pm_ps = _run_stage("pm", stage_budget)
 
     if treepm_ps is None and pm_ps is None:

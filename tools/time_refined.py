@@ -1,0 +1,144 @@
+"""Time old blocked vs refined short-range engines on the TPU."""
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bench import _clustered
+from shenqi_tpu.gravity.pm import PMConfig, pm_forces
+from shenqi_tpu.gravity.shortrange import ShortRangeParams
+from shenqi_tpu.gravity.shortrange_blocked import treegrav_blocked
+from shenqi_tpu.gravity.shortrange_refined import treegrav_refined
+from shenqi_tpu.ops.tree import build_octree
+from shenqi_tpu.core.particles import float_to_ipos
+
+side = int(os.environ.get("INSTR_SIDE", 64))
+which = os.environ.get("WHICH", "both")
+sub = int(os.environ.get("SUB", 32))
+box = 50000.0
+pos = _clustered(side, box)
+n = len(pos)
+nmesh = 2 * side
+ipos = jnp.asarray(float_to_ipos(pos, box))
+mass = jnp.full(n, 1.0, jnp.float32)
+cellsize = box / nmesh
+cfg = PMConfig(nmesh=nmesh, boxsize=box, G=43007.1, asmth=1.5)
+sp = ShortRangeParams(boxsize=box, cellsize=cellsize,
+                      rcut=6 * cellsize, asmth=1.5, use_bh=1,
+                      softening=box / side / 30 * 2.8, G=43007.1)
+auto_lv = max(6, int(np.ceil(np.log(max(n, 8) / 16) / np.log(8))) + 3)
+nlevels = int(os.environ.get("BENCH_TREE_LEVELS", auto_lv))
+maxi = 1024
+maxl = 512
+print(f"n={n}", flush=True)
+
+tree = build_octree(ipos, mass, mass > 0, box, nlevels=nlevels,
+                    ncrit=32)
+accpm, _, _ = pm_forces(ipos, mass, cfg, want_potential=False)
+tc0, cc0 = {}, {}
+acc0, _, _ = treegrav_blocked(tree, jnp.zeros(n, jnp.float32), sp,
+                              None, n_targets=n, block=128, maxi=maxi,
+                              maxl=maxl, ncrit=32, blocking="device",
+                              tier_cache=tc0, caps_cache=cc0,
+                              want_pot=False)
+oldacc = jnp.linalg.norm(accpm + acc0, axis=-1) / jnp.float32(sp.G)
+jax.block_until_ready(oldacc)
+sp_rel = sp._replace(use_bh=0)
+
+
+def timeit(label, fn, reps=3):
+    out = fn()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{label:24s} {dt*1e3:10.1f} ms "
+          f"({n/dt:.3g} part/s)", flush=True)
+
+
+if which in ("both", "old"):
+    tc, cc = {}, {}
+    def old():
+        a, _, _ = treegrav_blocked(
+            tree, oldacc, sp_rel, None, n_targets=n, block=128,
+            maxi=maxi, maxl=maxl, ncrit=32, blocking="device",
+            tier_cache=tc, caps_cache=cc, want_pot=False)
+        return a
+    timeit("blocked (old)", old)
+
+if which in ("both", "refined"):
+    tc2, cc2 = {}, {}
+    def ref():
+        a, _, _ = treegrav_refined(
+            tree, oldacc, sp_rel, None, n_targets=n, block=128,
+            maxi=maxi, maxl=maxl, ncrit=32, sub=sub,
+            tier_cache=tc2, caps_cache=cc2, want_pot=False)
+        return a
+    timeit(f"refined sub={sub}", ref)
+    a_old, _, _ = treegrav_blocked(
+        tree, oldacc, sp_rel, None, n_targets=n, block=128,
+        maxi=maxi, maxl=maxl, ncrit=32, blocking="device",
+        tier_cache={}, caps_cache={}, want_pot=False)
+    a_new, _, _ = treegrav_refined(
+        tree, oldacc, sp_rel, None, n_targets=n, block=128,
+        maxi=maxi, maxl=maxl, ncrit=32, sub=sub,
+        tier_cache=tc2, caps_cache=cc2, want_pot=False)
+    d = np.linalg.norm(np.asarray(a_new) - np.asarray(a_old), axis=1)
+    s = np.median(np.linalg.norm(np.asarray(a_old), axis=1))
+    print(f"engine diff p50 {np.percentile(d/s,50):.2e} "
+          f"p99 {np.percentile(d/s,99):.2e} max {(d/s).max():.2e}",
+          flush=True)
+
+if which == "detail":
+    from shenqi_tpu.gravity.shortrange_refined import (
+        _blocks_traverse_count, _refined_eval, _next_pow2)
+    from shenqi_tpu.ops.blockwalk import auto_block_level
+    T = n
+    level = auto_block_level(T, 128)
+    nb = _next_pow2((T + 127) // 128 + max(T // 256, 1))
+    def trav():
+        return _blocks_traverse_count(
+            tree, oldacc, jnp.zeros(0, bool), sp_rel, T, 128, level,
+            nb, maxi, maxl, False, sub, 32)
+    out = trav(); jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = trav(); jax.block_until_ready(out)
+    print(f"traverse+count {(time.perf_counter()-t0)/3*1e3:.1f} ms",
+          flush=True)
+    tgt_idx, tgt_valid, lists, aold_rows, order_s, diag = out
+    d = [int(x) for x in np.asarray(diag)]
+    print("diag", d, flush=True)
+    nbs = nb * (128 // sub)
+    t2 = max(nbs // 8, 1)
+    s_max, s_small = d[4], d[5]
+    pcap_big = max(_next_pow2(s_max + 1), 128)
+    pcap_small = max(_next_pow2(s_small + 1), 128)
+    print(f"nbs={nbs} s_max={s_max} s_small={s_small} "
+          f"pcaps {pcap_small}/{pcap_big}", flush=True)
+    small_sel = jnp.sort(order_s[:nbs - t2])
+    big_sel = jnp.sort(order_s[nbs - t2:])
+    for name, selq, cap, ns in (("small", small_sel, pcap_small,
+                                 nbs - t2),
+                                ("big", big_sel, pcap_big, t2)):
+        def ev():
+            return _refined_eval(tree, lists, tgt_idx, tgt_valid,
+                                 aold_rows, selq, sp_rel, None, maxi,
+                                 maxl, 32, sub, cap, ns, 128,
+                                 want_pot=False)
+        o = ev(); jax.block_until_ready(o)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            o = ev(); jax.block_until_ready(o)
+        print(f"eval {name} (cap {cap}, {ns} subs) "
+              f"{(time.perf_counter()-t0)/3*1e3:.1f} ms", flush=True)
