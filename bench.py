@@ -152,19 +152,24 @@ def bench_treepm(npart_side, nsteps, box=50000.0):
     # the FIRST step, gravity/treepm.cpp use_bh semantics); measuring
     # with use_bh=1 + oldacc=0 benchmarks the worst-case opening
     sp_rel = sp._replace(use_bh=0)
+    # PM-calibrated Chebyshev window, like the production driver
+    # (pure FMA per pair vs erfc+exp for the exact form; also what
+    # the Pallas engine requires)
+    from shenqi_tpu.gravity.window import window_polynomials
+    wt = window_polynomials(sp.asmth)
 
     def shortrange(tree, oldacc, params):
         if schedule == "refined":
             from shenqi_tpu.gravity.shortrange_refined import \
                 treegrav_refined
             acc, _, _ = treegrav_refined(
-                tree, oldacc, params, None, n_targets=n, block=blk,
+                tree, oldacc, params, wt, n_targets=n, block=blk,
                 maxi=maxi, maxl=maxl, ncrit=32,
                 tier_cache=tier_cache, caps_cache=caps_cache,
                 want_pot=False)
             return acc
         acc, _, _ = treegrav_blocked(
-            tree, oldacc, params, None,
+            tree, oldacc, params, wt,
             n_targets=n, block=blk, maxi=maxi, maxl=maxl, ncrit=32,
             blocking="device", tier_cache=tier_cache,
             caps_cache=caps_cache, want_pot=False)

@@ -1,27 +1,45 @@
-"""Refined blocked short-range gravity: sub-block MAC + packed sources.
+"""Refined blocked short-range gravity: sub-block drop + packed sources.
 
 Round-3 redesign of the dense evaluation schedule, motivated by
-measurement (tools/instr_grav.py, 64^3 clustered, rel-acc MAC):
+measurement (tools/instr_grav.py + tools/ablate_refined.py, 64^3
+clustered, rel-acc MAC):
 
   * the conservative 128-target block MAC degenerates: nearly every
-    node within rcut opens all the way to leaves (n_nodes == 0), so
-    per-target cost is the ncrit-PADDED union leaf list — ~16.6k pair
-    slots vs ~2.5k real sources per block;
+    node within rcut opens all the way to leaves (n_nodes == 0 in
+    steady state), so per-target cost is the ncrit-PADDED union leaf
+    list — ~16.6k pair slots vs ~2.5k real sources per block;
   * ~41-55% of a block's union list lies beyond rcut of any given
-    32-target sub-block (the 128-target bbox over-reaches).
+    32-target sub-block (the 128-target bbox over-reaches);
+  * re-testing the rel-acc MAC per sub-block buys almost nothing more
+    (<=1% of listed leaves become sub-block monopoles), so the
+    re-test reduces to the beyond-rcut DROP test alone.
 
 This module re-tests each block's interaction lists at SUB-target
-granularity with the SAME opening criterion (strictly tighter bbox =>
-conservative), classifying every listed entry as
-    drop  (beyond rcut of the sub-block: zero short-range force),
-    mono  (sub-block accepts the cell as a monopole), or
-    p2p   (leaf particles interact directly),
-then packs the survivors — kept node monopoles (+) leaf monopoles (+)
-leaf particles — into ONE contiguous point-source table per sub-block
-(positions uint32 fixed point, exact periodic wrap-around; no ncrit
-padding).  The evaluation is a single dense masked pair pass
-[SUB x P] per sub-block: ~9-11x less pair work at accuracy >= the
-per-particle criterion (gravshort2.hpp:173-193 analog).
+granularity: entries whose cell lies beyond rcut of the sub-block's
+bbox are dropped (the short-range force is zero there — the traversal
+applies the same cut at block granularity, gravshort-tree rcut
+semantics); surviving leaf particles are packed into ONE contiguous
+point-source table per sub-block (positions uint32 fixed point, exact
+periodic wrap; no ncrit padding).  Listed leaves inside rcut always
+interact as direct P2P — at least as accurate as the per-particle
+opening criterion (gravshort2.hpp:173-193) that admitted them.
+Block-accepted node monopoles (first step / strict-BH only; empty in
+steady state) are evaluated in a separate dense pass.
+
+TPU scheduling notes (hard-won, from ablation):
+  * random 4-byte gathers run at ~0.4 GB/s on this chip: the packing
+    is ONE scatter-max of leaf boundaries + a cummax fill + ONE
+    16-byte-row gather from an interleaved [n,4] source table.  The
+    boundary value v = pstart[leaf] - excl[leaf] is nondecreasing
+    over kept leaves (leaves are emitted in Morton order, and pstart
+    grows by at least the packed count), so cummax reconstructs every
+    packed slot's source row as v + slot_index;
+  * keep masks are computed ONCE (in the traversal+count program,
+    where the classification geometry is gathered per block) and
+    shipped to the evaluator as bitmasks;
+  * the pair math uses a single rsqrt and otherwise pure FMA —
+    sqrt/divide run ~7x slower on the VPU and dominated the naive
+    form (spline 1/u^3 terms fold into rinv^3 exactly).
 
 Physics identical to shortrange.py: spline softening + short-range
 window on monopoles and particles alike.
@@ -36,23 +54,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.tree import Octree
-from ..ops.blockwalk import block_traverse, BlockLists, _bbox_dist
+from ..ops.blockwalk import block_traverse, BlockLists
 from ..core.particles import POS_SCALE
-from .shortrange import (ShortRangeParams, spline_force,
-                         short_range_window)
+from .shortrange import ShortRangeParams, PolyWindow, spline_force, \
+    short_range_window
 
 
 def _next_pow2(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length()
 
 
-def _sub_geometry(tgt_u32, tgt_valid, aold_rows, sub: int, box):
-    """Per-sub-block bbox + opening threshold.
+def _sub_bbox(tgt_u32, tgt_valid, sub: int, box):
+    """Per-sub-block bboxes.  tgt_u32 [B, block, 3] uint32.
 
-    tgt_u32 [B, block, 3] uint32, tgt_valid [B, block] bool,
-    aold_rows [B, block] f32 (= err_tol * oldacc per target row).
-    Returns lo, hi [B, nsub, 3] f32 (internal units), aold [B, nsub]
-    (min over valid lanes, BIG when empty), live [B, nsub] bool.
+    Returns lo, hi [B, nsub, 3] f32 (internal units), live [B, nsub].
     """
     B, block, _ = tgt_u32.shape
     nsub = block // sub
@@ -66,74 +81,31 @@ def _sub_geometry(tgt_u32, tgt_valid, aold_rows, sub: int, box):
     live = jnp.any(val, axis=2)
     lo = jnp.where(live[..., None], lo, 0.0)
     hi = jnp.where(live[..., None], hi, 0.0)
-    aold = jnp.min(jnp.where(val, aold_rows.reshape(B, nsub, sub),
-                             BIG), axis=2)
-    return lo, hi, aold, live
+    return lo, hi, live
 
 
-def _classify(tree: Octree, node_ids, n_nodes, leaf_ids, n_leaves,
-              lo, hi, aold, live, params: ShortRangeParams):
-    """Re-test block lists against each sub-block's bbox.
+def _keep_mask(tree: Octree, ids, n_valid, lo, hi, live, box, rcut2):
+    """Which listed cells survive the sub-block beyond-rcut drop.
 
-    node_ids [B, MI], leaf_ids [B, ML]; lo/hi/aold/live [B, ns(,3)].
-    Returns (node_keep [B, ns, MI], leaf_mono [B, ns, ML],
-    leaf_p2p [B, ns, ML]) — mutually exclusive by construction.
-
-    The tests mirror ops/blockwalk.block_traverse (gravity mode)
-    exactly; a sub-bbox is contained in its block bbox, so
-    open_sub => open_block: every p2p-classified leaf was already in
-    the list, and a mono-classified cell's monopole satisfies the MAC
-    for every target in the sub-block.
+    ids [B, M], lo/hi [B, ns, 3], live [B, ns] -> keep [B, ns, M].
+    Mirrors the traversal's discard test (box-to-box minimum-image
+    distance vs rcut) with the tighter sub-block bbox.
     """
-    box = params.boxsize
-    rcut2 = params.rcut * params.rcut
-    bh2 = params.bh_opening_angle ** 2
+    safe = jnp.maximum(ids, 0)
+    cen = tree.center[safe]                 # [B, M, 3]
+    length = tree.length[safe]              # [B, M]
+    nmass = jnp.where(ids >= 0, tree.mass[safe], 0.0)
+    lane = (jnp.arange(ids.shape[1])[None, :]
+            < n_valid[:, None]) & (nmass > 0)
 
-    def test(ids, n_valid, is_node):
-        safe = jnp.maximum(ids, 0)
-        cen = tree.center[safe]            # [B, M, 3]
-        length = tree.length[safe]         # [B, M]
-        cofm = tree.cofm[safe]
-        nmass = jnp.where(ids >= 0, tree.mass[safe], 0.0)
-        lane = (jnp.arange(ids.shape[1])[None, :]
-                < n_valid[:, None]) & (nmass > 0)
-
-        # [B, ns, M, 3] minimum-image bbox->point distances
-        c = 0.5 * (lo + hi)[:, :, None, :]
-        h = 0.5 * (hi - lo)[:, :, None, :]
-        d = cen[:, None, :, :] - c
-        d = d - box * jnp.round(d / box)
-        dbox = jnp.maximum(jnp.abs(d) - h, 0.0)
-        dcell = jnp.maximum(dbox - 0.5 * length[:, None, :, None],
-                            0.0)
-        drop = jnp.sum(dcell * dcell, axis=-1) > rcut2   # [B, ns, M]
-
-        dm = cofm[:, None, :, :] - c
-        dm = dm - box * jnp.round(dm / box)
-        dmin = jnp.maximum(jnp.abs(dm) - h, 0.0)
-        r2min = jnp.sum(dmin * dmin, axis=-1)
-
-        l2 = (length * length)[:, None, :]
-        open_acc = (params.use_bh == 0) & (
-            nmass[:, None, :] * l2
-            > jnp.maximum(r2min, 1e-35) ** 2 * aold[:, :, None])
-        open_bh = l2 > r2min * bh2
-        inside = jnp.all(dbox < 0.6 * length[:, None, :, None],
-                         axis=-1)
-        opn = (open_acc | open_bh | inside) & (~drop)
-
-        ok = lane[:, None, :] & live[:, :, None]
-        if is_node:
-            # block-accepted monopoles can only be kept or dropped:
-            # r2min grows for the tighter bbox, so they never re-open
-            return ok & (~drop)
-        mono = ok & (~drop) & (~opn)
-        p2p = ok & opn
-        return mono, p2p
-
-    node_keep = test(node_ids, n_nodes, True)
-    leaf_mono, leaf_p2p = test(leaf_ids, n_leaves, False)
-    return node_keep, leaf_mono, leaf_p2p
+    c = 0.5 * (lo + hi)[:, :, None, :]      # [B, ns, 1, 3]
+    h = 0.5 * (hi - lo)[:, :, None, :]
+    d = cen[:, None, :, :] - c
+    d = d - box * jnp.round(d / box)
+    dbox = jnp.maximum(jnp.abs(d) - h, 0.0)
+    dcell = jnp.maximum(dbox - 0.5 * length[:, None, :, None], 0.0)
+    drop = jnp.sum(dcell * dcell, axis=-1) > rcut2
+    return lane[:, None, :] & live[:, :, None] & (~drop)
 
 
 def _leaf_pcount(tree: Octree, leaf_ids, ncrit: int):
@@ -142,52 +114,130 @@ def _leaf_pcount(tree: Octree, leaf_ids, ncrit: int):
                        ncrit)
 
 
-def packed_counts(tree, lists: BlockLists, tgt_u32, tgt_valid,
-                  aold_rows, params, sub: int, ncrit: int,
-                  batch: int = 128):
-    """Total packed sources per sub-block: [nb, nsub] int32.
+def _pair_fac(r2, mass, h, cellsize, window_tables,
+              want_pot: bool):
+    """(force factor, potential factor) with ONE rsqrt and no divide.
 
-    Must agree exactly with the packing in _refined_eval (the host
-    sizes the static cap from these counts).  Batched over blocks to
-    bound the [batch, nsub, M] classification temporaries.
+    force = dx * fac.  Identical math to shortrange.spline_force +
+    short_range_window: the spline's 1/u^3 and 1/u terms are rewritten
+    exactly in rinv (h^-3 u^-3 == rinv^3, (h u)^-1 == rinv).
+    """
+    rinv = jnp.where(r2 > 0, jax.lax.rsqrt(r2), 0.0)
+    r = r2 * rinv
+    rinv3 = rinv * rinv * rinv
+    fac_n = mass * rinv3
+
+    hinv = 1.0 / h
+    h3i = hinv * hinv * hinv
+    u = r * hinv
+    fac_in = mass * h3i * (10.666666666667 + u * u * (32.0 * u - 38.4))
+    fac_out = (mass * h3i * (21.333333333333 - 48.0 * u
+                             + 38.4 * u * u
+                             - 10.666666666667 * u ** 3)
+               - 0.066666666667 * mass * rinv3)
+    soft = r2 < h * h
+    fac = jnp.where(soft, jnp.where(u < 0.5, fac_in, fac_out), fac_n)
+
+    if isinstance(window_tables, PolyWindow):
+        xmax, cf, cp = window_tables
+        x = r * (1.0 / cellsize)
+        t = jnp.clip(2.0 * (x / xmax) - 1.0, -1.0, 1.0)
+
+        def clenshaw(c):
+            b1 = jnp.zeros_like(t)
+            b2 = jnp.zeros_like(t)
+            for k in range(c.shape[0] - 1, 0, -1):
+                b1, b2 = c[k] + 2 * t * b1 - b2, b1
+            return c[0] + t * b1 - b2
+
+        inrange = x < xmax
+        fw = jnp.where(inrange, jnp.clip(clenshaw(cf), 0.0, 1.0), 0.0)
+        pw = jnp.where(inrange, jnp.clip(clenshaw(cp), 0.0, 1.0), 0.0) \
+            if want_pot else None
+    else:
+        fw, pw = short_range_window(r, cellsize, 1.5, window_tables) \
+            if window_tables is not None else (None, None)
+        if fw is None:
+            raise ValueError("erfc fallback needs asmth via "
+                             "short_range_window; pass tables")
+
+    if not want_pot:
+        return fac * fw, None
+    pot_n = -mass * rinv
+    wp_in = -2.8 + u * u * (5.333333333333 + u * u * (6.4 * u - 9.6))
+    wp_out = (-3.2 + u * u * (10.666666666667
+                              + u * (-16.0 + u * (9.6
+                                     - 2.133333333333 * u))))
+    pot_soft = mass * hinv * jnp.where(u < 0.5, wp_in, wp_out) \
+        + jnp.where(u < 0.5, 0.0, 0.066666666667 * mass * rinv)
+    facpot = jnp.where(soft, pot_soft, pot_n)
+    return fac * fw, facpot * pw
+
+
+def _pair_fac_any(r2, mass, params, window_tables, want_pot):
+    """Dispatch: fast FMA form for PolyWindow, reference form else."""
+    if isinstance(window_tables, PolyWindow):
+        return _pair_fac(r2, mass, params.softening, params.cellsize,
+                         window_tables, want_pot)
+    fac, facpot = spline_force(r2, mass, params.softening)
+    fw, pw = short_range_window(jnp.sqrt(r2), params.cellsize,
+                                params.asmth, window_tables)
+    return fac * fw, (facpot * pw if want_pot else None)
+
+
+def packed_counts(tree, lists: BlockLists, tgt_u32, tgt_valid,
+                  params, sub: int, ncrit: int, batch: int = 512):
+    """Per-sub-block packed-source counts + keep bitmasks.
+
+    Returns (counts [nb*nsub] int32, keepbits [nb*nsub, ML//32]
+    uint32).  Must agree exactly with the packing in _refined_eval
+    (the host sizes the static caps from these counts).  Batched over
+    blocks to bound the [batch, nsub, M] classification temporaries.
     """
     nb, block, _ = tgt_u32.shape
     nsub = block // sub
+    box = params.boxsize
+    rcut2 = params.rcut * params.rcut
+    ML = lists.leaf_ids.shape[1]
+    assert ML % 32 == 0
     bb = min(batch, nb)
     while nb % bb:
         bb //= 2
 
+    shifts = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+
     def one(args):
-        node_ids, n_nodes, leaf_ids, n_leaves, tgt, val, ao = args
-        lo, hi, aold, live = _sub_geometry(tgt, val, ao, sub,
-                                           params.boxsize)
-        nk, lm, lp = _classify(tree, node_ids, n_nodes, leaf_ids,
-                               n_leaves, lo, hi, aold, live, params)
+        leaf_ids, n_leaves, tgt, val = args
+        lo, hi, live = _sub_bbox(tgt, val, sub, box)
+        lk = _keep_mask(tree, leaf_ids, n_leaves, lo, hi, live, box,
+                        rcut2)                       # [bb, ns, ML]
         pc = _leaf_pcount(tree, leaf_ids, ncrit)     # [bb, ML]
-        return (jnp.sum(nk, axis=2) + jnp.sum(lm, axis=2)
-                + jnp.sum(jnp.where(lp, pc[:, None, :], 0), axis=2)
-                ).astype(jnp.int32)
+        counts = jnp.sum(
+            jnp.where(lk, pc[:, None, :], 0), axis=2).astype(jnp.int32)
+        bits = jnp.sum(
+            jnp.where(lk.reshape(bb, nsub, ML // 32, 32),
+                      shifts[None, None, None, :], jnp.uint32(0)),
+            axis=3, dtype=jnp.uint32)
+        return counts, bits
 
     nbatch = nb // bb
-    args = (lists.node_ids.reshape(nbatch, bb, -1),
-            lists.n_nodes.reshape(nbatch, bb),
-            lists.leaf_ids.reshape(nbatch, bb, -1),
+    args = (lists.leaf_ids.reshape(nbatch, bb, -1),
             lists.n_leaves.reshape(nbatch, bb),
             tgt_u32.reshape(nbatch, bb, block, 3),
-            tgt_valid.reshape(nbatch, bb, block),
-            aold_rows.reshape(nbatch, bb, block))
-    out = jax.lax.map(one, args)
-    return out.reshape(nb * nsub)
+            tgt_valid.reshape(nbatch, bb, block))
+    counts, bits = jax.lax.map(one, args)
+    return (counts.reshape(nb * nsub),
+            bits.reshape(nb * nsub, ML // 32))
 
 
-@partial(jax.jit, static_argnames=("params", "maxi", "maxl", "ncrit",
-                                   "sub", "pcap", "nsel", "block",
-                                   "batch", "want_pot"))
+@partial(jax.jit, static_argnames=("params", "ncrit", "sub", "pcap",
+                                   "nsel", "block", "batch",
+                                   "has_nodes", "want_pot"))
 def _refined_eval(tree: Octree, lists: BlockLists, tgt_idx, tgt_valid,
-                  aold_rows, sel, params: ShortRangeParams,
-                  window_tables, maxi: int, maxl: int, ncrit: int,
-                  sub: int, pcap: int, nsel: int, block: int,
-                  batch: int = 256, want_pot: bool = False):
+                  keepbits, sel, params: ShortRangeParams,
+                  window_tables, ncrit: int, sub: int, pcap: int,
+                  nsel: int, block: int, batch: int = 1024,
+                  has_nodes: bool = False, want_pot: bool = False):
     """Evaluate the selected sub-blocks with packed source tables.
 
     sel [nsel] int32: flat sub-block ids (b * nsub + s).
@@ -205,80 +255,81 @@ def _refined_eval(tree: Octree, lists: BlockLists, tgt_idx, tgt_valid,
     while nsel % bbs:
         bbs //= 2
     nbatch = nsel // bbs
+    n = tree.ipos_s.shape[0]
+    ML = lists.leaf_ids.shape[1]
 
-    cofm_u = jnp.clip(tree.cofm * jnp.float32(POS_SCALE / box),
-                      0.0, float(POS_SCALE) - 1.0).astype(jnp.uint32)
+    # interleaved [n+1, 4] source rows (pos bits ++ mass bits): ONE
+    # fat-row gather per packed slot instead of four 4-byte gathers.
+    # int32 carrier, NOT float: TPU canonicalizes NaN payloads and
+    # flushes denormals when raw bits masquerade as f32 (uint32
+    # positions near box/2 ARE NaN bit patterns — measured ~1% of
+    # particles corrupted when this table was f32)
+    inter = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(tree.ipos_s, jnp.int32),
+         jax.lax.bitcast_convert_type(tree.mass_s, jnp.int32)[:, None]],
+        axis=1)
+    inter = jnp.concatenate([inter, jnp.zeros((1, 4), jnp.int32)])
 
-    def eval_batch(sel_b):
-        b = sel_b // nsub                       # [bbs]
+    if has_nodes:
+        cofm_u = jnp.clip(tree.cofm * jnp.float32(POS_SCALE / box),
+                          0.0, float(POS_SCALE) - 1.0
+                          ).astype(jnp.uint32)
+
+    def pair_accum(tgt, spos, smass, acc, pot):
+        d = spos[:, None, :, :] - tgt[:, :, None, :]
+        dx = jax.lax.bitcast_convert_type(
+            d, jnp.int32).astype(jnp.float32) * to_f
+        r2 = jnp.sum(dx * dx, axis=-1)
+        ff, fp = _pair_fac_any(r2, smass[:, None, :], params,
+                               window_tables, want_pot)
+        acc = acc + jnp.sum(dx * ff[..., None], axis=2)
+        if want_pot:
+            pot = pot + jnp.sum(fp, axis=2)
+        return acc, pot
+
+    def eval_batch(args):
+        sel_b, kb = args                        # [bbs], [bbs, ML//32]
+        b = sel_b // nsub
         s = sel_b % nsub
-        node_ids = lists.node_ids[b]            # [bbs, MI]
-        n_nodes = lists.n_nodes[b]
         leaf_ids = lists.leaf_ids[b]            # [bbs, ML]
-        n_leaves = lists.n_leaves[b]
-        rows = (s[:, None] * sub
+        rows = (b[:, None] * block + s[:, None] * sub
                 + jnp.arange(sub, dtype=jnp.int32)[None, :])
-        tidx = tgt_idx[b[:, None], rows]        # [bbs, sub]
-        tval = tgt_valid[b[:, None], rows]
-        ao = aold_rows[b[:, None], rows]
+        tidx = tgt_idx.reshape(-1)[rows]        # [bbs, sub]
         tgt = tree.ipos_s[tidx]                 # [bbs, sub, 3] u32
 
-        lo, hi, aold, live = _sub_geometry(
-            tgt.reshape(bbs, 1 * sub, 3), tval, ao, sub, box)
-        nk, lm, lp = _classify(tree, node_ids, n_nodes, leaf_ids,
-                               n_leaves, lo, hi, aold, live, params)
-        nk = nk[:, 0, :]                        # nsub==1 per entry
-        lm = lm[:, 0, :]
-        lp = lp[:, 0, :]
+        # unpack keep bits -> [bbs, ML]
+        lk = (kb[:, :, None]
+              >> jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+              & jnp.uint32(1)).astype(bool).reshape(bbs, ML)
 
-        # ---- pack: nodes ++ leaf monopoles ++ leaf particles ----
-        # TPU scatters are slow, so packing is GATHER-ONLY: build the
-        # per-segment count vector (node cells: 1 entry, mono leaves:
-        # 1 entry, p2p leaves: pcount entries), then binary-search
-        # each packed slot into the inclusive prefix sum and gather
-        # its source.  Cost ~ log2(S) gathers per packed slot.
-        pc = _leaf_pcount(tree, leaf_ids, ncrit)     # [bbs, ML]
-        MI = node_ids.shape[1]
-        ML = leaf_ids.shape[1]
-        cnt = jnp.concatenate([
-            nk.astype(jnp.int32),
-            lm.astype(jnp.int32),
-            jnp.where(lp, pc, 0)], axis=1)            # [bbs, S]
-        S = MI + 2 * ML
-        cum = jnp.cumsum(cnt, axis=1)                 # inclusive
+        pc = _leaf_pcount(tree, leaf_ids, ncrit)
+        cnt = jnp.where(lk, pc, 0)
+        cum = jnp.cumsum(cnt, axis=1)
+        excl = cum - cnt
         total = cum[:, -1]
 
-        p = jnp.arange(pcap, dtype=jnp.int32)[None, :]  # [1, pcap]
-        rowi = jnp.arange(bbs)[:, None]
-        # searchsorted(cum, p, 'right'): first seg with cum > p
-        seg = jnp.zeros((bbs, pcap), jnp.int32)
-        step = 1 << (S - 1).bit_length()
-        while step:
-            cand = seg + step
-            cval = cum[rowi, jnp.minimum(cand, S) - 1]
-            seg = jnp.where((cand <= S) & (cval <= p), cand, seg)
-            step //= 2
-        segc = jnp.minimum(seg, S - 1)
-        excl = cum[rowi, segc] - cnt[rowi, segc]
-        j = p - excl                                  # within-segment
+        # scatter kept-leaf boundaries, cummax-fill the source map:
+        # slot p of the packed table reads row v(p) + p where v is the
+        # boundary value pstart - excl of the owning leaf
+        pst = tree.pstart[jnp.maximum(leaf_ids, 0)]
+        v = jnp.where(lk, pst - excl, 0)
+        dst = jnp.where(lk, jnp.minimum(excl, pcap), pcap)
+        flat = (jnp.arange(bbs, dtype=jnp.int32)[:, None]
+                * (pcap + 1) + dst)
+        buf = jnp.zeros(bbs * (pcap + 1), jnp.int32).at[
+            flat.reshape(-1)].max(v.reshape(-1),
+                                  mode="promise_in_bounds")
+        vf = jax.lax.cummax(buf.reshape(bbs, pcap + 1)[:, :pcap],
+                            axis=1)
+        p = jnp.arange(pcap, dtype=jnp.int32)[None, :]
         valid = p < total[:, None]
+        pidx = jnp.where(valid, jnp.minimum(vf + p, n - 1), n)
 
-        is_p2p = segc >= MI + ML
-        cell_id = jnp.where(is_p2p, 0,
-                            jnp.where(segc < MI,
-                                      node_ids[rowi, segc % MI],
-                                      leaf_ids[rowi, (segc - MI) % ML]))
-        cell_id = jnp.maximum(cell_id, 0)
-        leaf_id = jnp.maximum(
-            leaf_ids[rowi, (segc - MI - ML) % ML], 0)
-        n = tree.ipos_s.shape[0]
-        pidx = jnp.clip(tree.pstart[leaf_id] + j, 0, n - 1)
-
-        spos = jnp.where(is_p2p[..., None], tree.ipos_s[pidx],
-                         cofm_u[cell_id])
-        smass = jnp.where(valid,
-                          jnp.where(is_p2p, tree.mass_s[pidx],
-                                    tree.mass[cell_id]), 0.0)
+        srow = inter[pidx]                      # [bbs, pcap, 4] i32
+        spos = jax.lax.bitcast_convert_type(srow[:, :, :3],
+                                            jnp.uint32)
+        smass = jax.lax.bitcast_convert_type(srow[:, :, 3],
+                                             jnp.float32)
 
         # ---- dense pair pass [sub x pcap], chunked ----
         def chunk(carry, c):
@@ -287,28 +338,46 @@ def _refined_eval(tree: Octree, lists: BlockLists, tgt_idx, tgt_valid,
                                               axis=1)
             sm = jax.lax.dynamic_slice_in_dim(smass, c * PCH, PCH,
                                               axis=1)
-            # exact periodic separation in fixed point
-            d = sl[:, None, :, :] - tgt[:, :, None, :]
-            dx = jax.lax.bitcast_convert_type(
-                d, jnp.int32).astype(jnp.float32) * to_f
-            r2 = jnp.sum(dx * dx, axis=-1)
-            fac, facpot = spline_force(r2, sm[:, None, :],
-                                       params.softening)
-            r = jnp.sqrt(r2)
-            fw, pw = short_range_window(r, params.cellsize,
-                                        params.asmth, window_tables)
-            acc = acc + jnp.sum(dx * (fac * fw)[..., None], axis=2)
-            if want_pot:
-                pot = pot + jnp.sum(facpot * pw, axis=2)
+            acc, pot = pair_accum(tgt, sl, sm, acc, pot)
             return (acc, pot), None
 
         acc0 = jnp.zeros((bbs, sub, 3), jnp.float32)
         pot0 = jnp.zeros((bbs, sub), jnp.float32)
         (acc, pot), _ = jax.lax.scan(chunk, (acc0, pot0),
                                      jnp.arange(pcap // PCH))
+
+        if has_nodes:
+            # block-accepted monopoles (first step / strict BH):
+            # dense over the block's node list, no sub-drop — correct
+            # and rare, so simplicity over packing
+            node_ids = lists.node_ids[b]
+            MI = node_ids.shape[1]
+            nmask = (jnp.arange(MI)[None, :]
+                     < lists.n_nodes[b][:, None])
+            safe = jnp.maximum(node_ids, 0)
+            npos = cofm_u[safe]
+            nmass = jnp.where(nmask & (node_ids >= 0),
+                              tree.mass[safe], 0.0)
+            NCH = min(512, MI)
+            while MI % NCH:
+                NCH //= 2
+
+            def nchunk(carry, c):
+                acc, pot = carry
+                sl = jax.lax.dynamic_slice_in_dim(npos, c * NCH, NCH,
+                                                  axis=1)
+                sm = jax.lax.dynamic_slice_in_dim(nmass, c * NCH, NCH,
+                                                  axis=1)
+                acc, pot = pair_accum(tgt, sl, sm, acc, pot)
+                return (acc, pot), None
+
+            (acc, pot), _ = jax.lax.scan(nchunk, (acc, pot),
+                                         jnp.arange(MI // NCH))
         return acc, pot
 
-    acc, pot = jax.lax.map(eval_batch, sel.reshape(nbatch, bbs))
+    acc, pot = jax.lax.map(eval_batch,
+                           (sel.reshape(nbatch, bbs),
+                            keepbits[sel].reshape(nbatch, bbs, -1)))
     return (acc.reshape(nsel, sub, 3) * params.G,
             pot.reshape(nsel, sub) * params.G)
 
@@ -320,8 +389,8 @@ def _blocks_traverse_count(tree, oldacc, active, params, T, block,
                            level, nb, maxi, maxl, compact, sub,
                            ncrit):
     """One fused device program: target compaction, block assembly,
-    traversal, sub-block packed-source counts, tier order, and the
-    diagnostic scalars for the single host sync."""
+    traversal, sub-block keep masks + packed counts, tier order, and
+    the diagnostic scalars for the single host sync."""
     from ..ops.blockwalk import make_blocks_device
 
     n = tree.ipos_s.shape[0]
@@ -351,8 +420,8 @@ def _blocks_traverse_count(tree, oldacc, active, params, T, block,
         params.use_bh, maxi=maxi, maxl=maxl, mode="gravity")
 
     tgt_u32 = tree.ipos_s[tgt_idx.reshape(-1)].reshape(nb, block, 3)
-    counts = packed_counts(tree, lists, tgt_u32, tgt_valid,
-                           aold_rows, params, sub, ncrit)   # [nbs]
+    counts, keepbits = packed_counts(tree, lists, tgt_u32, tgt_valid,
+                                     params, sub, ncrit)
     nbs = counts.shape[0]
     order_s = jnp.argsort(counts)
     t2 = max(nbs // 8, 1)
@@ -363,7 +432,17 @@ def _blocks_traverse_count(tree, oldacc, active, params, T, block,
         jnp.any(lists.overflow).astype(jnp.int32),
         jnp.max(lists.n_nodes), jnp.max(lists.n_leaves),
         jnp.max(counts), s_small_max])
-    return tgt_idx, tgt_valid, lists, aold_rows, order_s, diag
+    return tgt_idx, tgt_valid, lists, keepbits, order_s, diag
+
+
+def _round_cap(x: int, align: int = 512) -> int:
+    """Static cap: next multiple of the dense-pass chunk (pow2 caps
+    overshoot up to 2x; the chunk multiple wastes < align slots)."""
+    if x <= 128:
+        return 128
+    if x <= 256:
+        return 256
+    return ((x + align - 1) // align) * align
 
 
 def treegrav_refined(tree: Octree, oldacc, params: ShortRangeParams,
@@ -382,7 +461,6 @@ def treegrav_refined(tree: Octree, oldacc, params: ShortRangeParams,
     docstring).  Returns (accel [N,3], pot [N], lists) in ORIGINAL
     particle order.
     """
-    from .shortrange_blocked import _next_pow2 as np2
     from ..ops.blockwalk import auto_block_level
 
     n = tree.ipos_s.shape[0]
@@ -392,13 +470,13 @@ def treegrav_refined(tree: Octree, oldacc, params: ShortRangeParams,
     nsub = block // sub
     compact = active is not None
     if compact:
-        T = min(np2(max(int(n_targets), block)), n)
+        T = min(_next_pow2(max(int(n_targets), block)), n)
         active = jnp.asarray(active)
     else:
         T = n
         active = jnp.zeros(0, bool)
     level = auto_block_level(T, block)
-    nb = np2((T + block - 1) // block + max(T // (2 * block), 1))
+    nb = _next_pow2((T + block - 1) // block + max(T // (2 * block), 1))
     if caps_cache is not None:
         maxi = max(maxi, caps_cache.get("maxi", 0))
         maxl = max(maxl, caps_cache.get("maxl", 0))
@@ -406,7 +484,7 @@ def treegrav_refined(tree: Octree, oldacc, params: ShortRangeParams,
         tier_cache = {}
 
     for attempt in range(2 * (auto_grow + 1)):
-        tgt_idx, tgt_valid, lists, aold_rows, order_s, diag = \
+        tgt_idx, tgt_valid, lists, keepbits, order_s, diag = \
             _blocks_traverse_count(tree, oldacc, active, params, T,
                                    block, level, nb, maxi, maxl,
                                    compact, sub, ncrit)
@@ -428,21 +506,18 @@ def treegrav_refined(tree: Octree, oldacc, params: ShortRangeParams,
             caps_cache["maxi"] = maxi
             caps_cache["maxl"] = maxl
 
-    if engine is None:
-        import os
-        engine = os.environ.get("SHENQI_REFINED_ENGINE", "rxla")
-
     # static packed caps from the exact device counts (grow-only
-    # cache -> bounded recompiles; PCH-aligned pow2)
+    # cache -> bounded recompiles)
     nbs = nb * nsub
     t2 = max(nbs // 8, 1)
-    need_big = max(np2(s_max + 1), 128)
-    need_small = max(np2(s_small + 1), 128)
+    need_big = _round_cap(s_max + 1)
+    need_small = _round_cap(s_small + 1)
     key = ("refined", nb, maxi, maxl, sub)
     cb, cs = tier_cache.get(key, (0, 0))
     pcap_big = max(cb, need_big)
     pcap_small = min(max(cs, need_small), pcap_big)
     tier_cache[key] = (pcap_big, pcap_small)
+    has_nodes = max_nn > 0
 
     small_sel = jnp.sort(order_s[:nbs - t2])
     big_sel = jnp.sort(order_s[nbs - t2:])
@@ -450,16 +525,16 @@ def treegrav_refined(tree: Octree, oldacc, params: ShortRangeParams,
     pot_bs = jnp.zeros((nbs, sub), jnp.float32)
     if nbs - t2 > 0:
         a1, p1 = _refined_eval(tree, lists, tgt_idx, tgt_valid,
-                               aold_rows, small_sel, params,
-                               window_tables, maxi, maxl, ncrit, sub,
-                               pcap_small, nbs - t2, block,
+                               keepbits, small_sel, params,
+                               window_tables, ncrit, sub, pcap_small,
+                               nbs - t2, block, has_nodes=has_nodes,
                                want_pot=want_pot)
         acc_bs = acc_bs.at[small_sel].set(a1)
         pot_bs = pot_bs.at[small_sel].set(p1)
-    a2, p2 = _refined_eval(tree, lists, tgt_idx, tgt_valid, aold_rows,
-                           big_sel, params, window_tables, maxi,
-                           maxl, ncrit, sub, pcap_big, t2,
-                           block, want_pot=want_pot)
+    a2, p2 = _refined_eval(tree, lists, tgt_idx, tgt_valid, keepbits,
+                           big_sel, params, window_tables, ncrit, sub,
+                           pcap_big, t2, block, has_nodes=has_nodes,
+                           want_pot=want_pot)
     acc_bs = acc_bs.at[big_sel].set(a2)
     pot_bs = pot_bs.at[big_sel].set(p2)
 

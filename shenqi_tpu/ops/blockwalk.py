@@ -71,14 +71,32 @@ def block_traverse(tree: Octree, bb_lo, bb_hi, block_radius, block_aold,
     block_radius: [B] neighbor-search radius (mode='neighbor').
     block_aold: [B] min over block of ErrTol*OldAcc (mode='gravity').
     """
+    # ONE interleaved node-row gather per walk step instead of six
+    # 4-byte gathers: random small gathers are the walk's unit cost
+    # on TPU (~0.4 GB/s), so row width is nearly free.  int32 carrier:
+    # raw bits masquerading as f32 get NaN-canonicalized / denormal-
+    # flushed on TPU (int ids ARE denormal patterns)
+    icast = partial(jax.lax.bitcast_convert_type,
+                    new_dtype=jnp.int32)
+    fcast = partial(jax.lax.bitcast_convert_type,
+                    new_dtype=jnp.float32)
+    cols = [icast(tree.center), icast(tree.length)[:, None],
+            icast(tree.cofm), icast(tree.mass)[:, None],
+            tree.child[:, None], tree.sibling[:, None]]
+    if mode != "gravity" and symmetric:
+        cols.append(icast(tree.hmax)[:, None])
+    inter = jnp.concatenate(cols, axis=1)
 
     def one_block(lo, hi, radius, aold):
         def body(state):
             no, nn, nl, nodes, leaves, ovf = state
-            cen = tree.center[no]
-            length = tree.length[no]
-            cofm = tree.cofm[no]
-            nmass = tree.mass[no]
+            row = inter[no]
+            cen = fcast(row[0:3])
+            length = fcast(row[3])
+            cofm = fcast(row[4:7])
+            nmass = fcast(row[7])
+            child_no = row[8]
+            sib_no = row[9]
 
             dbox = _bbox_dist(lo, hi, cen, boxsize)  # bbox -> cell center
             # distance from bbox to node cell (box-to-box)
@@ -106,13 +124,13 @@ def block_traverse(tree: Octree, bb_lo, bb_hi, block_radius, block_aold,
             else:
                 r = radius
                 if symmetric:
-                    r = jnp.maximum(radius, tree.hmax[no])
+                    r = jnp.maximum(radius, fcast(row[10]))
                 overlap = jnp.sum(dcell ** 2) < r * r
                 discard = ~overlap
                 open_node = overlap
                 accept = jnp.zeros((), bool)
 
-            is_leaf = tree.child[no] < 0
+            is_leaf = child_no < 0
             take_leaf = open_node & is_leaf
             descend = open_node & (~is_leaf)
 
@@ -127,8 +145,7 @@ def block_traverse(tree: Octree, bb_lo, bb_hi, block_radius, block_aold,
             nn = nn + accept.astype(jnp.int32)
             nl = nl + take_leaf.astype(jnp.int32)
 
-            no_next = jnp.where(descend, tree.child[no],
-                                tree.sibling[no])
+            no_next = jnp.where(descend, child_no, sib_no)
             return no_next, nn, nl, nodes, leaves, ovf
 
         init = (tree.root_child, jnp.int32(0), jnp.int32(0),

@@ -105,3 +105,27 @@ def test_refined_active_subset():
     assert np.percentile(err, 90) < 0.01
     # inactive rows get zero force
     assert np.all(acc_r[~active] == 0.0)
+
+
+def test_refined_polywindow_fast_math():
+    """The single-rsqrt FMA pair math (PolyWindow path) matches the
+    reference spline_force + window form used by the blocked engine."""
+    from shenqi_tpu.gravity.window import window_polynomials
+    tree, params, expected = _setup(600, 14, use_bh=1)
+    n = expected.shape[0]
+    oldacc = jnp.zeros(n, jnp.float32)
+    wt = window_polynomials(params.asmth)
+    acc_r, pot_r, _ = treegrav_refined(tree, oldacc, params, wt,
+                                       maxi=2048, maxl=1024, ncrit=8,
+                                       sub=32, want_pot=True)
+    acc_b, pot_b, _ = treegrav_blocked(tree, oldacc, params, wt,
+                                       maxi=2048, maxl=1024, ncrit=8,
+                                       blocking="device")
+    scale = np.median(np.linalg.norm(np.asarray(acc_b), axis=1))
+    d = np.linalg.norm(np.asarray(acc_r) - np.asarray(acc_b), axis=1)
+    # identical physics, tighter drop test: differences are fp-order
+    # plus genuinely-dropped beyond-rcut tails (window ~ 0 there)
+    assert np.percentile(d / scale, 99) < 2e-3
+    np.testing.assert_allclose(
+        np.asarray(pot_r), np.asarray(pot_b), rtol=1e-2,
+        atol=2e-3 * np.abs(np.asarray(pot_b)).max())

@@ -52,6 +52,9 @@ acc0, _, _ = treegrav_blocked(tree, jnp.zeros(n, jnp.float32), sp,
 oldacc = jnp.linalg.norm(accpm + acc0, axis=-1) / jnp.float32(sp.G)
 jax.block_until_ready(oldacc)
 sp_rel = sp._replace(use_bh=0)
+from shenqi_tpu.gravity.window import window_polynomials
+wt = window_polynomials(sp.asmth) if os.environ.get("WT", "1") != "0" \
+    else None
 
 
 def timeit(label, fn, reps=3):
@@ -70,7 +73,7 @@ if which in ("both", "old"):
     tc, cc = {}, {}
     def old():
         a, _, _ = treegrav_blocked(
-            tree, oldacc, sp_rel, None, n_targets=n, block=128,
+            tree, oldacc, sp_rel, wt, n_targets=n, block=128,
             maxi=maxi, maxl=maxl, ncrit=32, blocking="device",
             tier_cache=tc, caps_cache=cc, want_pot=False)
         return a
@@ -80,17 +83,17 @@ if which in ("both", "refined"):
     tc2, cc2 = {}, {}
     def ref():
         a, _, _ = treegrav_refined(
-            tree, oldacc, sp_rel, None, n_targets=n, block=128,
+            tree, oldacc, sp_rel, wt, n_targets=n, block=128,
             maxi=maxi, maxl=maxl, ncrit=32, sub=sub,
             tier_cache=tc2, caps_cache=cc2, want_pot=False)
         return a
     timeit(f"refined sub={sub}", ref)
     a_old, _, _ = treegrav_blocked(
-        tree, oldacc, sp_rel, None, n_targets=n, block=128,
+        tree, oldacc, sp_rel, wt, n_targets=n, block=128,
         maxi=maxi, maxl=maxl, ncrit=32, blocking="device",
         tier_cache={}, caps_cache={}, want_pot=False)
     a_new, _, _ = treegrav_refined(
-        tree, oldacc, sp_rel, None, n_targets=n, block=128,
+        tree, oldacc, sp_rel, wt, n_targets=n, block=128,
         maxi=maxi, maxl=maxl, ncrit=32, sub=sub,
         tier_cache=tc2, caps_cache=cc2, want_pot=False)
     d = np.linalg.norm(np.asarray(a_new) - np.asarray(a_old), axis=1)
@@ -116,14 +119,15 @@ if which == "detail":
         out = trav(); jax.block_until_ready(out)
     print(f"traverse+count {(time.perf_counter()-t0)/3*1e3:.1f} ms",
           flush=True)
-    tgt_idx, tgt_valid, lists, aold_rows, order_s, diag = out
+    tgt_idx, tgt_valid, lists, order_s, diag = out
     d = [int(x) for x in np.asarray(diag)]
     print("diag", d, flush=True)
     nbs = nb * (128 // sub)
     t2 = max(nbs // 8, 1)
     s_max, s_small = d[4], d[5]
-    pcap_big = max(_next_pow2(s_max + 1), 128)
-    pcap_small = max(_next_pow2(s_small + 1), 128)
+    from shenqi_tpu.gravity.shortrange_refined import _round_cap
+    pcap_big = _round_cap(s_max + 1)
+    pcap_small = _round_cap(s_small + 1)
     print(f"nbs={nbs} s_max={s_max} s_small={s_small} "
           f"pcaps {pcap_small}/{pcap_big}", flush=True)
     small_sel = jnp.sort(order_s[:nbs - t2])
@@ -133,8 +137,8 @@ if which == "detail":
                                 ("big", big_sel, pcap_big, t2)):
         def ev():
             return _refined_eval(tree, lists, tgt_idx, tgt_valid,
-                                 aold_rows, selq, sp_rel, None, maxi,
-                                 maxl, 32, sub, cap, ns, 128,
+                                 selq, sp_rel, wt, 32, sub, cap, ns,
+                                 128, has_nodes=d[2] > 0,
                                  want_pot=False)
         o = ev(); jax.block_until_ready(o)
         t0 = time.perf_counter()
