@@ -232,12 +232,13 @@ def packed_counts(tree, lists: BlockLists, tgt_u32, tgt_valid,
 
 @partial(jax.jit, static_argnames=("params", "ncrit", "sub", "pcap",
                                    "nsel", "block", "batch",
-                                   "has_nodes", "want_pot"))
+                                   "has_nodes", "want_pot", "engine"))
 def _refined_eval(tree: Octree, lists: BlockLists, tgt_idx, tgt_valid,
                   keepbits, sel, params: ShortRangeParams,
                   window_tables, ncrit: int, sub: int, pcap: int,
                   nsel: int, block: int, batch: int = 1024,
-                  has_nodes: bool = False, want_pot: bool = False):
+                  has_nodes: bool = False, want_pot: bool = False,
+                  engine: str = "xla"):
     """Evaluate the selected sub-blocks with packed source tables.
 
     sel [nsel] int32: flat sub-block ids (b * nsub + s).
@@ -331,20 +332,32 @@ def _refined_eval(tree: Octree, lists: BlockLists, tgt_idx, tgt_valid,
         smass = jax.lax.bitcast_convert_type(srow[:, :, 3],
                                              jnp.float32)
 
-        # ---- dense pair pass [sub x pcap], chunked ----
-        def chunk(carry, c):
-            acc, pot = carry
-            sl = jax.lax.dynamic_slice_in_dim(spos, c * PCH, PCH,
-                                              axis=1)
-            sm = jax.lax.dynamic_slice_in_dim(smass, c * PCH, PCH,
-                                              axis=1)
-            acc, pot = pair_accum(tgt, sl, sm, acc, pot)
-            return (acc, pot), None
+        if engine == "pallas":
+            # fused VMEM-resident pair kernel (G folded in at return)
+            from ..ops.pallas_p2p import p2p_blocked
+            import jax as _jax
+            acc, pot = p2p_blocked(
+                tgt, spos, smass, box, params.softening,
+                params.cellsize, window_tables, 1.0,
+                interpret=_jax.default_backend() != "tpu",
+                want_pot=want_pot, sch=min(512, pcap), blk=sub)
+            if pot is None:
+                pot = jnp.zeros((bbs, sub), jnp.float32)
+        else:
+            # ---- dense pair pass [sub x pcap], chunked ----
+            def chunk(carry, c):
+                acc, pot = carry
+                sl = jax.lax.dynamic_slice_in_dim(spos, c * PCH, PCH,
+                                                  axis=1)
+                sm = jax.lax.dynamic_slice_in_dim(smass, c * PCH, PCH,
+                                                  axis=1)
+                acc, pot = pair_accum(tgt, sl, sm, acc, pot)
+                return (acc, pot), None
 
-        acc0 = jnp.zeros((bbs, sub, 3), jnp.float32)
-        pot0 = jnp.zeros((bbs, sub), jnp.float32)
-        (acc, pot), _ = jax.lax.scan(chunk, (acc0, pot0),
-                                     jnp.arange(pcap // PCH))
+            acc0 = jnp.zeros((bbs, sub, 3), jnp.float32)
+            pot0 = jnp.zeros((bbs, sub), jnp.float32)
+            (acc, pot), _ = jax.lax.scan(chunk, (acc0, pot0),
+                                         jnp.arange(pcap // PCH))
 
         if has_nodes:
             # block-accepted monopoles (first step / strict BH):
@@ -382,12 +395,24 @@ def _refined_eval(tree: Octree, lists: BlockLists, tgt_idx, tgt_valid,
             pot.reshape(nsel, sub) * params.G)
 
 
+def _infer_nlevels(M: int, n: int) -> int:
+    """Recover the build nlevels from the node-array length (the node
+    layout is level-major with per-level caps min(8^l, n+1))."""
+    from ..ops.tree import _level_caps
+    for nl in range(1, 40):
+        if sum(_level_caps(n, nl, 1)) == M:
+            return nl
+    raise ValueError(f"node count {M} matches no nlevels for n={n}")
+
+
 @partial(jax.jit, static_argnames=("T", "block", "level", "nb",
                                    "maxi", "maxl", "compact", "sub",
-                                   "ncrit", "params"))
+                                   "ncrit", "params", "traversal",
+                                   "fcap", "nlevels"))
 def _blocks_traverse_count(tree, oldacc, active, params, T, block,
                            level, nb, maxi, maxl, compact, sub,
-                           ncrit):
+                           ncrit, traversal="walk", fcap=2048,
+                           nlevels=0):
     """One fused device program: target compaction, block assembly,
     traversal, sub-block keep masks + packed counts, tier order, and
     the diagnostic scalars for the single host sync."""
@@ -414,10 +439,20 @@ def _blocks_traverse_count(tree, oldacc, active, params, T, block,
         tgt_valid, params.err_tol_force_acc * oldacc_s[tgt_idx], BIG)
     block_aold = jnp.min(aold_rows, axis=1)
 
-    lists = block_traverse(
-        tree, bb_lo, bb_hi, jnp.zeros(nb, jnp.float32), block_aold,
-        params.boxsize, params.rcut, params.bh_opening_angle ** 2,
-        params.use_bh, maxi=maxi, maxl=maxl, mode="gravity")
+    if traversal == "bfs":
+        from ..ops.blockwalk import block_traverse_bfs
+        lists, f_ovf = block_traverse_bfs(
+            tree, bb_lo, bb_hi, jnp.zeros(nb, jnp.float32),
+            block_aold, params.boxsize, params.rcut,
+            params.bh_opening_angle ** 2, params.use_bh, maxi=maxi,
+            maxl=maxl, mode="gravity", fcap=fcap, nlevels=nlevels)
+    else:
+        lists = block_traverse(
+            tree, bb_lo, bb_hi, jnp.zeros(nb, jnp.float32),
+            block_aold, params.boxsize, params.rcut,
+            params.bh_opening_angle ** 2, params.use_bh, maxi=maxi,
+            maxl=maxl, mode="gravity")
+        f_ovf = jnp.zeros((), bool)
 
     tgt_u32 = tree.ipos_s[tgt_idx.reshape(-1)].reshape(nb, block, 3)
     counts, keepbits = packed_counts(tree, lists, tgt_u32, tgt_valid,
@@ -431,7 +466,7 @@ def _blocks_traverse_count(tree, oldacc, active, params, T, block,
         b_ovf.astype(jnp.int32),
         jnp.any(lists.overflow).astype(jnp.int32),
         jnp.max(lists.n_nodes), jnp.max(lists.n_leaves),
-        jnp.max(counts), s_small_max])
+        jnp.max(counts), s_small_max, f_ovf.astype(jnp.int32)])
     return tgt_idx, tgt_valid, lists, keepbits, order_s, diag
 
 
@@ -451,7 +486,8 @@ def treegrav_refined(tree: Octree, oldacc, params: ShortRangeParams,
                      maxl: int = 512, ncrit: int = 32, sub: int = 32,
                      auto_grow: int = 3, active=None,
                      tier_cache: dict = None, caps_cache: dict = None,
-                     want_pot: bool = False, engine: str = None):
+                     want_pot: bool = False, engine: str = None,
+                     traversal: str = None, fcap: int = 2048):
     """Short-range force via the refined packed schedule.
 
     Drop-in sibling of shortrange_blocked.treegrav_blocked
@@ -482,22 +518,34 @@ def treegrav_refined(tree: Octree, oldacc, params: ShortRangeParams,
         maxl = max(maxl, caps_cache.get("maxl", 0))
     if tier_cache is None:
         tier_cache = {}
+    if traversal is None:
+        import os
+        traversal = os.environ.get("SHENQI_TRAVERSAL", "walk")
+    nlv = _infer_nlevels(tree.center.shape[0], n) \
+        if traversal == "bfs" else 0
+    if caps_cache is not None:
+        fcap = max(fcap, caps_cache.get("fcap", 0))
 
     for attempt in range(2 * (auto_grow + 1)):
         tgt_idx, tgt_valid, lists, keepbits, order_s, diag = \
             _blocks_traverse_count(tree, oldacc, active, params, T,
                                    block, level, nb, maxi, maxl,
-                                   compact, sub, ncrit)
-        (b_ovf, w_ovf, max_nn, max_nl, s_max, s_small) = \
+                                   compact, sub, ncrit,
+                                   traversal=traversal, fcap=fcap,
+                                   nlevels=nlv)
+        (b_ovf, w_ovf, max_nn, max_nl, s_max, s_small, f_ovf) = \
             [int(x) for x in np.asarray(diag)]      # THE host sync
-        if not b_ovf and not w_ovf:
+        if not b_ovf and not w_ovf and not f_ovf:
             break
         if attempt == 2 * auto_grow + 1:
             raise RuntimeError(
                 f"refined block walk overflow: blocks={b_ovf} "
-                f"nodes {max_nn}/{maxi} leaves {max_nl}/{maxl}")
+                f"nodes {max_nn}/{maxi} leaves {max_nl}/{maxl} "
+                f"frontier={f_ovf}/{fcap}")
         if b_ovf:
             nb *= 2
+        if f_ovf:
+            fcap *= 2
         if max_nn >= maxi:
             maxi *= 2
         if max_nl >= maxl:
@@ -505,6 +553,7 @@ def treegrav_refined(tree: Octree, oldacc, params: ShortRangeParams,
         if caps_cache is not None:
             caps_cache["maxi"] = maxi
             caps_cache["maxl"] = maxl
+            caps_cache["fcap"] = fcap
 
     # static packed caps from the exact device counts (grow-only
     # cache -> bounded recompiles)
@@ -519,6 +568,17 @@ def treegrav_refined(tree: Octree, oldacc, params: ShortRangeParams,
     tier_cache[key] = (pcap_big, pcap_small)
     has_nodes = max_nn > 0
 
+    if engine is None:
+        import os
+        engine = os.environ.get("SHENQI_REFINED_ENGINE")
+    if engine is None:
+        # fused Pallas kernel on TPU when the Chebyshev window is
+        # available; XLA chunked pass otherwise (interpret mode is
+        # for tests only — far too slow to be a CPU default)
+        engine = "pallas" if (jax.default_backend() == "tpu"
+                              and isinstance(window_tables,
+                                             PolyWindow)) else "xla"
+
     small_sel = jnp.sort(order_s[:nbs - t2])
     big_sel = jnp.sort(order_s[nbs - t2:])
     acc_bs = jnp.zeros((nbs, sub, 3), jnp.float32)
@@ -528,13 +588,13 @@ def treegrav_refined(tree: Octree, oldacc, params: ShortRangeParams,
                                keepbits, small_sel, params,
                                window_tables, ncrit, sub, pcap_small,
                                nbs - t2, block, has_nodes=has_nodes,
-                               want_pot=want_pot)
+                               want_pot=want_pot, engine=engine)
         acc_bs = acc_bs.at[small_sel].set(a1)
         pot_bs = pot_bs.at[small_sel].set(p1)
     a2, p2 = _refined_eval(tree, lists, tgt_idx, tgt_valid, keepbits,
                            big_sel, params, window_tables, ncrit, sub,
                            pcap_big, t2, block, has_nodes=has_nodes,
-                           want_pot=want_pot)
+                           want_pot=want_pot, engine=engine)
     acc_bs = acc_bs.at[big_sel].set(a2)
     pot_bs = pot_bs.at[big_sel].set(p2)
 

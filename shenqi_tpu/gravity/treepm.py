@@ -33,9 +33,12 @@ class GravityConfig(NamedTuple):
     tree_ncrit: int = 32
     # 'exact': PM-calibrated window table; 'erfc': analytic
     window_type: str = "exact"
-    # 'blocked': production block engine (TPU-shaped); 'perparticle':
-    # reference-semantics vmapped walk (CPU/tests)
-    engine: str = "blocked"
+    # 'refined': production schedule (sub-block drop + packed source
+    # tables, shortrange_refined.py); 'blocked': round-2 padded block
+    # engine; 'perparticle': reference-semantics vmapped walk
+    # (CPU/tests)
+    engine: str = "refined"
+    refine_sub: int = 32
     block: int = 128
     maxi: int = 1024
     maxl: int = 512

@@ -338,3 +338,163 @@ def gather_leaf_sources(tree: Octree, leaf_ids, ncrit: int, payload):
     valid = valid.reshape(B, maxl * ncrit)
     src = jax.tree_util.tree_map(lambda a: a[idx], payload)
     return src, valid
+
+
+@partial(jax.jit, static_argnames=("maxi", "maxl", "mode", "symmetric",
+                                   "fcap", "start_level", "nlevels"))
+def block_traverse_bfs(tree: Octree, bb_lo, bb_hi, block_radius,
+                       block_aold, boxsize, rcut: float, bh2: float,
+                       use_bh: int, maxi: int = 1024,
+                       maxl: int = 1024, mode: str = "gravity",
+                       symmetric: bool = False, fcap: int = 2048,
+                       start_level: int = 2, nlevels: int = 20):
+    """Level-synchronous (frontier) form of block_traverse.
+
+    The sequential sibling walk visits one node per while-loop step —
+    ~10^3 dependent iterations per block, each a tiny gather: latency-
+    bound on TPU.  Here every block advances a whole LEVEL per step:
+    the frontier [B, F] is tested vectorized, descending nodes expand
+    to their children with the scatter-boundaries + cummax-fill
+    compaction (children of ascending parents are ascending contiguous
+    ranges, so v = child_start - excl is nondecreasing), and accepted
+    monopoles / opened leaves are scattered to the output lists at
+    running per-block offsets.  ~nlevels sequential steps total.
+
+    Emission order is level-major (NOT the DFS tree order): leaf lists
+    are sorted by node id afterwards so downstream consumers (the
+    refined evaluator's monotone-pstart packing) see Morton order.
+
+    Returns (BlockLists, frontier_overflow scalar bool).  Caller grows
+    `fcap` and retries on frontier overflow, like the list caps.
+    """
+    B = bb_lo.shape[0]
+    icast = partial(jax.lax.bitcast_convert_type, new_dtype=jnp.int32)
+    fcast = partial(jax.lax.bitcast_convert_type,
+                    new_dtype=jnp.float32)
+    # interleaved per-node row: center(3) len cofm(3) mass child
+    # nchild hmax pad -> 12 int32 columns
+    inter = jnp.concatenate(
+        [icast(tree.center), icast(tree.length)[:, None],
+         icast(tree.cofm), icast(tree.mass)[:, None],
+         tree.child[:, None], tree.nchild[:, None],
+         icast(tree.hmax)[:, None],
+         jnp.zeros((tree.center.shape[0], 1), jnp.int32)], axis=1)
+
+    c_bb = 0.5 * (bb_lo + bb_hi)              # [B, 3]
+    h_bb = 0.5 * (bb_hi - bb_lo)
+
+    # initial frontier: all level-`start_level` cells reachable from
+    # the root (their ids are contiguous by level-major construction)
+    from .tree import _level_caps
+    n = tree.ipos_s.shape[0]
+    caps = _level_caps(n, nlevels, 1)
+    off = int(np.concatenate([[0], np.cumsum(caps)])[start_level])
+    f0 = min(caps[start_level], fcap)
+    fr = (off + jnp.arange(f0, dtype=jnp.int32))[None, :].repeat(B, 0)
+    fr = jnp.where(tree.valid[jnp.maximum(fr, 0)] & (fr >= 0), fr, -1)
+
+    node_ids = jnp.full((B, maxi), -1, jnp.int32)
+    leaf_ids = jnp.full((B, maxl), -1, jnp.int32)
+    nn = jnp.zeros(B, jnp.int32)
+    nl = jnp.zeros(B, jnp.int32)
+    ovf = jnp.zeros((), bool)       # frontier overflow (grow fcap)
+    lovf = jnp.zeros((), bool)      # list overflow (grow maxi/maxl)
+    rowi = jnp.arange(B, dtype=jnp.int32)[:, None]
+
+    def emit(out, count, ids, mask, cap):
+        """Append masked ids (ascending within the level) to out."""
+        ecnt = mask.astype(jnp.int32)
+        excl = jnp.cumsum(ecnt, axis=1) - ecnt
+        dst = jnp.where(mask, count[:, None] + excl, cap)
+        dst = jnp.minimum(dst, cap)
+        flat = rowi * (cap + 1) + dst
+        buf = jnp.concatenate([out, jnp.full((B, 1), -1, jnp.int32)],
+                              axis=1)
+        buf = buf.reshape(-1).at[flat.reshape(-1)].set(
+            ids.reshape(-1), mode="promise_in_bounds")
+        new_count = count + jnp.sum(ecnt, axis=1)
+        over = jnp.any(new_count > cap)
+        return buf.reshape(B, cap + 1)[:, :cap], new_count, over
+
+    F = f0
+    for level in range(start_level, nlevels + 1):
+        row = inter[jnp.maximum(fr, 0)]        # [B, F, 12]
+        lane = fr >= 0
+        cen = fcast(row[:, :, 0:3])
+        length = fcast(row[:, :, 3])
+        cofm = fcast(row[:, :, 4:7])
+        nmass = fcast(row[:, :, 7])
+        child = row[:, :, 8]
+        nch = row[:, :, 9]
+        lane = lane & (nmass > 0)
+
+        d = cen - c_bb[:, None, :]
+        d = d - boxsize * jnp.round(d / boxsize)
+        dbox = jnp.maximum(jnp.abs(d) - h_bb[:, None, :], 0.0)
+        dcell = jnp.maximum(dbox - 0.5 * length[..., None], 0.0)
+
+        if mode == "gravity":
+            dm = cofm - c_bb[:, None, :]
+            dm = dm - boxsize * jnp.round(dm / boxsize)
+            dmin = jnp.maximum(jnp.abs(dm) - h_bb[:, None, :], 0.0)
+            r2min = jnp.sum(dmin * dmin, axis=-1)
+            discard = jnp.sum(dcell * dcell, axis=-1) > rcut * rcut
+            open_acc = (use_bh == 0) & (
+                nmass * length * length
+                > jnp.maximum(r2min, 1e-35) ** 2
+                * block_aold[:, None])
+            open_bh = length * length > r2min * bh2
+            inside = jnp.all(dbox < 0.6 * length[..., None], axis=-1)
+            open_node = (open_acc | open_bh | inside) & (~discard)
+            accept = lane & (~discard) & (~open_node)
+        else:
+            r = block_radius[:, None]
+            if symmetric:
+                r = jnp.maximum(r, fcast(row[:, :, 10]))
+            overlap = jnp.sum(dcell * dcell, axis=-1) < r * r
+            open_node = overlap
+            accept = jnp.zeros_like(lane) & False
+
+        is_leaf = child < 0
+        take_leaf = lane & open_node & is_leaf
+        descend = lane & open_node & (~is_leaf)
+
+        if mode == "gravity":
+            node_ids, nn, o1 = emit(node_ids, nn, fr, accept, maxi)
+            lovf = lovf | o1
+        leaf_ids, nl, o2 = emit(leaf_ids, nl, fr, take_leaf, maxl)
+        lovf = lovf | o2
+
+        if level == nlevels:
+            break
+        # expand: children of descending nodes -> next frontier
+        Fn = min(fcap, 8 * F)
+        cnt = jnp.where(descend, nch, 0)
+        cum = jnp.cumsum(cnt, axis=1)
+        excl = cum - cnt
+        total = cum[:, -1]
+        ovf = ovf | jnp.any(total > Fn)
+        v = jnp.where(cnt > 0, child - excl, 0)
+        dst = jnp.where(cnt > 0, jnp.minimum(excl, Fn), Fn)
+        flat = rowi * (Fn + 1) + dst
+        buf = jnp.zeros(B * (Fn + 1), jnp.int32).at[
+            flat.reshape(-1)].max(v.reshape(-1),
+                                  mode="promise_in_bounds")
+        vf = jax.lax.cummax(buf.reshape(B, Fn + 1)[:, :Fn], axis=1)
+        p = jnp.arange(Fn, dtype=jnp.int32)[None, :]
+        fr = jnp.where(p < total[:, None], vf + p, -1)
+        F = Fn
+
+    # the refined evaluator's cummax packing needs leaf lists in
+    # MORTON (pstart-monotone) order; level-major emission is not —
+    # sort each block's leaves by pstart (disjoint ranges, no ties).
+    # Node monopole order is irrelevant (pure sum), left as emitted.
+    pkey = jnp.where(leaf_ids >= 0,
+                     tree.pstart[jnp.maximum(leaf_ids, 0)],
+                     jnp.int32(2 ** 30))
+    _, leaf_ids = jax.lax.sort((pkey, leaf_ids), dimension=1,
+                               num_keys=1)
+    lists = BlockLists(node_ids=node_ids, n_nodes=nn,
+                       leaf_ids=leaf_ids, n_leaves=nl,
+                       overflow=jnp.zeros(B, bool) | lovf)
+    return lists, ovf

@@ -1,26 +1,35 @@
-"""Pallas TPU kernel for the short-range P2P dense evaluation.
+"""Pallas TPU kernel for the short-range packed dense evaluation.
 
-The XLA evaluation streams the gathered [nblocks, S] source tables
-through lax.scan with `where`-masked elementwise math — every
-intermediate ([batch, 128, chunk] separations, windows, spline
-factors) makes an HBM round trip between fused subgraphs.  This kernel
-fuses the ENTIRE pair interaction (minimum-image separation, spline
-softening, Chebyshev window, force/potential accumulation) into one
+The XLA evaluation streams the packed [nblocks, S] source tables
+through lax.scan with masked elementwise math — every intermediate
+([batch, blk, chunk] separations, windows, spline factors) makes an
+HBM round trip between fused subgraphs.  This kernel fuses the ENTIRE
+pair interaction (minimum-image separation, spline softening,
+Chebyshev window, force/potential accumulation) into one
 VMEM-resident program per target block, with Pallas auto-pipelining
 the per-block source tables HBM->VMEM across grid steps.
 
 Layouts obey the TPU (8,128) tiling rules:
-  targets   tx/ty/tz   [nb, 1, BLK]      (BLK = 128 lanes)
+  targets   tx/ty/tz   [nb, 1, BLK]       (targets on sublanes after
+                                            the in-kernel reshape)
   sources   sx/sy/sz/sm [nb, S//SCH, SCH] (SCH lanes per inner step)
   output    acc [nb, BLK, 3] f32, pot [nb, 8, BLK] (row 0 used)
+
+BLK is parametric: 128 for the round-2 padded schedule, 32 for the
+refined packed schedule's sub-blocks (a [32, 512] pair tile is 4x4
+native (8,128) tiles).
 
 Positions are uint32 fixed point: the periodic separation is the
 int32 reinterpretation of the uint32 difference (exact wraparound),
 computed per component to keep every array 2-D in the kernel.
 
+Pair math matches gravity.shortrange_refined._pair_fac: ONE rsqrt,
+otherwise pure FMA (sqrt/divide run ~7x slower on the VPU; the spline
+1/u^3 and 1/u terms fold exactly into rinv^3 and rinv).
+
 `want_pot=False` (the production per-step path — the tree potential
 is only consumed by energy statistics) skips the potential window
-polynomial and accumulation entirely, ~40% of the pair FLOPs.
+polynomial and accumulation entirely.
 """
 
 from __future__ import annotations
@@ -35,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.particles import POS_SCALE
 
-BLK = 128            # targets per block
+BLK = 128            # default targets per block
 SCH = 512            # source lanes per inner step
 
 
@@ -47,7 +56,7 @@ def _clenshaw(t, coeffs):
     return coeffs[0] + t * b1 - b2
 
 
-def _make_kernel(want_pot: bool, sch: int):
+def _make_kernel(want_pot: bool, sch: int, blk: int):
     def kernel(scal_ref, cfw_ref, cpw_ref,
                tx_ref, ty_ref, tz_ref,
                sx_ref, sy_ref, sz_ref, sm_ref,
@@ -61,9 +70,12 @@ def _make_kernel(want_pot: bool, sch: int):
         cfw = [cfw_ref[i] for i in range(cfw_ref.shape[0])]
         cpw = [cpw_ref[i] for i in range(cpw_ref.shape[0])]
 
-        tx = tx_ref[0, 0, :].reshape(BLK, 1)     # u32 [BLK,1]
-        ty = ty_ref[0, 0, :].reshape(BLK, 1)
-        tz = tz_ref[0, 0, :].reshape(BLK, 1)
+        tx = tx_ref[0, 0, :].reshape(blk, 1)     # u32 [blk,1]
+        ty = ty_ref[0, 0, :].reshape(blk, 1)
+        tz = tz_ref[0, 0, :].reshape(blk, 1)
+
+        hinv = 1.0 / soft
+        h3i = hinv * hinv * hinv
 
         def body(s, carry):
             ax, ay, az, pot = carry
@@ -73,7 +85,7 @@ def _make_kernel(want_pot: bool, sch: int):
             m = sm_ref[0, s, :].reshape(1, sch)
 
             def sep(a, b):
-                d = a - b                          # u32 wrap [BLK,sch]
+                d = a - b                          # u32 wrap [blk,sch]
                 return pltpu.bitcast(d, jnp.int32).astype(jnp.float32) \
                     * to_f
 
@@ -81,16 +93,17 @@ def _make_kernel(want_pot: bool, sch: int):
             dy = sep(sy, ty)
             dz = sep(sz, tz)
             r2 = dx * dx + dy * dy + dz * dz
-            r = jnp.sqrt(r2)
-            rinv = jnp.where(r > 0, 1.0 / jnp.maximum(r, 1e-35), 0.0)
-            fac_n = m * rinv * rinv * rinv
-            u = r / soft
-            h3i = 1.0 / (soft * soft * soft)
-            fin = m * h3i * (10.666666666667 + u * u * (32.0 * u - 38.4))
-            us = jnp.maximum(u, 1e-10)
-            fout = m * h3i * (21.333333333333 - 48.0 * u + 38.4 * u * u
-                              - 10.666666666667 * u ** 3
-                              - 0.066666666667 / us ** 3)
+            rinv = jnp.where(r2 > 0, jax.lax.rsqrt(r2), 0.0)
+            r = r2 * rinv
+            rinv3 = rinv * rinv * rinv
+            fac_n = m * rinv3
+            u = r * hinv
+            fin = m * h3i * (10.666666666667
+                             + u * u * (32.0 * u - 38.4))
+            fout = (m * h3i * (21.333333333333 - 48.0 * u
+                               + 38.4 * u * u
+                               - 10.666666666667 * u ** 3)
+                    - 0.066666666667 * m * rinv3)
             insoft = r2 < soft * soft
             fac = jnp.where(insoft, jnp.where(u < 0.5, fin, fout),
                             fac_n)
@@ -107,19 +120,22 @@ def _make_kernel(want_pot: bool, sch: int):
                 pot_n = -m * rinv
                 wpi = -2.8 + u * u * (5.333333333333
                                       + u * u * (6.4 * u - 9.6))
-                wpo = (-3.2 + 0.066666666667 / us
-                       + u * u * (10.666666666667
-                                  + u * (-16.0 + u * (9.6
-                                         - 2.133333333333 * u))))
-                fpot = jnp.where(insoft, (m / soft)
-                                 * jnp.where(u < 0.5, wpi, wpo), pot_n)
+                wpo = (-3.2 + u * u * (10.666666666667
+                                       + u * (-16.0 + u * (9.6
+                                              - 2.133333333333 * u))))
+                fpot = jnp.where(
+                    insoft,
+                    m * hinv * jnp.where(u < 0.5, wpi, wpo)
+                    + jnp.where(u < 0.5, 0.0,
+                                0.066666666667 * m * rinv),
+                    pot_n)
                 pw = jnp.where(inrange,
                                jnp.clip(_clenshaw(t, cpw), 0.0, 1.0),
                                0.0)
                 pot = pot + jnp.sum(fpot * pw, axis=1, keepdims=True)
             return ax, ay, az, pot
 
-        z = jnp.zeros((BLK, 1), jnp.float32)
+        z = jnp.zeros((blk, 1), jnp.float32)
         ax, ay, az, pot = jax.lax.fori_loop(0, nrows, body,
                                             (z, z, z, z))
         acc_ref = out_refs[0]
@@ -133,16 +149,16 @@ def _make_kernel(want_pot: bool, sch: int):
 
 @partial(jax.jit, static_argnames=("boxsize", "softening", "cellsize",
                                    "G", "interpret", "want_pot",
-                                   "sch"))
+                                   "sch", "blk"))
 def p2p_blocked(tgt_ipos, src_ipos, src_mass, boxsize, softening,
                 cellsize, window, G, interpret=False,
-                want_pot=True, sch=SCH):
-    """Fused P2P over pre-gathered per-block source tables.
+                want_pot=True, sch=SCH, blk=BLK):
+    """Fused P2P over pre-gathered/packed per-block source tables.
 
-    tgt_ipos [nb, BLK, 3] uint32; src_ipos [nb, S, 3] uint32 with
+    tgt_ipos [nb, blk, 3] uint32; src_ipos [nb, S, 3] uint32 with
     S % sch == 0; src_mass [nb, S] f32 (zero for masked lanes).
     window: gravity.shortrange.PolyWindow.
-    Returns (acc [nb, BLK, 3], pot [nb, BLK] or None), G-multiplied.
+    Returns (acc [nb, blk, 3], pot [nb, blk] or None), G-multiplied.
     """
     nb, S = src_mass.shape
     assert S % sch == 0, (S, sch)
@@ -155,26 +171,26 @@ def p2p_blocked(tgt_ipos, src_ipos, src_mass, boxsize, softening,
     scal = jnp.stack([jnp.float32(boxsize / float(POS_SCALE)),
                       jnp.float32(softening), inv_cellxmax,
                       jnp.float32(G)])
-    tx = tgt_ipos[:, :, 0].reshape(nb, 1, BLK)
-    ty = tgt_ipos[:, :, 1].reshape(nb, 1, BLK)
-    tz = tgt_ipos[:, :, 2].reshape(nb, 1, BLK)
+    tx = tgt_ipos[:, :, 0].reshape(nb, 1, blk)
+    ty = tgt_ipos[:, :, 1].reshape(nb, 1, blk)
+    tz = tgt_ipos[:, :, 2].reshape(nb, 1, blk)
     sx = src_ipos[:, :, 0].reshape(nb, nrows, sch)
     sy = src_ipos[:, :, 1].reshape(nb, nrows, sch)
     sz = src_ipos[:, :, 2].reshape(nb, nrows, sch)
     sm = src_mass.reshape(nb, nrows, sch)
 
-    tspec = pl.BlockSpec((1, 1, BLK), lambda b, *_: (b, 0, 0),
+    tspec = pl.BlockSpec((1, 1, blk), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec((1, nrows, sch), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM)
-    out_specs = [pl.BlockSpec((1, BLK, 3), lambda b, *_: (b, 0, 0),
+    out_specs = [pl.BlockSpec((1, blk, 3), lambda b, *_: (b, 0, 0),
                               memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((nb, BLK, 3), jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct((nb, blk, 3), jnp.float32)]
     if want_pot:
-        out_specs.append(pl.BlockSpec((1, 8, BLK),
+        out_specs.append(pl.BlockSpec((1, 8, blk),
                                       lambda b, *_: (b, 0, 0),
                                       memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((nb, 8, BLK),
+        out_shape.append(jax.ShapeDtypeStruct((nb, 8, blk),
                                               jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -184,7 +200,7 @@ def p2p_blocked(tgt_ipos, src_ipos, src_mass, boxsize, softening,
         out_specs=tuple(out_specs),
     )
     out = pl.pallas_call(
-        _make_kernel(want_pot, sch),
+        _make_kernel(want_pot, sch, blk),
         grid_spec=grid_spec,
         out_shape=tuple(out_shape),
         interpret=interpret,

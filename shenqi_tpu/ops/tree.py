@@ -52,6 +52,7 @@ class Octree:
     pcount: jax.Array      # [M] i32
     # topology
     child: jax.Array       # [M] i32 first child node id (-1 if leaf)
+    nchild: jax.Array      # [M] i32 child count (children contiguous)
     sibling: jax.Array     # [M] i32 next node when skipping subtree (-1 end)
     is_leaf: jax.Array     # [M] bool (pcount <= ncrit or max depth)
     valid: jax.Array       # [M] bool (occupied cell)
@@ -190,6 +191,7 @@ def build_octree(ipos, mass, alive, boxsize, nlevels: int = 8,
     # construction.  child_start = first level-(l+1) segment whose parent
     # is this cell; nchild via segment_sum over parents.
     child = jnp.full(M, -1, jnp.int32)
+    nchild = jnp.zeros(M, jnp.int32)
     sibling = jnp.full(M, -1, jnp.int32)
 
     for l in range(nlevels):
@@ -202,6 +204,10 @@ def build_octree(ipos, mass, alive, boxsize, nlevels: int = 8,
         has_child = cstart < ncap
         child = child.at[offsets[l]:offsets[l + 1]].set(
             jnp.where(has_child, cstart + offsets[l + 1], -1))
+        ccount = jax.ops.segment_sum(jnp.ones(ncap, jnp.int32),
+                                     pl_safe, num_segments=cap + 1)
+        nchild = nchild.at[offsets[l]:offsets[l + 1]].set(
+            jnp.where(has_child, ccount[:cap], 0))
 
     # sibling ("next") pointers, computed top-down:
     # within a level, node i's sibling is i+1 if it shares the parent,
@@ -224,11 +230,12 @@ def build_octree(ipos, mass, alive, boxsize, nlevels: int = 8,
 
     # nodes below a leaf are unreachable; also mark leaf nodes childless
     child = jnp.where(is_leaf, -1, child)
+    nchild = jnp.where(is_leaf, 0, nchild)
 
     root_child = child[0]
 
     return Octree(center=center, length=length, cofm=cofm, mass=massn,
                   hmax=hmax, pstart=pstart, pcount=pcount, child=child,
-                  sibling=sibling, is_leaf=is_leaf, valid=validn,
-                  order=order, ipos_s=ipos_s, mass_s=mass_s,
-                  root_child=root_child)
+                  nchild=nchild, sibling=sibling, is_leaf=is_leaf,
+                  valid=validn, order=order, ipos_s=ipos_s,
+                  mass_s=mass_s, root_child=root_child)

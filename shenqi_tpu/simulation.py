@@ -333,7 +333,16 @@ class Simulation:
                             nlevels=self.gravity.tree_nlevels,
                             ncrit=self.gravity.tree_ncrit)
         sp = self.gravity.short(use_bh=1 if first_step else None)
-        if self.gravity.engine == "blocked":
+        if self.gravity.engine == "refined":
+            from .gravity.shortrange_refined import treegrav_refined
+            acc, pot, _ = treegrav_refined(
+                tree, p.old_acc, sp, self.window_tables,
+                block=self.gravity.block, sub=self.gravity.refine_sub,
+                maxi=self.gravity.maxi, maxl=self.gravity.maxl,
+                ncrit=self.gravity.tree_ncrit,
+                tier_cache=self._tier_cache,
+                caps_cache=self._caps_cache, want_pot=False)
+        elif self.gravity.engine == "blocked":
             # production path: dead rows sort to the tail (their
             # Morton key is the sentinel), so walking the first
             # n_alive sorted rows covers exactly the live set
@@ -378,7 +387,19 @@ class Simulation:
                             nlevels=self.gravity.tree_nlevels,
                             ncrit=self.gravity.tree_ncrit)
         sp = self.gravity.short()
-        if self.gravity.engine == "blocked":
+        if self.gravity.engine == "refined":
+            from .gravity.shortrange_refined import treegrav_refined
+            if n_act is None:
+                n_act = int(np.asarray(sel).sum())
+            acc, _, _ = treegrav_refined(
+                tree, p.old_acc, sp, self.window_tables,
+                n_targets=max(n_act, 1), block=self.gravity.block,
+                sub=self.gravity.refine_sub,
+                maxi=self.gravity.maxi, maxl=self.gravity.maxl,
+                ncrit=self.gravity.tree_ncrit,
+                active=selj, tier_cache=self._tier_cache,
+                caps_cache=self._caps_cache, want_pot=False)
+        elif self.gravity.engine == "blocked":
             from .gravity.shortrange_blocked import treegrav_blocked
             if n_act is None:
                 n_act = int(np.asarray(sel).sum())

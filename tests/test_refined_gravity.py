@@ -129,3 +129,44 @@ def test_refined_polywindow_fast_math():
     np.testing.assert_allclose(
         np.asarray(pot_r), np.asarray(pot_b), rtol=1e-2,
         atol=2e-3 * np.abs(np.asarray(pot_b)).max())
+
+
+def test_refined_pallas_engine_interpret():
+    """rpallas (fused kernel, interpret on CPU) == rxla packed pass."""
+    from shenqi_tpu.gravity.window import window_polynomials
+    tree, params, _ = _setup(400, 15, use_bh=0)
+    n = tree.ipos_s.shape[0]
+    oldacc = jnp.full(n, 50.0, jnp.float32)
+    wt = window_polynomials(params.asmth)
+    acc_x, pot_x, _ = treegrav_refined(tree, oldacc, params, wt,
+                                       maxi=2048, maxl=1024, ncrit=8,
+                                       sub=32, want_pot=True,
+                                       engine="xla")
+    acc_p, pot_p, _ = treegrav_refined(tree, oldacc, params, wt,
+                                       maxi=2048, maxl=1024, ncrit=8,
+                                       sub=32, want_pot=True,
+                                       engine="pallas")
+    np.testing.assert_allclose(np.asarray(acc_p), np.asarray(acc_x),
+                               rtol=2e-5, atol=1e-6 * np.abs(
+                                   np.asarray(acc_x)).max())
+    np.testing.assert_allclose(np.asarray(pot_p), np.asarray(pot_x),
+                               rtol=2e-5, atol=1e-6 * np.abs(
+                                   np.asarray(pot_x)).max())
+
+
+def test_refined_bfs_traversal_matches_walk():
+    """traversal='bfs' (frontier) emits the same interaction sets as
+    the sequential walk; forces agree to summation-order fp noise."""
+    tree, params, _ = _setup(800, 16, use_bh=0)
+    n = tree.ipos_s.shape[0]
+    oldacc = jnp.full(n, 50.0, jnp.float32)
+    acc_w, _, _ = treegrav_refined(tree, oldacc, params, maxi=4096,
+                                   maxl=1024, ncrit=8, sub=32,
+                                   traversal="walk")
+    acc_b, _, _ = treegrav_refined(tree, oldacc, params, maxi=4096,
+                                   maxl=1024, ncrit=8, sub=32,
+                                   traversal="bfs", fcap=512)
+    aw = np.asarray(acc_w)
+    ab = np.asarray(acc_b)
+    scale = np.median(np.linalg.norm(aw, axis=1))
+    assert np.max(np.linalg.norm(ab - aw, axis=1)) / scale < 1e-5

@@ -79,15 +79,19 @@ if which in ("both", "old"):
         return a
     timeit("blocked (old)", old)
 
+trav_kind = os.environ.get("TRAVERSAL")
+eng = os.environ.get("ENGINE")
+
 if which in ("both", "refined"):
     tc2, cc2 = {}, {}
     def ref():
         a, _, _ = treegrav_refined(
             tree, oldacc, sp_rel, wt, n_targets=n, block=128,
             maxi=maxi, maxl=maxl, ncrit=32, sub=sub,
-            tier_cache=tc2, caps_cache=cc2, want_pot=False)
+            tier_cache=tc2, caps_cache=cc2, want_pot=False,
+            traversal=trav_kind, engine=eng)
         return a
-    timeit(f"refined sub={sub}", ref)
+    timeit(f"refined sub={sub} trav={trav_kind} eng={eng}", ref)
     a_old, _, _ = treegrav_blocked(
         tree, oldacc, sp_rel, wt, n_targets=n, block=128,
         maxi=maxi, maxl=maxl, ncrit=32, blocking="device",
@@ -109,17 +113,21 @@ if which == "detail":
     T = n
     level = auto_block_level(T, 128)
     nb = _next_pow2((T + 127) // 128 + max(T // 256, 1))
+    from shenqi_tpu.gravity.shortrange_refined import _infer_nlevels
+    tk = trav_kind or "walk"
+    nlv = _infer_nlevels(tree.center.shape[0], n) if tk == "bfs" else 0
     def trav():
         return _blocks_traverse_count(
             tree, oldacc, jnp.zeros(0, bool), sp_rel, T, 128, level,
-            nb, maxi, maxl, False, sub, 32)
+            nb, maxi, maxl, False, sub, 32, traversal=tk,
+            fcap=int(os.environ.get("FCAP", 2048)), nlevels=nlv)
     out = trav(); jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(3):
         out = trav(); jax.block_until_ready(out)
     print(f"traverse+count {(time.perf_counter()-t0)/3*1e3:.1f} ms",
           flush=True)
-    tgt_idx, tgt_valid, lists, order_s, diag = out
+    tgt_idx, tgt_valid, lists, keepbits, order_s, diag = out
     d = [int(x) for x in np.asarray(diag)]
     print("diag", d, flush=True)
     nbs = nb * (128 // sub)
@@ -137,8 +145,8 @@ if which == "detail":
                                 ("big", big_sel, pcap_big, t2)):
         def ev():
             return _refined_eval(tree, lists, tgt_idx, tgt_valid,
-                                 selq, sp_rel, wt, 32, sub, cap, ns,
-                                 128, has_nodes=d[2] > 0,
+                                 keepbits, selq, sp_rel, wt, 32, sub,
+                                 cap, ns, 128, has_nodes=d[2] > 0,
                                  want_pot=False)
         o = ev(); jax.block_until_ready(o)
         t0 = time.perf_counter()
