@@ -136,32 +136,84 @@ def exchange(fields: dict, ndev: int, kcap: int,
     return new_fields, info
 
 
+def _halo_a2a(fields: dict, width_fp: int, ndev: int, gcap: int,
+              axis_name: str):
+    """General ghost exchange: one bucketed all_to_all shipping each
+    boundary row to EVERY slab within `width_fp` of it — the
+    arbitrary-rank export analog of treewalk2.h:307-362 (the ring is
+    a 2-neighbor specialization).  No width restriction: each
+    (src,dst) pair owns a private bucket, so a row in reach of
+    several slabs is delivered to each exactly once and can never
+    arrive twice.
+
+    Returns (ghosts [ndev*gcap, ...], n_lost psum'd).
+    """
+    ipos, mass = fields["ipos"], fields["mass"]
+    C = ipos.shape[0]
+    gcap = min(gcap, C)
+    l = _log2(ndev)
+    slab_fp = 1 << (32 - l)
+    me = jax.lax.axis_index(axis_name)
+    alive = mass > 0
+    x = ipos[:, 0]
+
+    n_lost = jnp.zeros((), jnp.int32)
+    send = {name: jnp.zeros((ndev, gcap) + a.shape[1:], a.dtype)
+            for name, a in fields.items()}
+    for d in range(ndev):
+        # periodic uint32 distance from x to slab d's interval
+        # [lo, lo+slab): 0 inside; else min of the two walk directions
+        lo = jnp.uint32(d) << jnp.uint32(32 - l)
+        a_off = x - lo                       # uint32 exact wrap
+        inside = a_off < jnp.uint32(slab_fp)
+        d_below = jnp.uint32(0) - a_off      # x up to lo
+        d_above = a_off - jnp.uint32(slab_fp - 1)
+        dist = jnp.where(inside, jnp.uint32(0),
+                         jnp.minimum(d_below, d_above))
+        need = alive & (dist < jnp.uint32(width_fp)) & (d != me)
+        idx, val, lost = _compact_first(need, gcap)
+        n_lost = n_lost + lost
+        for name, arr in fields.items():
+            rows = arr[idx]
+            if name == "mass":
+                rows = jnp.where(val, rows, 0.0)
+            send[name] = send[name].at[d].set(rows)
+
+    ghosts = {}
+    for name, a in fields.items():
+        recv = jax.lax.all_to_all(send[name], axis_name,
+                                  split_axis=0, concat_axis=0)
+        ghosts[name] = recv.reshape((ndev * gcap,) + a.shape[1:])
+    return ghosts, jax.lax.psum(n_lost, axis_name)
+
+
 def halo_exchange(fields: dict, width_fp: int, ndev: int, gcap: int,
                   axis_name: str = "dp"):
     """Ship boundary strips of fixed-point width `width_fp` to the two
     slab neighbors (the ghost/export-import analog of
-    treewalk2.h:307-362, restricted to the ring — slab domains only
-    ever need their two neighbors when width < slab width).
+    treewalk2.h:307-362; slab domains only need their two neighbors
+    when width < slab width).  When the halo is too wide for the ring
+    (2*width > (ndev-1)*slab — deep clustering, void hsml), falls
+    back to the general bucketed all_to_all exchange (_halo_a2a).
 
     gcap is clamped to the row capacity C (a strip can never hold
     more rows than the device owns).
     Returns (ghosts, n_lost): ghosts is a dict of [2*gcap, ...] arrays
     (left-neighbor ghosts then right-neighbor ghosts, mass 0 for
-    unused rows); n_lost counts boundary rows that exceeded gcap
-    (psum'd).
+    unused rows; [ndev*gcap] on the all_to_all path); n_lost counts
+    boundary rows that exceeded gcap (psum'd).
     """
     l = _log2(ndev)
     slab_fp = 1 << (32 - l) if l else 1 << 32
     # a strip wider than one slab needs ghosts from further neighbors:
     # hop h ships the strip that lies between (h-1) and h slabs away
     nhops = int(np.ceil(width_fp / slab_fp))
-    # guard against a row reaching the same destination from both ring
-    # directions (duplicate ghost mass): worst-case left+right hop
-    # counts stay < ndev when 2*width <= (ndev-1)*slab
+    # the ring delivers via left and right hop chains; a row may reach
+    # the same destination from both directions (duplicate ghost mass)
+    # unless 2*width <= (ndev-1)*slab — past that, use the general
+    # exchange
     if ndev > 1 and 2 * width_fp > (ndev - 1) * slab_fp:
-        raise ValueError(
-            f"halo width {width_fp} too wide for a {ndev}-slab ring "
-            f"(slab {slab_fp}); use a replicated walk")
+        return _halo_a2a(fields, width_fp, ndev, gcap, axis_name)
     ipos, mass = fields["ipos"], fields["mass"]
     gcap = min(gcap, ipos.shape[0])
     me = jax.lax.axis_index(axis_name)

@@ -255,3 +255,49 @@ def test_weak_scaling_memory_per_device():
     out8, info8 = step8(sh8, jnp.float32(1e-4), jnp.float32(1e-4))
     assert int(info4["n_alive"]) == 600
     assert int(info8["n_alive"]) == 2400
+
+
+def test_halo_exchange_wide_a2a():
+    """Halo wider than the ring limit (2w > (D-1)*slab) takes the
+    bucketed all_to_all path and delivers to EVERY slab in reach
+    (VERDICT r2 missing #4: hsml ~ slab width must not hard-fail)."""
+    mesh = make_mesh(NDEV)
+    n = 1500
+    fields = _random_fields(n, seed=5)
+    sharded, C = distribute_slabs(mesh, fields, block=64)
+    slab_fp = (1 << 32) // NDEV
+    width_fp = int(3.6 * slab_fp)       # > (NDEV-1)/2 slabs
+    gcap = 1024
+
+    sub = {k: sharded[k] for k in ("ipos", "mass", "pid")}
+    specs = {k: P("dp", *([None] * (v.ndim - 1)))
+             for k, v in sub.items()}
+
+    @partial(shard_map, mesh=mesh, in_specs=(specs,),
+             out_specs=(specs, P()), check_vma=False)
+    def do_halo(f):
+        g, lost = halo_exchange(f, width_fp, NDEV, gcap)
+        return g, lost
+
+    ghosts, lost = jax.jit(do_halo)(sub)
+    assert int(lost) == 0
+    gh = {k: np.asarray(v) for k, v in ghosts.items()}
+    g_pid = gh["pid"].reshape(NDEV, -1)
+    g_mass = gh["mass"].reshape(NDEV, -1)
+
+    x = fields["ipos"][:, 0].astype(np.uint64)
+    own = (x // slab_fp).astype(int)
+    box = 1 << 32
+    for d in range(NDEV):
+        lo = d * slab_fp
+        # periodic distance from each x to [lo, lo+slab)
+        a_off = (x - lo) % box
+        inside = a_off < slab_fp
+        dist = np.minimum((box - a_off) % box,
+                          (a_off - (slab_fp - 1)) % box)
+        dist[inside] = 0
+        want = set(fields["pid"][(dist < width_fp)
+                                 & (own != d)].tolist())
+        got = g_pid[d][g_mass[d] > 0]
+        assert len(got) == len(set(got.tolist())), "duplicate ghosts"
+        assert set(got.tolist()) == want, f"device {d}"
