@@ -144,7 +144,7 @@ def bench_treepm(npart_side, nsteps, box=50000.0):
     blk = int(os.environ.get("BENCH_BLOCK", 128))
     # refined = sub-block MAC + packed source tables (round 3, the
     # production schedule); 'blocked' runs the round-2 padded schedule
-    schedule = os.environ.get("SHENQI_SCHEDULE", "blocked")
+    schedule = os.environ.get("SHENQI_SCHEDULE", "refined")
 
     tier_cache, caps_cache = {}, {}
     # steady state uses the relative-acceleration MAC with the
@@ -246,7 +246,7 @@ def main():
     treepm_ps2 = _run_stage("treepm", stage_budget)
     if treepm_ps2 and (not treepm_ps or treepm_ps2 > treepm_ps):
         treepm_ps = treepm_ps2
-    engine = os.environ.get("SHENQI_SCHEDULE", "blocked")
+    engine = os.environ.get("SHENQI_SCHEDULE", "refined")
     pm_ps = _run_stage("pm", stage_budget)
 
     if treepm_ps is None and pm_ps is None:

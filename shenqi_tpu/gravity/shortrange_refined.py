@@ -114,6 +114,65 @@ def _leaf_pcount(tree: Octree, leaf_ids, ncrit: int):
                        ncrit)
 
 
+@partial(jax.jit, static_argnames=("ncrit",))
+def build_quad_table(tree: Octree, ncrit: int):
+    """Quad-aligned interleaved source table, built once per force.
+
+    The packed gather's cost is per ROW, nearly independent of row
+    width (measured ~10 ns/row on v5e) — so pack FOUR particles per
+    64-byte row: [n+1, 16] int32 = 4 x (x y z mass-bits).  Each leaf's
+    particles start quad-aligned (<=3 zero-mass pad slots per leaf,
+    ~7% extra pair lanes at ncrit=32) so a leaf occupies qc =
+    ceil(pcount/4) whole rows and the evaluator's cummax packing works
+    in quad units: 4x fewer gather rows than the particle-packed form.
+
+    Returns (qtab [n+1, 16] i32, qstart [M] i32, qc [M] i32) with
+    qstart monotone over leaves in pstart (Morton) order — the
+    invariant the boundary-scatter + cummax fill needs.
+    """
+    n = tree.ipos_s.shape[0]
+    M = tree.center.shape[0]
+    pcount = jnp.minimum(tree.pcount, ncrit)
+    # CANONICAL leaves only: is_leaf nodes with non-leaf parents are
+    # the only ones a walk can list, and they PARTITION the particle
+    # range — nested deeper is_leaf copies would steal scatter slots
+    leaf = tree.canon & (pcount > 0)
+    qc = jnp.where(leaf, (pcount + 3) >> 2, 0)
+
+    # leaves in pstart order: argsort (non-leaves to the end)
+    key = jnp.where(leaf, tree.pstart, jnp.int32(2 ** 30))
+    rank_order = jnp.argsort(key)                  # [M] node ids
+    qc_sorted = qc[rank_order]
+    qstart_sorted = jnp.cumsum(qc_sorted) - qc_sorted
+    qstart = jnp.zeros(M, jnp.int32).at[rank_order].set(
+        qstart_sorted.astype(jnp.int32))
+
+    # per-particle leaf rank: scatter rank at each leaf's pstart,
+    # cummax fills the run (pstart runs are disjoint and ascending)
+    ranks = jnp.arange(M, dtype=jnp.int32)
+    pdst = jnp.where(leaf[rank_order],
+                     jnp.minimum(tree.pstart[rank_order], n), n)
+    lr = jnp.zeros(n + 1, jnp.int32).at[pdst].max(
+        ranks, mode="promise_in_bounds")
+    lr = jax.lax.cummax(lr[:n])                    # [n] leaf rank
+    p = jnp.arange(n, dtype=jnp.int32)
+    node_of = rank_order[lr]
+    off = p - tree.pstart[node_of]
+    slot = 4 * qstart[node_of] + off
+    ok = (off >= 0) & (off < 4 * qc[node_of])
+    slot = jnp.where(ok, jnp.minimum(slot, 4 * n), 4 * (n + 1))
+
+    rows = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(tree.ipos_s, jnp.int32),
+         jax.lax.bitcast_convert_type(tree.mass_s, jnp.int32)[:, None]],
+        axis=1)                                    # [n, 4]
+    flat = jnp.zeros(((n + 2) * 4, 4), jnp.int32).at[slot].set(
+        rows, mode="promise_in_bounds")
+    qtab = flat[: (n + 1) * 4].reshape(n + 1, 16)
+    qtab = qtab.at[n].set(0)
+    return qtab, qstart, qc
+
+
 def _pair_fac(r2, mass, h, cellsize, window_tables,
               want_pot: bool):
     """(force factor, potential factor) with ONE rsqrt and no divide.
@@ -186,13 +245,15 @@ def _pair_fac_any(r2, mass, params, window_tables, want_pot):
 
 
 def packed_counts(tree, lists: BlockLists, tgt_u32, tgt_valid,
-                  params, sub: int, ncrit: int, batch: int = 512):
-    """Per-sub-block packed-source counts + keep bitmasks.
+                  params, sub: int, ncrit: int, qc,
+                  batch: int = 512):
+    """Per-sub-block packed-source QUAD counts + keep bitmasks.
 
-    Returns (counts [nb*nsub] int32, keepbits [nb*nsub, ML//32]
-    uint32).  Must agree exactly with the packing in _refined_eval
-    (the host sizes the static caps from these counts).  Batched over
-    blocks to bound the [batch, nsub, M] classification temporaries.
+    Returns (counts [nb*nsub] int32 — quad rows, 4 particles each —
+    and keepbits [nb*nsub, ML//32] uint32).  Must agree exactly with
+    the packing in _refined_eval (the host sizes the static caps from
+    these counts).  Batched over blocks to bound the [batch, nsub, M]
+    classification temporaries.
     """
     nb, block, _ = tgt_u32.shape
     nsub = block // sub
@@ -211,7 +272,8 @@ def packed_counts(tree, lists: BlockLists, tgt_u32, tgt_valid,
         lo, hi, live = _sub_bbox(tgt, val, sub, box)
         lk = _keep_mask(tree, leaf_ids, n_leaves, lo, hi, live, box,
                         rcut2)                       # [bb, ns, ML]
-        pc = _leaf_pcount(tree, leaf_ids, ncrit)     # [bb, ML]
+        pc = jnp.where(leaf_ids >= 0,
+                       qc[jnp.maximum(leaf_ids, 0)], 0)  # [bb, ML]
         counts = jnp.sum(
             jnp.where(lk, pc[:, None, :], 0), axis=2).astype(jnp.int32)
         bits = jnp.sum(
@@ -234,7 +296,8 @@ def packed_counts(tree, lists: BlockLists, tgt_u32, tgt_valid,
                                    "nsel", "block", "batch",
                                    "has_nodes", "want_pot", "engine"))
 def _refined_eval(tree: Octree, lists: BlockLists, tgt_idx, tgt_valid,
-                  keepbits, sel, params: ShortRangeParams,
+                  keepbits, sel, qtab, qstart, qc,
+                  params: ShortRangeParams,
                   window_tables, ncrit: int, sub: int, pcap: int,
                   nsel: int, block: int, batch: int = 1024,
                   has_nodes: bool = False, want_pot: bool = False,
@@ -242,15 +305,17 @@ def _refined_eval(tree: Octree, lists: BlockLists, tgt_idx, tgt_valid,
     """Evaluate the selected sub-blocks with packed source tables.
 
     sel [nsel] int32: flat sub-block ids (b * nsub + s).
+    qtab/qstart/qc: quad-packed source table (build_quad_table);
+    pcap counts QUAD rows (4 particles each).
     Returns (acc [nsel, sub, 3], pot [nsel, sub]) G-multiplied, in
     sub-block lane order.
     """
     box = params.boxsize
     nsub = block // sub
     to_f = jnp.float32(box / POS_SCALE)
-    PCH = 512
-    while pcap % PCH:
-        PCH //= 2
+    QCH = 128                       # quad rows per dense chunk
+    while pcap % QCH:
+        QCH //= 2
 
     bbs = min(batch, nsel)
     while nsel % bbs:
@@ -258,18 +323,6 @@ def _refined_eval(tree: Octree, lists: BlockLists, tgt_idx, tgt_valid,
     nbatch = nsel // bbs
     n = tree.ipos_s.shape[0]
     ML = lists.leaf_ids.shape[1]
-
-    # interleaved [n+1, 4] source rows (pos bits ++ mass bits): ONE
-    # fat-row gather per packed slot instead of four 4-byte gathers.
-    # int32 carrier, NOT float: TPU canonicalizes NaN payloads and
-    # flushes denormals when raw bits masquerade as f32 (uint32
-    # positions near box/2 ARE NaN bit patterns — measured ~1% of
-    # particles corrupted when this table was f32)
-    inter = jnp.concatenate(
-        [jax.lax.bitcast_convert_type(tree.ipos_s, jnp.int32),
-         jax.lax.bitcast_convert_type(tree.mass_s, jnp.int32)[:, None]],
-        axis=1)
-    inter = jnp.concatenate([inter, jnp.zeros((1, 4), jnp.int32)])
 
     if has_nodes:
         cofm_u = jnp.clip(tree.cofm * jnp.float32(POS_SCALE / box),
@@ -303,17 +356,19 @@ def _refined_eval(tree: Octree, lists: BlockLists, tgt_idx, tgt_valid,
               >> jnp.arange(32, dtype=jnp.uint32)[None, None, :]
               & jnp.uint32(1)).astype(bool).reshape(bbs, ML)
 
-        pc = _leaf_pcount(tree, leaf_ids, ncrit)
+        safe_l = jnp.maximum(leaf_ids, 0)
+        pc = jnp.where(leaf_ids >= 0, qc[safe_l], 0)
         cnt = jnp.where(lk, pc, 0)
         cum = jnp.cumsum(cnt, axis=1)
         excl = cum - cnt
         total = cum[:, -1]
 
         # scatter kept-leaf boundaries, cummax-fill the source map:
-        # slot p of the packed table reads row v(p) + p where v is the
-        # boundary value pstart - excl of the owning leaf
-        pst = tree.pstart[jnp.maximum(leaf_ids, 0)]
-        v = jnp.where(lk, pst - excl, 0)
+        # QUAD slot p of the packed table reads row v(p) + p where v
+        # is the boundary value qstart - excl of the owning leaf
+        # (both nondecreasing over kept leaves in Morton order)
+        qst = qstart[safe_l]
+        v = jnp.where(lk, qst - excl, 0)
         dst = jnp.where(lk, jnp.minimum(excl, pcap), pcap)
         flat = (jnp.arange(bbs, dtype=jnp.int32)[:, None]
                 * (pcap + 1) + dst)
@@ -326,7 +381,8 @@ def _refined_eval(tree: Octree, lists: BlockLists, tgt_idx, tgt_valid,
         valid = p < total[:, None]
         pidx = jnp.where(valid, jnp.minimum(vf + p, n - 1), n)
 
-        srow = inter[pidx]                      # [bbs, pcap, 4] i32
+        srow = qtab[pidx]               # [bbs, pcap, 16] i32
+        srow = srow.reshape(bbs, pcap * 4, 4)
         spos = jax.lax.bitcast_convert_type(srow[:, :, :3],
                                             jnp.uint32)
         smass = jax.lax.bitcast_convert_type(srow[:, :, 3],
@@ -340,24 +396,24 @@ def _refined_eval(tree: Octree, lists: BlockLists, tgt_idx, tgt_valid,
                 tgt, spos, smass, box, params.softening,
                 params.cellsize, window_tables, 1.0,
                 interpret=_jax.default_backend() != "tpu",
-                want_pot=want_pot, sch=min(512, pcap), blk=sub)
+                want_pot=want_pot, sch=min(512, 4 * pcap), blk=sub)
             if pot is None:
                 pot = jnp.zeros((bbs, sub), jnp.float32)
         else:
-            # ---- dense pair pass [sub x pcap], chunked ----
+            # ---- dense pair pass [sub x 4*pcap], chunked ----
             def chunk(carry, c):
                 acc, pot = carry
-                sl = jax.lax.dynamic_slice_in_dim(spos, c * PCH, PCH,
-                                                  axis=1)
-                sm = jax.lax.dynamic_slice_in_dim(smass, c * PCH, PCH,
-                                                  axis=1)
+                sl = jax.lax.dynamic_slice_in_dim(
+                    spos, c * 4 * QCH, 4 * QCH, axis=1)
+                sm = jax.lax.dynamic_slice_in_dim(
+                    smass, c * 4 * QCH, 4 * QCH, axis=1)
                 acc, pot = pair_accum(tgt, sl, sm, acc, pot)
                 return (acc, pot), None
 
             acc0 = jnp.zeros((bbs, sub, 3), jnp.float32)
             pot0 = jnp.zeros((bbs, sub), jnp.float32)
             (acc, pot), _ = jax.lax.scan(chunk, (acc0, pot0),
-                                         jnp.arange(pcap // PCH))
+                                         jnp.arange(pcap // QCH))
 
         if has_nodes:
             # block-accepted monopoles (first step / strict BH):
@@ -393,6 +449,13 @@ def _refined_eval(tree: Octree, lists: BlockLists, tgt_idx, tgt_valid,
                             keepbits[sel].reshape(nbatch, bbs, -1)))
     return (acc.reshape(nsel, sub, 3) * params.G,
             pot.reshape(nsel, sub) * params.G)
+
+
+def tier_bounds(nbs: int):
+    """Static cumulative tier boundaries over the count-sorted
+    sub-blocks: [50%, 75%, 87.5%, 100%].  Tiny tails collapse into
+    the top tier (sizes may be zero for small nbs)."""
+    return (nbs // 2, (3 * nbs) // 4, (7 * nbs) // 8, nbs)
 
 
 def _infer_nlevels(M: int, n: int) -> int:
@@ -454,30 +517,119 @@ def _blocks_traverse_count(tree, oldacc, active, params, T, block,
             maxl=maxl, mode="gravity")
         f_ovf = jnp.zeros((), bool)
 
+    qtab, qstart, qc = build_quad_table(tree, ncrit)
     tgt_u32 = tree.ipos_s[tgt_idx.reshape(-1)].reshape(nb, block, 3)
     counts, keepbits = packed_counts(tree, lists, tgt_u32, tgt_valid,
-                                     params, sub, ncrit)
+                                     params, sub, ncrit, qc)
     nbs = counts.shape[0]
     order_s = jnp.argsort(counts)
-    t2 = max(nbs // 8, 1)
-    s_small_max = counts[order_s[nbs - t2 - 1]] if nbs > 1 else \
-        counts[order_s[0]]
+    # per-tier max quad counts at the static tier boundaries (the
+    # host sizes one packed cap per tier; 4 tiers hug the count
+    # distribution much tighter than 2 — cap padding is paid in BOTH
+    # the packed gather and the dense pass)
+    tier_c = [counts[order_s[b - 1]] if b > 0 else jnp.int32(0)
+              for b in tier_bounds(nbs)]
     diag = jnp.stack([
         b_ovf.astype(jnp.int32),
         jnp.any(lists.overflow).astype(jnp.int32),
         jnp.max(lists.n_nodes), jnp.max(lists.n_leaves),
-        jnp.max(counts), s_small_max, f_ovf.astype(jnp.int32)])
-    return tgt_idx, tgt_valid, lists, keepbits, order_s, diag
+        *tier_c, f_ovf.astype(jnp.int32)])
+    return (tgt_idx, tgt_valid, lists, keepbits, order_s, diag,
+            qtab, qstart, qc)
 
 
-def _round_cap(x: int, align: int = 512) -> int:
-    """Static cap: next multiple of the dense-pass chunk (pow2 caps
-    overshoot up to 2x; the chunk multiple wastes < align slots)."""
-    if x <= 128:
-        return 128
-    if x <= 256:
-        return 256
+def _round_cap(x: int, align: int = 128) -> int:
+    """Static QUAD-row cap: next multiple of the dense-pass chunk
+    (pow2 caps overshoot up to 2x; the chunk multiple wastes < align
+    rows).  128 quad rows = 512 particle lanes."""
+    if x <= 32:
+        return 32
+    if x <= 64:
+        return 64
     return ((x + align - 1) // align) * align
+
+
+def _tiered_evals(tree, lists, tgt_idx, tgt_valid, keepbits, order_s,
+                  qtab, qstart, qc, params, window_tables, ncrit,
+                  sub, block, nbs, pcaps, has_nodes, want_pot,
+                  engine):
+    """Shared tier dispatch: one packed eval per non-empty tier with
+    its own static cap; results scattered to sub-block lane order."""
+    bounds = tier_bounds(nbs)
+    acc_bs = jnp.zeros((nbs, sub, 3), jnp.float32)
+    pot_bs = jnp.zeros((nbs, sub), jnp.float32)
+    lo = 0
+    for b, pcap in zip(bounds, pcaps):
+        nsel = b - lo
+        if nsel <= 0:
+            lo = b
+            continue
+        sel = jnp.sort(order_s[lo:b])
+        a, pp = _refined_eval(tree, lists, tgt_idx, tgt_valid,
+                              keepbits, sel, qtab, qstart, qc, params,
+                              window_tables, ncrit, sub, pcap, nsel,
+                              block, has_nodes=has_nodes,
+                              want_pot=want_pot, engine=engine)
+        acc_bs = acc_bs.at[sel].set(a)
+        pot_bs = pot_bs.at[sel].set(pp)
+        lo = b
+    return acc_bs, pot_bs
+
+
+def treegrav_refined_fixed(tree: Octree, oldacc, params,
+                           window_tables, T: int, block: int,
+                           level: int, nb: int, maxi: int, maxl: int,
+                           sub: int, ncrit: int, pcaps: tuple,
+                           nlevels: int = 0,
+                           fcap: int = 2048, traversal: str = "walk",
+                           engine: str = "xla", active=None,
+                           want_pot: bool = False):
+    """Fully-traced refined schedule with STATIC caps — no host sync,
+    so it composes with shard_map/pjit (the slab gravity path).
+
+    The caller owns cap sizing: run once, inspect the returned diag
+    (max over devices), grow {maxi,maxl,fcap,pcaps} and recompile on
+    overflow — the `treegrav_refined` host wrapper automates this for
+    the single-device path.  pcaps: one QUAD-row cap per tier
+    (len(tier_bounds(...)) = 4), nondecreasing.
+
+    diag layout: [block_ovf, list_ovf, max_nn, max_nl, c_t1..c_t4,
+    frontier_ovf, pcap_ovf_t1..t4].
+    Returns (acc [N,3], pot [N], diag [13] i32) in original order.
+    """
+    n = tree.ipos_s.shape[0]
+    nsub = block // sub
+    compact = active is not None
+    if not compact:
+        active = jnp.zeros(0, bool)
+    (tgt_idx, tgt_valid, lists, keepbits, order_s, diag, qtab,
+     qstart, qc) = \
+        _blocks_traverse_count(tree, oldacc, active, params, T, block,
+                               level, nb, maxi, maxl, compact, sub,
+                               ncrit, traversal=traversal, fcap=fcap,
+                               nlevels=nlevels)
+    nbs = nb * nsub
+    # packed-cap overflow: counts that exceed the static tables (the
+    # evaluator truncates sources past pcap — detect, never silently)
+    diag = jnp.concatenate([
+        diag, jnp.stack([(diag[4 + i] > pcaps[i]).astype(jnp.int32)
+                         for i in range(4)])])
+    # has_nodes must be static here and accepted monopoles cannot be
+    # ruled out at trace time: always run the node pass (masked rows
+    # carry zero mass; ~2 extra chunks per batch, never wrong)
+    acc_bs, pot_bs = _tiered_evals(
+        tree, lists, tgt_idx, tgt_valid, keepbits, order_s, qtab,
+        qstart, qc, params, window_tables, ncrit, sub, block, nbs,
+        pcaps, True, want_pot, engine)
+
+    flat_idx = jnp.where(tgt_valid, tgt_idx, n).reshape(-1)
+    acc_sorted = jnp.zeros((n + 1, 3), jnp.float32).at[flat_idx].set(
+        acc_bs.reshape(-1, 3))[:n]
+    pot_sorted = jnp.zeros(n + 1, jnp.float32).at[flat_idx].set(
+        pot_bs.reshape(-1))[:n]
+    acc = jnp.zeros((n, 3), jnp.float32).at[tree.order].set(acc_sorted)
+    pot = jnp.zeros(n, jnp.float32).at[tree.order].set(pot_sorted)
+    return acc, pot, diag
 
 
 def treegrav_refined(tree: Octree, oldacc, params: ShortRangeParams,
@@ -527,13 +679,14 @@ def treegrav_refined(tree: Octree, oldacc, params: ShortRangeParams,
         fcap = max(fcap, caps_cache.get("fcap", 0))
 
     for attempt in range(2 * (auto_grow + 1)):
-        tgt_idx, tgt_valid, lists, keepbits, order_s, diag = \
+        (tgt_idx, tgt_valid, lists, keepbits, order_s, diag, qtab,
+         qstart, qc) = \
             _blocks_traverse_count(tree, oldacc, active, params, T,
                                    block, level, nb, maxi, maxl,
                                    compact, sub, ncrit,
                                    traversal=traversal, fcap=fcap,
                                    nlevels=nlv)
-        (b_ovf, w_ovf, max_nn, max_nl, s_max, s_small, f_ovf) = \
+        (b_ovf, w_ovf, max_nn, max_nl, c1, c2, c3, c4, f_ovf) = \
             [int(x) for x in np.asarray(diag)]      # THE host sync
         if not b_ovf and not w_ovf and not f_ovf:
             break
@@ -555,17 +708,18 @@ def treegrav_refined(tree: Octree, oldacc, params: ShortRangeParams,
             caps_cache["maxl"] = maxl
             caps_cache["fcap"] = fcap
 
-    # static packed caps from the exact device counts (grow-only
-    # cache -> bounded recompiles)
+    # static packed QUAD caps from the exact device counts (grow-only
+    # cache -> bounded recompiles); caps nondecreasing across tiers
     nbs = nb * nsub
-    t2 = max(nbs // 8, 1)
-    need_big = _round_cap(s_max + 1)
-    need_small = _round_cap(s_small + 1)
     key = ("refined", nb, maxi, maxl, sub)
-    cb, cs = tier_cache.get(key, (0, 0))
-    pcap_big = max(cb, need_big)
-    pcap_small = min(max(cs, need_small), pcap_big)
-    tier_cache[key] = (pcap_big, pcap_small)
+    cached = tier_cache.get(key, (0, 0, 0, 0))
+    pcaps = []
+    hi = 0
+    for c, cc in zip((c1, c2, c3, c4), cached):
+        hi = max(hi, _round_cap(c + 1), cc)
+        pcaps.append(hi)
+    pcaps = tuple(pcaps)
+    tier_cache[key] = pcaps
     has_nodes = max_nn > 0
 
     if engine is None:
@@ -579,24 +733,10 @@ def treegrav_refined(tree: Octree, oldacc, params: ShortRangeParams,
                               and isinstance(window_tables,
                                              PolyWindow)) else "xla"
 
-    small_sel = jnp.sort(order_s[:nbs - t2])
-    big_sel = jnp.sort(order_s[nbs - t2:])
-    acc_bs = jnp.zeros((nbs, sub, 3), jnp.float32)
-    pot_bs = jnp.zeros((nbs, sub), jnp.float32)
-    if nbs - t2 > 0:
-        a1, p1 = _refined_eval(tree, lists, tgt_idx, tgt_valid,
-                               keepbits, small_sel, params,
-                               window_tables, ncrit, sub, pcap_small,
-                               nbs - t2, block, has_nodes=has_nodes,
-                               want_pot=want_pot, engine=engine)
-        acc_bs = acc_bs.at[small_sel].set(a1)
-        pot_bs = pot_bs.at[small_sel].set(p1)
-    a2, p2 = _refined_eval(tree, lists, tgt_idx, tgt_valid, keepbits,
-                           big_sel, params, window_tables, ncrit, sub,
-                           pcap_big, t2, block, has_nodes=has_nodes,
-                           want_pot=want_pot, engine=engine)
-    acc_bs = acc_bs.at[big_sel].set(a2)
-    pot_bs = pot_bs.at[big_sel].set(p2)
+    acc_bs, pot_bs = _tiered_evals(
+        tree, lists, tgt_idx, tgt_valid, keepbits, order_s, qtab,
+        qstart, qc, params, window_tables, ncrit, sub, block, nbs,
+        pcaps, has_nodes, want_pot, engine)
 
     # scatter back: sub-block lanes -> sorted rows -> original order
     flat_idx = jnp.where(tgt_valid, tgt_idx, n).reshape(-1)

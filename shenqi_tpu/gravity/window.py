@@ -105,7 +105,8 @@ def window_arrays(asmth: float):
     return float(dx), jnp.asarray(wf), jnp.asarray(wp)
 
 
-def window_polynomials(asmth: float, degree: int = None):
+def window_polynomials(asmth: float, degree: int = None,
+                       xmax_cells: float = None):
     """Chebyshev fits of the calibrated window (TPU-friendly form).
 
     Table GATHERS with large index arrays crash the axon TPU worker;
@@ -115,6 +116,14 @@ def window_polynomials(asmth: float, degree: int = None):
     residual floor — the polynomial then adds nothing on top of the
     calibration's own error bar.
 
+    xmax_cells truncates the fit range (default: the full 15-cell
+    table).  Pairs only reach rcut (6 cells) plus block-bbox slop;
+    fitting over [0, 9] instead of [0, 15] drops the auto degree from
+    ~12 to ~8 — the Clenshaw is per-pair work in the hot dense pass —
+    while the cut sets the window (already erfc(3) ~ 2e-5 there) to
+    zero beyond, matching the reference's hard rcut semantics
+    (gravshort-tree.c RCUT).
+
     Returns a PolyWindow(xmax_cells, cf [deg+1], cp [deg+1]) whose
     polynomials take the scaled coordinate t = 2*(r_cells/xmax) - 1.
     """
@@ -122,6 +131,9 @@ def window_polynomials(asmth: float, degree: int = None):
     wf = np.asarray(wf, np.float64)
     wp = np.asarray(wp, np.float64)
     x = np.arange(NTAB) * dx
+    if xmax_cells is not None:
+        keep = x <= xmax_cells
+        x, wf, wp = x[keep], wf[keep], wp[keep]
     xmax = x[-1]
     t = 2.0 * (x / xmax) - 1.0
     cheb = np.polynomial.chebyshev

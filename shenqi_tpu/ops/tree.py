@@ -53,6 +53,9 @@ class Octree:
     # topology
     child: jax.Array       # [M] i32 first child node id (-1 if leaf)
     nchild: jax.Array      # [M] i32 child count (children contiguous)
+    canon: jax.Array       # [M] bool leaf whose parent is NOT a leaf
+                           # (the only leaves a walk can stop at;
+                           # deeper nested copies are unreachable)
     sibling: jax.Array     # [M] i32 next node when skipping subtree (-1 end)
     is_leaf: jax.Array     # [M] bool (pcount <= ncrit or max depth)
     valid: jax.Array       # [M] bool (occupied cell)
@@ -232,10 +235,25 @@ def build_octree(ipos, mass, alive, boxsize, nlevels: int = 8,
     child = jnp.where(is_leaf, -1, child)
     nchild = jnp.where(is_leaf, 0, nchild)
 
+    # canonical leaves: is_leaf with a non-leaf parent — the only
+    # leaves a traversal can reach (a leaf's subdivided copies at
+    # deeper levels are themselves marked is_leaf but unreachable).
+    # They partition the particle range; the packed-source table
+    # (shortrange_refined.build_quad_table) relies on that.
+    parent_g = jnp.full(M, -1, jnp.int32)
+    for l in range(1, nlevels + 1):
+        pl = lvl["parent"][l]
+        parent_g = parent_g.at[offsets[l]:offsets[l + 1]].set(
+            jnp.where(pl >= 0, pl + offsets[l - 1], -1))
+    parent_leaf = jnp.where(parent_g >= 0,
+                            is_leaf[jnp.maximum(parent_g, 0)], False)
+    canon = is_leaf & ~parent_leaf & validn
+
     root_child = child[0]
 
     return Octree(center=center, length=length, cofm=cofm, mass=massn,
                   hmax=hmax, pstart=pstart, pcount=pcount, child=child,
-                  nchild=nchild, sibling=sibling, is_leaf=is_leaf,
+                  nchild=nchild, canon=canon, sibling=sibling,
+                  is_leaf=is_leaf,
                   valid=validn, order=order, ipos_s=ipos_s,
                   mass_s=mass_s, root_child=root_child)

@@ -161,7 +161,11 @@ def tree_forces_slab(fields: dict, sp: ShortRangeParams,
                      window_tables, ndev: int, gcap: int,
                      tree_nlevels: int, tree_ncrit: int,
                      maxi: int, maxl: int, block: int,
-                     axis_name: str = "dp"):
+                     axis_name: str = "dp", schedule: str = "blocked",
+                     sub: int = 32,
+                     pcaps: tuple = (256, 512, 1024, 2048),
+                     fcap: int = 2048,
+                     traversal: str = "walk", engine: str = "xla"):
     """Locally-essential-tree short-range gravity on a slab domain.
 
     Replaces the round-1 replicated tree (all_gather + psum,
@@ -199,6 +203,36 @@ def tree_forces_slab(fields: dict, sp: ShortRangeParams,
 
     tree = build_octree(ipos_all, mass_all, alive, sp.boxsize,
                         nlevels=tree_nlevels, ncrit=tree_ncrit)
+
+    if schedule == "refined":
+        # round-3 production schedule on the slab: sub-block MAC +
+        # packed source tables, targets compacted to LOCAL alive rows
+        # (ghost rows get no force — their owners compute them).
+        # Static caps: the caller reads diag from info and regrows.
+        from ..gravity.shortrange_refined import (
+            treegrav_refined_fixed, _next_pow2, _infer_nlevels)
+        from ..ops.blockwalk import auto_block_level
+        local = jnp.arange(n) < C
+        active = local & alive
+        T = min(_next_pow2(C), n)
+        level = auto_block_level(T, block)
+        nb = _next_pow2((T + block - 1) // block
+                        + max(T // (2 * block), 1))
+        nlv = _infer_nlevels(tree.center.shape[0], n) \
+            if traversal == "bfs" else 0
+        acc, pot, diag = treegrav_refined_fixed(
+            tree, oldacc_all, sp, window_tables, T, block, level, nb,
+            maxi, maxl, sub, tree_ncrit, pcaps,
+            nlevels=nlv, fcap=fcap, traversal=traversal,
+            engine=engine, active=active)
+        ovf = diag[0] + diag[1] + diag[8] + jnp.sum(diag[9:13])
+        info = {
+            "halo_lost": n_lost,
+            "walk_overflow": jax.lax.psum(ovf, axis_name),
+            "grav_diag": jax.lax.pmax(diag, axis_name),
+        }
+        return acc[:C], pot[:C], info
+
     bb_lo, bb_hi, nblocks, pad_n = make_blocks(tree, n, block,
                                                sp.boxsize)
     alive_s = tree.mass_s > 0
@@ -242,7 +276,11 @@ def make_slab_step(mesh: Mesh, cfg_pm: PMConfig,
                    tree_nlevels: int = 6, tree_ncrit: int = 32,
                    maxi: int = 1024, maxl: int = 512,
                    block: int = 128, kcap: int = None,
-                   gcap: int = None, pm_halo: int = 2):
+                   gcap: int = None, pm_halo: int = 2,
+                   schedule: str = "blocked", sub: int = 32,
+                   pcaps: tuple = (256, 512, 1024, 2048),
+                   fcap: int = 2048, traversal: str = "walk",
+                   engine: str = "xla"):
     """The distributed multi-chip TreePM KDK step (round-2 design).
 
     Unlike the round-1 `make_sharded_step` (replicated tree via
@@ -275,6 +313,8 @@ def make_slab_step(mesh: Mesh, cfg_pm: PMConfig,
     }
     info_specs = {"unsent": P(), "dropped": P(), "n_alive": P(),
                   "halo_lost": P(), "walk_overflow": P()}
+    if schedule == "refined":
+        info_specs["grav_diag"] = P()
 
     @partial(shard_map, mesh=mesh,
              in_specs=(field_specs, P(), P()),
@@ -296,7 +336,9 @@ def make_slab_step(mesh: Mesh, cfg_pm: PMConfig,
                                   cfg_pm, ndev, halo=pm_halo)
         acc_tree, _pot, tinfo = tree_forces_slab(
             fields, sp, window_tables, ndev, g, tree_nlevels,
-            tree_ncrit, maxi, maxl, block)
+            tree_ncrit, maxi, maxl, block, schedule=schedule,
+            sub=sub, pcaps=pcaps,
+            fcap=fcap, traversal=traversal, engine=engine)
 
         accel = accel_pm + acc_tree
         vel = jnp.where(alive[:, None],

@@ -301,3 +301,62 @@ def test_halo_exchange_wide_a2a():
         got = g_pid[d][g_mass[d] > 0]
         assert len(got) == len(set(got.tolist())), "duplicate ghosts"
         assert set(got.tolist()) == want, f"device {d}"
+
+
+def test_slab_step_refined_schedule_matches_single_device():
+    """The slab step with schedule='refined' (treegrav_refined_fixed:
+    static caps, no host sync — shard_map-compatible) matches the
+    single-device refined engine (VERDICT r2 weak #6: multi-chip must
+    inherit the round-3 gravity schedule)."""
+    from shenqi_tpu.gravity.shortrange_refined import treegrav_refined
+    n_side = 12
+    rng = np.random.RandomState(7)
+    grid = (np.arange(n_side) + 0.5) * BOX / n_side
+    X, Y, Z = np.meshgrid(grid, grid, grid, indexing="ij")
+    pos = np.stack([X.ravel(), Y.ravel(), Z.ravel()], -1)
+    pos += rng.uniform(-0.3, 0.3, pos.shape) * (BOX / n_side)
+    pos %= BOX
+    n = len(pos)
+    ipos = jnp.asarray(float_to_ipos(pos, BOX))
+    vel = rng.normal(0, 10, (n, 3)).astype(np.float32)
+    mass = np.ones(n, np.float32)
+    oldacc = np.zeros(n, np.float32)
+    nmesh = 24
+    cfg = PMConfig(nmesh=nmesh, boxsize=BOX, G=G, asmth=1.5)
+    sp = ShortRangeParams(boxsize=BOX, cellsize=BOX / nmesh,
+                          rcut=6 * BOX / nmesh, asmth=1.5, use_bh=1,
+                          softening=BOX / 12 / 30 * 2.8, G=G)
+    kick = jnp.float32(1e-4)
+    drift = jnp.float32(1e-4)
+
+    accel_pm, _, _ = pm_forces(ipos, jnp.asarray(mass), cfg,
+                               want_potential=False)
+    tree = build_octree(ipos, jnp.asarray(mass), jnp.asarray(mass) > 0,
+                        BOX, nlevels=5, ncrit=16)
+    accel_tree, _, _ = treegrav_refined(tree, jnp.asarray(oldacc), sp,
+                                        None, maxi=1024, maxl=512,
+                                        ncrit=16, sub=32)
+    accel_ref = np.asarray(accel_pm + accel_tree)
+    vel_ref = vel + accel_ref * kick
+
+    mesh = make_mesh(NDEV)
+    fields = {"ipos": np.asarray(ipos), "vel": vel, "mass": mass,
+              "oldacc": oldacc, "pid": np.arange(n, dtype=np.int32)}
+    sharded, C = distribute_slabs(mesh, fields, block=64)
+    step = make_slab_step(mesh, cfg, sp, None, tree_nlevels=5,
+                          tree_ncrit=16, maxi=1024, maxl=512,
+                          block=64, schedule="refined", sub=32,
+                          pcaps=(64, 128, 512, 512))
+    out, info = step(sharded, kick, drift)
+    assert int(info["dropped"]) == 0
+    assert int(info["halo_lost"]) == 0
+    assert int(info["walk_overflow"]) == 0, np.asarray(
+        info["grav_diag"])
+    assert int(info["n_alive"]) == n
+
+    got = collect_alive({k: np.asarray(v) for k, v in out.items()})
+    order = np.argsort(got["pid"])
+    vel_out = got["vel"][order]
+    scale = np.abs(vel_ref - vel).max()
+    np.testing.assert_allclose(vel_out, vel_ref,
+                               atol=5e-4 * scale + 1e-7)

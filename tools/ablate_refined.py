@@ -52,7 +52,8 @@ oldacc = jnp.full(n, 100.0, jnp.float32)
 T, block, sub, ncrit = n, 128, 32, 32
 level = auto_block_level(T, block)
 nb = _next_pow2((T + 127) // 128 + max(T // 256, 1))
-tgt_idx, tgt_valid, lists, order_s, diag = _blocks_traverse_count(
+(tgt_idx, tgt_valid, lists, _kb, order_s, diag, _qt, _qs,
+ _qc) = _blocks_traverse_count(
     tree, oldacc, jnp.zeros(0, bool), sp, T, block, level, nb,
     1024, 512, False, sub, ncrit)
 jax.block_until_ready(tgt_idx)

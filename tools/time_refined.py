@@ -10,6 +10,7 @@ sys.path.insert(0, "/root/repo")
 
 import numpy as np
 import jax
+from functools import partial
 import jax.numpy as jnp
 
 from bench import _clustered
@@ -127,30 +128,83 @@ if which == "detail":
         out = trav(); jax.block_until_ready(out)
     print(f"traverse+count {(time.perf_counter()-t0)/3*1e3:.1f} ms",
           flush=True)
-    tgt_idx, tgt_valid, lists, keepbits, order_s, diag = out
+    (tgt_idx, tgt_valid, lists, keepbits, order_s, diag, qtab,
+     qstart, qcn) = out
     d = [int(x) for x in np.asarray(diag)]
     print("diag", d, flush=True)
     nbs = nb * (128 // sub)
-    t2 = max(nbs // 8, 1)
-    s_max, s_small = d[4], d[5]
-    from shenqi_tpu.gravity.shortrange_refined import _round_cap
-    pcap_big = _round_cap(s_max + 1)
-    pcap_small = _round_cap(s_small + 1)
-    print(f"nbs={nbs} s_max={s_max} s_small={s_small} "
-          f"pcaps {pcap_small}/{pcap_big}", flush=True)
-    small_sel = jnp.sort(order_s[:nbs - t2])
-    big_sel = jnp.sort(order_s[nbs - t2:])
-    for name, selq, cap, ns in (("small", small_sel, pcap_small,
-                                 nbs - t2),
-                                ("big", big_sel, pcap_big, t2)):
+    from shenqi_tpu.gravity.shortrange_refined import (_round_cap,
+                                                       tier_bounds)
+    bounds = tier_bounds(nbs)
+    pcaps = []
+    hi = 0
+    for c in d[4:8]:
+        hi = max(hi, _round_cap(c + 1))
+        pcaps.append(hi)
+    print(f"nbs={nbs} tier quad counts {d[4:8]} pcaps {pcaps}",
+          flush=True)
+    engv = eng or "xla"
+    lo = 0
+    for ti, (b, cap) in enumerate(zip(bounds, pcaps)):
+        ns = b - lo
+        if ns <= 0:
+            lo = b
+            continue
+        selq = jnp.sort(order_s[lo:b])
+        lo = b
         def ev():
             return _refined_eval(tree, lists, tgt_idx, tgt_valid,
-                                 keepbits, selq, sp_rel, wt, 32, sub,
+                                 keepbits, selq, qtab, qstart, qcn,
+                                 sp_rel, wt, 32, sub,
                                  cap, ns, 128, has_nodes=d[2] > 0,
-                                 want_pot=False)
+                                 want_pot=False, engine=engv)
         o = ev(); jax.block_until_ready(o)
         t0 = time.perf_counter()
         for _ in range(3):
             o = ev(); jax.block_until_ready(o)
-        print(f"eval {name} (cap {cap}, {ns} subs) "
+        print(f"eval t{ti} (qcap {cap}, {ns} subs) "
               f"{(time.perf_counter()-t0)/3*1e3:.1f} ms", flush=True)
+
+if which == "parts":
+    # piecewise timing of the traverse+count program's stages
+    from shenqi_tpu.gravity.shortrange_refined import (
+        _next_pow2, build_quad_table, packed_counts)
+    from shenqi_tpu.ops.blockwalk import (auto_block_level,
+                                          make_blocks_device,
+                                          block_traverse)
+    T = n
+    block = 128
+    level = auto_block_level(T, block)
+    nb = _next_pow2((T + 127) // 128 + max(T // 256, 1))
+
+    def timeto(label, fn, reps=3):
+        out = fn(); jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(); jax.block_until_ready(out)
+        print(f"{label:18s} {(time.perf_counter()-t0)/reps*1e3:8.1f} ms",
+              flush=True)
+        return out
+
+    tgt_rows = jnp.arange(n, dtype=jnp.int32)
+    tvalid = tree.mass_s > 0
+    mk = jax.jit(make_blocks_device, static_argnums=(3, 4, 5))
+    out = timeto("make_blocks", lambda: mk(
+        tree, tgt_rows, tvalid, block, level, nb, sp.boxsize))
+    bb_lo, bb_hi, tgt_idx, tgt_valid, b_ovf = out
+    aold = jnp.full(nb, 1e30, jnp.float32)
+    maxl2 = int(os.environ.get("MAXL2", 1024))
+    bt = partial(block_traverse, maxi=1024, maxl=maxl2,
+                 mode="gravity")
+    out2 = timeto("walk", lambda: bt(
+        tree, bb_lo, bb_hi, jnp.zeros(nb, jnp.float32), aold,
+        sp.boxsize, sp.rcut, 0.175 ** 2, 0))
+    lists = out2
+    out3 = timeto("quad_build", lambda: build_quad_table(tree, 32))
+    qtab, qstart, qcn = out3
+    tgt_u32 = tree.ipos_s[tgt_idx.reshape(-1)].reshape(nb, block, 3)
+    pk = jax.jit(packed_counts, static_argnums=(5, 6))
+    timeto("packed_counts", lambda: pk(
+        tree, lists, tgt_u32, tgt_valid, sp_rel, 32, 32, qcn))
+    timeto("tree_build", lambda: build_octree(
+        ipos, mass, mass > 0, box, nlevels=nlevels, ncrit=32))
