@@ -245,14 +245,23 @@ def _pair_fac_any(r2, mass, params, window_tables, want_pot):
 
 
 def packed_counts(tree, lists: BlockLists, tgt_u32, tgt_valid,
-                  params, sub: int, ncrit: int, qc,
+                  params, sub: int, ncrit: int, qstart, qc,
                   batch: int = 512):
-    """Per-sub-block packed-source QUAD counts + keep bitmasks.
+    """Per-sub-block packed-source QUAD counts, keep bitmasks, and
+    per-block leaf metadata.
 
-    Returns (counts [nb*nsub] int32 — quad rows, 4 particles each —
-    and keepbits [nb*nsub, ML//32] uint32).  Must agree exactly with
-    the packing in _refined_eval (the host sizes the static caps from
-    these counts).  Batched over blocks to bound the [batch, nsub, M]
+    Gathers ONE interleaved 32-byte row per (block, listed leaf) —
+    center/length/mass/qstart/qc — instead of five separate lookups
+    (elementwise gathers cost ~10 ns per ROW almost independent of
+    width; separate gathers at 128^3 were ~3 s of the count pass and
+    another ~2.7 s re-gathered across eval tiers).
+
+    Returns (counts [nb*nsub] i32 — quad rows —, keepbits
+    [nb*nsub, ML//32] u32, leaf_meta [nb, ML, 2] i32 = (qstart, qc)
+    per listed leaf, threaded to _refined_eval so tiers never touch
+    the per-node tables again).  Must agree exactly with the packing
+    in _refined_eval (the host sizes the static caps from these
+    counts).  Batched over blocks to bound the [batch, nsub, ML]
     classification temporaries.
     """
     nb, block, _ = tgt_u32.shape
@@ -265,38 +274,64 @@ def packed_counts(tree, lists: BlockLists, tgt_u32, tgt_valid,
     while nb % bb:
         bb //= 2
 
+    icast = partial(jax.lax.bitcast_convert_type, new_dtype=jnp.int32)
+    fcast = partial(jax.lax.bitcast_convert_type,
+                    new_dtype=jnp.float32)
+    # interleaved per-node classification row (32B):
+    # center(3) length mass qstart qc pad
+    M = tree.center.shape[0]
+    ntab = jnp.concatenate(
+        [icast(tree.center), icast(tree.length)[:, None],
+         icast(tree.mass)[:, None], qstart[:, None], qc[:, None],
+         jnp.zeros((M, 1), jnp.int32)], axis=1)
+
     shifts = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
 
     def one(args):
         leaf_ids, n_leaves, tgt, val = args
         lo, hi, live = _sub_bbox(tgt, val, sub, box)
-        lk = _keep_mask(tree, leaf_ids, n_leaves, lo, hi, live, box,
-                        rcut2)                       # [bb, ns, ML]
-        pc = jnp.where(leaf_ids >= 0,
-                       qc[jnp.maximum(leaf_ids, 0)], 0)  # [bb, ML]
+        row = ntab[jnp.maximum(leaf_ids, 0)]        # [bb, ML, 8]
+        cen = fcast(row[:, :, 0:3])
+        length = fcast(row[:, :, 3])
+        nmass = jnp.where(leaf_ids >= 0, fcast(row[:, :, 4]), 0.0)
+        lane = (jnp.arange(ML)[None, :]
+                < n_leaves[:, None]) & (nmass > 0)
+        c = 0.5 * (lo + hi)[:, :, None, :]          # [bb, ns, 1, 3]
+        h = 0.5 * (hi - lo)[:, :, None, :]
+        d = cen[:, None, :, :] - c
+        d = d - box * jnp.round(d / box)
+        dbox = jnp.maximum(jnp.abs(d) - h, 0.0)
+        dcell = jnp.maximum(
+            dbox - 0.5 * length[:, None, :, None], 0.0)
+        drop = jnp.sum(dcell * dcell, axis=-1) > rcut2
+        lk = lane[:, None, :] & live[:, :, None] & (~drop)
+
+        pc = jnp.where(leaf_ids >= 0, row[:, :, 6], 0)   # [bb, ML]
         counts = jnp.sum(
             jnp.where(lk, pc[:, None, :], 0), axis=2).astype(jnp.int32)
         bits = jnp.sum(
             jnp.where(lk.reshape(bb, nsub, ML // 32, 32),
                       shifts[None, None, None, :], jnp.uint32(0)),
             axis=3, dtype=jnp.uint32)
-        return counts, bits
+        meta = jnp.stack([row[:, :, 5], pc], axis=-1)    # [bb, ML, 2]
+        return counts, bits, meta
 
     nbatch = nb // bb
     args = (lists.leaf_ids.reshape(nbatch, bb, -1),
             lists.n_leaves.reshape(nbatch, bb),
             tgt_u32.reshape(nbatch, bb, block, 3),
             tgt_valid.reshape(nbatch, bb, block))
-    counts, bits = jax.lax.map(one, args)
+    counts, bits, meta = jax.lax.map(one, args)
     return (counts.reshape(nb * nsub),
-            bits.reshape(nb * nsub, ML // 32))
+            bits.reshape(nb * nsub, ML // 32),
+            meta.reshape(nb, ML, 2))
 
 
 @partial(jax.jit, static_argnames=("params", "ncrit", "sub", "pcap",
                                    "nsel", "block", "batch",
                                    "has_nodes", "want_pot", "engine"))
 def _refined_eval(tree: Octree, lists: BlockLists, tgt_idx, tgt_valid,
-                  keepbits, sel, qtab, qstart, qc,
+                  keepbits, sel, qtab, leaf_meta,
                   params: ShortRangeParams,
                   window_tables, ncrit: int, sub: int, pcap: int,
                   nsel: int, block: int, batch: int = 1024,
@@ -305,8 +340,10 @@ def _refined_eval(tree: Octree, lists: BlockLists, tgt_idx, tgt_valid,
     """Evaluate the selected sub-blocks with packed source tables.
 
     sel [nsel] int32: flat sub-block ids (b * nsub + s).
-    qtab/qstart/qc: quad-packed source table (build_quad_table);
-    pcap counts QUAD rows (4 particles each).
+    qtab: quad-packed source table (build_quad_table); leaf_meta
+    [nb, ML, 2] = per listed leaf (qstart, qc), pre-gathered by
+    packed_counts (re-gathering per node per tier was ~2.7 s at
+    128^3); pcap counts QUAD rows (4 particles each).
     Returns (acc [nsel, sub, 3], pot [nsel, sub]) G-multiplied, in
     sub-block lane order.
     """
@@ -345,7 +382,6 @@ def _refined_eval(tree: Octree, lists: BlockLists, tgt_idx, tgt_valid,
         sel_b, kb = args                        # [bbs], [bbs, ML//32]
         b = sel_b // nsub
         s = sel_b % nsub
-        leaf_ids = lists.leaf_ids[b]            # [bbs, ML]
         rows = (b[:, None] * block + s[:, None] * sub
                 + jnp.arange(sub, dtype=jnp.int32)[None, :])
         tidx = tgt_idx.reshape(-1)[rows]        # [bbs, sub]
@@ -356,8 +392,8 @@ def _refined_eval(tree: Octree, lists: BlockLists, tgt_idx, tgt_valid,
               >> jnp.arange(32, dtype=jnp.uint32)[None, None, :]
               & jnp.uint32(1)).astype(bool).reshape(bbs, ML)
 
-        safe_l = jnp.maximum(leaf_ids, 0)
-        pc = jnp.where(leaf_ids >= 0, qc[safe_l], 0)
+        meta = leaf_meta[b]                     # [bbs, ML, 2]
+        pc = meta[:, :, 1]
         cnt = jnp.where(lk, pc, 0)
         cum = jnp.cumsum(cnt, axis=1)
         excl = cum - cnt
@@ -367,7 +403,7 @@ def _refined_eval(tree: Octree, lists: BlockLists, tgt_idx, tgt_valid,
         # QUAD slot p of the packed table reads row v(p) + p where v
         # is the boundary value qstart - excl of the owning leaf
         # (both nondecreasing over kept leaves in Morton order)
-        qst = qstart[safe_l]
+        qst = meta[:, :, 0]
         v = jnp.where(lk, qst - excl, 0)
         dst = jnp.where(lk, jnp.minimum(excl, pcap), pcap)
         flat = (jnp.arange(bbs, dtype=jnp.int32)[:, None]
@@ -519,8 +555,9 @@ def _blocks_traverse_count(tree, oldacc, active, params, T, block,
 
     qtab, qstart, qc = build_quad_table(tree, ncrit)
     tgt_u32 = tree.ipos_s[tgt_idx.reshape(-1)].reshape(nb, block, 3)
-    counts, keepbits = packed_counts(tree, lists, tgt_u32, tgt_valid,
-                                     params, sub, ncrit, qc)
+    counts, keepbits, leaf_meta = packed_counts(
+        tree, lists, tgt_u32, tgt_valid, params, sub, ncrit,
+        qstart, qc)
     nbs = counts.shape[0]
     order_s = jnp.argsort(counts)
     # per-tier max quad counts at the static tier boundaries (the
@@ -534,8 +571,8 @@ def _blocks_traverse_count(tree, oldacc, active, params, T, block,
         jnp.any(lists.overflow).astype(jnp.int32),
         jnp.max(lists.n_nodes), jnp.max(lists.n_leaves),
         *tier_c, f_ovf.astype(jnp.int32)])
-    return (tgt_idx, tgt_valid, lists, keepbits, order_s, diag,
-            qtab, qstart, qc)
+    return (tgt_idx, tgt_valid, lists, keepbits, leaf_meta, order_s,
+            diag, qtab)
 
 
 def _round_cap(x: int, align: int = 128) -> int:
@@ -550,7 +587,7 @@ def _round_cap(x: int, align: int = 128) -> int:
 
 
 def _tiered_evals(tree, lists, tgt_idx, tgt_valid, keepbits, order_s,
-                  qtab, qstart, qc, params, window_tables, ncrit,
+                  qtab, leaf_meta, params, window_tables, ncrit,
                   sub, block, nbs, pcaps, has_nodes, want_pot,
                   engine):
     """Shared tier dispatch: one packed eval per non-empty tier with
@@ -566,7 +603,7 @@ def _tiered_evals(tree, lists, tgt_idx, tgt_valid, keepbits, order_s,
             continue
         sel = jnp.sort(order_s[lo:b])
         a, pp = _refined_eval(tree, lists, tgt_idx, tgt_valid,
-                              keepbits, sel, qtab, qstart, qc, params,
+                              keepbits, sel, qtab, leaf_meta, params,
                               window_tables, ncrit, sub, pcap, nsel,
                               block, has_nodes=has_nodes,
                               want_pot=want_pot, engine=engine)
@@ -602,8 +639,8 @@ def treegrav_refined_fixed(tree: Octree, oldacc, params,
     compact = active is not None
     if not compact:
         active = jnp.zeros(0, bool)
-    (tgt_idx, tgt_valid, lists, keepbits, order_s, diag, qtab,
-     qstart, qc) = \
+    (tgt_idx, tgt_valid, lists, keepbits, leaf_meta, order_s, diag,
+     qtab) = \
         _blocks_traverse_count(tree, oldacc, active, params, T, block,
                                level, nb, maxi, maxl, compact, sub,
                                ncrit, traversal=traversal, fcap=fcap,
@@ -619,7 +656,7 @@ def treegrav_refined_fixed(tree: Octree, oldacc, params,
     # carry zero mass; ~2 extra chunks per batch, never wrong)
     acc_bs, pot_bs = _tiered_evals(
         tree, lists, tgt_idx, tgt_valid, keepbits, order_s, qtab,
-        qstart, qc, params, window_tables, ncrit, sub, block, nbs,
+        leaf_meta, params, window_tables, ncrit, sub, block, nbs,
         pcaps, True, want_pot, engine)
 
     flat_idx = jnp.where(tgt_valid, tgt_idx, n).reshape(-1)
@@ -679,8 +716,8 @@ def treegrav_refined(tree: Octree, oldacc, params: ShortRangeParams,
         fcap = max(fcap, caps_cache.get("fcap", 0))
 
     for attempt in range(2 * (auto_grow + 1)):
-        (tgt_idx, tgt_valid, lists, keepbits, order_s, diag, qtab,
-         qstart, qc) = \
+        (tgt_idx, tgt_valid, lists, keepbits, leaf_meta, order_s,
+         diag, qtab) = \
             _blocks_traverse_count(tree, oldacc, active, params, T,
                                    block, level, nb, maxi, maxl,
                                    compact, sub, ncrit,
@@ -735,7 +772,7 @@ def treegrav_refined(tree: Octree, oldacc, params: ShortRangeParams,
 
     acc_bs, pot_bs = _tiered_evals(
         tree, lists, tgt_idx, tgt_valid, keepbits, order_s, qtab,
-        qstart, qc, params, window_tables, ncrit, sub, block, nbs,
+        leaf_meta, params, window_tables, ncrit, sub, block, nbs,
         pcaps, has_nodes, want_pot, engine)
 
     # scatter back: sub-block lanes -> sorted rows -> original order

@@ -1,0 +1,465 @@
+"""Grid-stencil short-range gravity: a direct-P3M neighbour scheme.
+
+Measurement-driven redesign (round 3).  At production scales the
+relative-acceleration MAC accepts NOTHING within rcut — the traversal
+diag shows max accepted monopoles == 0 at 64^3 AND 128^3 clustered
+steady state: every node within rcut opens all the way to leaves.  The
+octree walk is therefore a pure neighbour ENUMERATOR, and an expensive
+one: at 128^3 it costs 5.1 s of a 22.8 s step (plus 1.6 s octree build
++ 3.9 s list classification, tools/time_refined.py WHICH=parts).
+
+A regular S^3 Morton cell grid enumerates the same neighbourhood in
+O(1) per target group:
+
+  * particles sort by level-k Morton cell id (cells PARTITION the
+    particle range by construction — none of the canonical-leaf
+    subtleties of the tree's nested is_leaf nodes);
+  * per cell, sources are quad-packed into an interleaved [*, 16] i32
+    table (4 particles per 64-byte row: elementwise gathers cost ~10
+    ns per ROW nearly independent of width);
+  * each 32-target sub-block tests the FIXED W^3 stencil of cells
+    around its bbox: cell geometry is pure arithmetic — no gathered
+    node table at all — and the only gather is one 8-byte
+    (qstart, qc) row per candidate;
+  * kept candidates (cell-to-bbox minimum-image distance < rcut,
+    gravshort-tree.c rcut semantics) are sorted by qstart and packed
+    with the boundary-scatter + cummax fill, then evaluated in
+    count-sorted tiers with static caps — the same dense schedule as
+    shortrange_refined._refined_eval;
+  * sub-blocks whose bbox is too wide for the W^3 window (sparse
+    regions) fall back to PER-TARGET stencils, for which W=5 is
+    sufficient by construction (a point spans no cells) — this also
+    serves small active subsets under hierarchical timestepping,
+    where 32 consecutive active targets span many cells.
+
+The force is STRICTLY more accurate than the walk engines: no
+monopole approximation inside rcut at all — every source within
+rcut (+ cell slop) is direct P2P through the smooth window
+(reference force law: libgadget/gravity/gravshort-tree.c +
+shortrange window table; pair math identical to
+shortrange_refined._pair_fac).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.particles import POS_SCALE
+from ..ops.morton import _expand_bits10
+from .shortrange import ShortRangeParams, PolyWindow
+from .shortrange_refined import _pair_fac_any, _next_pow2, _round_cap, \
+    tier_bounds
+
+
+def _cell_morton(coords, k: int):
+    """Morton cell id from integer cell coords [..., 3] at level k."""
+    cx = _expand_bits10(coords[..., 0].astype(jnp.uint32))
+    cy = _expand_bits10(coords[..., 1].astype(jnp.uint32))
+    cz = _expand_bits10(coords[..., 2].astype(jnp.uint32))
+    return ((cx << jnp.uint32(2)) | (cy << jnp.uint32(1))
+            | cz).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def build_grid(ipos, mass, k: int):
+    """Sort by level-k Morton cell; build cell + quad-packed tables.
+
+    Returns (order, ipos_s, mass_s, qtab [QT+1,16] i32,
+    qmeta [NC, 2] i32 = (qstart, qc) per cell, n_alive).
+    All cumsum/scatter based — no per-node argsort (the octree quad
+    build's 6.6M-node argsort cost 0.8 s at 128^3).
+    """
+    n = ipos.shape[0]
+    NC = 8 ** k
+    alive = mass > 0
+    top = (ipos >> jnp.uint32(32 - k)).astype(jnp.uint32)
+    cid = _cell_morton(top, k)
+    cid = jnp.where(alive, cid, NC)
+    order = jnp.argsort(cid).astype(jnp.int32)
+    cid_s = cid[order]
+    ipos_s = ipos[order]
+    mass_s = jnp.where(alive[order], mass[order], 0.0
+                       ).astype(jnp.float32)
+
+    cstart = jnp.searchsorted(
+        cid_s, jnp.arange(NC + 1, dtype=jnp.int32)).astype(jnp.int32)
+    n_alive = cstart[NC]
+    pcount = jnp.diff(jnp.concatenate([cstart,
+                                       jnp.array([n], jnp.int32)])
+                      )[:NC]
+    qc = (pcount + 3) >> 2
+    qstart = (jnp.cumsum(qc) - qc).astype(jnp.int32)
+
+    # per-particle table slot via boundary fill: B = 4*qstart - cstart
+    # scattered at each nonempty cell's first particle, cummax-filled
+    # (B is nondecreasing: 4*ceil(pc/4) >= pc)
+    B = 4 * qstart - cstart[:NC]
+    dst = jnp.where(pcount > 0, cstart[:NC], n)
+    bf = jnp.zeros(n + 1, jnp.int32).at[dst].max(
+        B, mode="promise_in_bounds")
+    bf = jax.lax.cummax(bf[:n])
+    p = jnp.arange(n, dtype=jnp.int32)
+    QT = n // 4 + NC + 1
+    slot = jnp.where(p < n_alive, jnp.minimum(bf + p, 4 * QT - 1),
+                     4 * QT)
+
+    rows = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(ipos_s, jnp.int32),
+         jax.lax.bitcast_convert_type(mass_s, jnp.int32)[:, None]],
+        axis=1)
+    flat = jnp.zeros((4 * QT + 4, 4), jnp.int32).at[slot].set(
+        rows, mode="promise_in_bounds")
+    qtab = flat[: 4 * (QT + 1)].reshape(QT + 1, 16)
+    qtab = qtab.at[QT].set(0)
+    qmeta = jnp.stack([qstart, qc], axis=1)
+    return order, ipos_s, mass_s, qtab, qmeta, n_alive
+
+
+def _classify(bb_lo, bb_hi, live, qmeta, k: int, box, rcut, W: int,
+              CAND: int):
+    """Candidate stencil classification for [nbs] bboxes.
+
+    Pure arithmetic geometry (no node table): candidates are the W^3
+    cells from floor((bb_lo - rcut)/cell); a candidate is kept when
+    its box lies within rcut of the bbox (minimum-image).  Kept
+    candidates' (qstart, qc) are returned SORTED by qstart with
+    dropped lanes forced to (BIG, 0) — qc=0 lanes are no-ops in the
+    cummax packing, so no separate keep mask is needed downstream.
+
+    Returns (qst [nbs, CAND], qcn [nbs, CAND], counts [nbs],
+    cover_ovf [nbs] bool).
+    """
+    S = 1 << k
+    cell = box / S
+    inv = 1.0 / cell
+    base = jnp.floor(bb_lo * inv - rcut * inv).astype(jnp.int32)
+    need = (jnp.floor(bb_hi * inv + rcut * inv).astype(jnp.int32)
+            - base + 1)                            # [nbs, 3]
+    cover_ovf = live & jnp.any(need > W, axis=-1)
+
+    r = jnp.arange(W, dtype=jnp.int32)
+    offs = jnp.stack(jnp.meshgrid(r, r, r, indexing="ij"),
+                     axis=-1).reshape(-1, 3)       # [W^3, 3]
+    coords = base[:, None, :] + offs[None, :, :]   # [nbs, W^3, 3]
+    lane = jnp.all(offs[None, :, :] < need[:, None, :], axis=-1)
+    wrapped = jnp.remainder(coords, S)
+    cid = _cell_morton(wrapped, k)                 # [nbs, W^3]
+    meta = qmeta[jnp.maximum(cid, 0)]              # [nbs, W^3, 2]
+    qst = meta[:, :, 0]
+    qcn = meta[:, :, 1]
+
+    # unwrapped geometry: the window was built around the bbox, so
+    # centers are already minimum-image — no box wrap needed
+    ccen = (coords.astype(jnp.float32) + 0.5) * cell
+    c = 0.5 * (bb_lo + bb_hi)[:, None, :]
+    h = 0.5 * (bb_hi - bb_lo)[:, None, :]
+    d = jnp.abs(ccen - c)
+    dcell = jnp.maximum(d - h - 0.5 * cell, 0.0)
+    drop = jnp.sum(dcell * dcell, axis=-1) > rcut * rcut
+    keep = lane & (~drop) & live[:, None] & (qcn > 0)
+
+    BIG = jnp.int32(2 ** 30)
+    skey = jnp.where(keep, qst, BIG)
+    qcn = jnp.where(keep, qcn, 0)
+    if CAND > W ** 3:
+        pad = CAND - W ** 3
+        skey = jnp.pad(skey, ((0, 0), (0, pad)),
+                       constant_values=2 ** 30)
+        qcn = jnp.pad(qcn, ((0, 0), (0, pad)))
+    skey, qcn = jax.lax.sort((skey, qcn), dimension=1, num_keys=1)
+    counts = jnp.sum(qcn, axis=1, dtype=jnp.int32)
+    qst = jnp.where(qcn > 0, skey, 0)
+    return qst, qcn, counts, cover_ovf
+
+
+@partial(jax.jit, static_argnames=("params", "sub", "pcap", "nsel",
+                                   "batch", "want_pot", "engine"))
+def _stencil_eval(ipos_s, qtab, tgt_idx, tgt_valid, qst, qcn, sel,
+                  params: ShortRangeParams, window_tables, sub: int,
+                  pcap: int, nsel: int, batch: int = 1024,
+                  want_pot: bool = False, engine: str = "xla"):
+    """Packed dense evaluation of the selected stencil sub-blocks.
+
+    tgt_idx [nbs, sub] rows into ipos_s; qst/qcn [nbs, CAND] sorted
+    candidate meta; sel [nsel] sub-block ids; pcap in QUAD rows.
+    Returns (acc [nsel, sub, 3], pot [nsel, sub]) * G in sel order.
+    """
+    box = params.boxsize
+    to_f = jnp.float32(box / POS_SCALE)
+    QCH = 128
+    while pcap % QCH:
+        QCH //= 2
+    bbs = min(batch, nsel)
+    while nsel % bbs:
+        bbs //= 2
+    nbatch = nsel // bbs
+    QT = qtab.shape[0] - 1
+
+    def pair_accum(tgt, spos, smass, acc, pot):
+        d = spos[:, None, :, :] - tgt[:, :, None, :]
+        dx = jax.lax.bitcast_convert_type(
+            d, jnp.int32).astype(jnp.float32) * to_f
+        r2 = jnp.sum(dx * dx, axis=-1)
+        ff, fp = _pair_fac_any(r2, smass[:, None, :], params,
+                               window_tables, want_pot)
+        acc = acc + jnp.sum(dx * ff[..., None], axis=2)
+        if want_pot:
+            pot = pot + jnp.sum(fp, axis=2)
+        return acc, pot
+
+    def eval_batch(sel_b):
+        tidx = tgt_idx[sel_b]                    # [bbs, sub]
+        tval = tgt_valid[sel_b]
+        tgt = ipos_s[tidx]                       # [bbs, sub, 3] u32
+        q0 = qst[sel_b]                          # [bbs, CAND]
+        qn = qcn[sel_b]
+
+        cum = jnp.cumsum(qn, axis=1)
+        excl = cum - qn
+        total = cum[:, -1]
+        v = jnp.where(qn > 0, q0 - excl, 0)
+        dst = jnp.where(qn > 0, jnp.minimum(excl, pcap), pcap)
+        flat = (jnp.arange(bbs, dtype=jnp.int32)[:, None]
+                * (pcap + 1) + dst)
+        buf = jnp.zeros(bbs * (pcap + 1), jnp.int32).at[
+            flat.reshape(-1)].max(v.reshape(-1),
+                                  mode="promise_in_bounds")
+        vf = jax.lax.cummax(buf.reshape(bbs, pcap + 1)[:, :pcap],
+                            axis=1)
+        p = jnp.arange(pcap, dtype=jnp.int32)[None, :]
+        valid = p < total[:, None]
+        pidx = jnp.where(valid, jnp.minimum(vf + p, QT - 1), QT)
+
+        srow = qtab[pidx]                        # [bbs, pcap, 16]
+        srow = srow.reshape(bbs, pcap * 4, 4)
+        spos = jax.lax.bitcast_convert_type(srow[:, :, :3],
+                                            jnp.uint32)
+        smass = jax.lax.bitcast_convert_type(srow[:, :, 3],
+                                             jnp.float32)
+
+        def chunk(carry, c):
+            acc, pot = carry
+            sl = jax.lax.dynamic_slice_in_dim(
+                spos, c * 4 * QCH, 4 * QCH, axis=1)
+            sm = jax.lax.dynamic_slice_in_dim(
+                smass, c * 4 * QCH, 4 * QCH, axis=1)
+            acc, pot = pair_accum(tgt, sl, sm, acc, pot)
+            return (acc, pot), None
+
+        acc0 = jnp.zeros((bbs, sub, 3), jnp.float32)
+        pot0 = jnp.zeros((bbs, sub), jnp.float32)
+        (acc, pot), _ = jax.lax.scan(chunk, (acc0, pot0),
+                                     jnp.arange(pcap // QCH))
+        acc = jnp.where(tval[..., None], acc, 0.0)
+        pot = jnp.where(tval, pot, 0.0)
+        return acc, pot
+
+    acc, pot = jax.lax.map(eval_batch, sel.reshape(nbatch, bbs))
+    return (acc.reshape(nsel, sub, 3) * params.G,
+            pot.reshape(nsel, sub) * params.G)
+
+
+@partial(jax.jit, static_argnames=("params", "k", "sub", "W", "CAND",
+                                   "T", "compact"))
+def _stencil_count(ipos, mass, active, params, k: int,
+                   sub: int, W: int, CAND: int, T: int,
+                   compact: bool):
+    """Fused device program: grid build, target compaction, stencil
+    classification, tier order + diag for the single host sync.
+
+    T is the padded target count (multiple of sub, clamped to n by
+    the caller); padding lanes duplicate row n-1 with valid=False."""
+    n = ipos.shape[0]
+    order, ipos_s, mass_s, qtab, qmeta, n_alive = build_grid(
+        ipos, mass, k)
+    alive_s = mass_s > 0
+    lanes = jnp.arange(T, dtype=jnp.int32)
+    if compact:
+        act_s = active[order] & alive_s
+        order2 = jnp.argsort(jnp.where(act_s, 0, 1).astype(jnp.int8),
+                             stable=True)
+        tgt_rows = order2[jnp.minimum(lanes, n - 1)].astype(jnp.int32)
+        tvalid = act_s[tgt_rows] & (lanes < n)
+    else:
+        tgt_rows = jnp.minimum(lanes, n - 1)
+        tvalid = alive_s[tgt_rows] & (lanes < n)
+    nbs = T // sub
+    tgt_idx = tgt_rows.reshape(nbs, sub)
+    tgt_valid = tvalid.reshape(nbs, sub)
+
+    box = params.boxsize
+    to_f = jnp.float32(box / POS_SCALE)
+    tpos = ipos_s[tgt_idx.reshape(-1)].reshape(nbs, sub, 3)
+    tf = tpos.astype(jnp.float32) * to_f
+    BIGF = jnp.float32(3.4e38)
+    vv = tgt_valid[..., None]
+    bb_lo = jnp.min(jnp.where(vv, tf, BIGF), axis=1)
+    bb_hi = jnp.max(jnp.where(vv, tf, -BIGF), axis=1)
+    live = jnp.any(tgt_valid, axis=1)
+    bb_lo = jnp.where(live[:, None], bb_lo, 0.0)
+    bb_hi = jnp.where(live[:, None], bb_hi, 0.0)
+
+    qst, qcn, counts, cover = _classify(bb_lo, bb_hi, live, qmeta, k,
+                                        box, params.rcut, W, CAND)
+    # coverage-overflow subs are evaluated per target elsewhere:
+    # zero them here so their tier slots cost nothing
+    qcn = jnp.where(cover[:, None], 0, qcn)
+    counts = jnp.where(cover, 0, counts)
+
+    order_s = jnp.argsort(counts)
+    tier_c = [counts[order_s[b - 1]] if b > 0 else jnp.int32(0)
+              for b in tier_bounds(nbs)]
+    n_cover = jnp.sum(cover.astype(jnp.int32))
+    diag = jnp.stack([*tier_c, n_cover])
+    return (order, ipos_s, qtab, qmeta, tgt_idx, tgt_valid, qst, qcn,
+            order_s, cover, diag)
+
+
+@partial(jax.jit, static_argnames=("params", "k", "W", "CAND", "PP"))
+def _cover_units(ipos_s, qmeta, tgt_idx, tgt_valid, cover, params,
+                 k: int, W: int, CAND: int, PP: int):
+    """Expand coverage-overflow sub-blocks into per-target units and
+    classify each with its own (always-sufficient) W^3 stencil.
+
+    Returns (u_idx [PP,1], u_valid [PP,1], qst/qcn [PP, CAND],
+    counts [PP], n_units, pp_count_max)."""
+    nbs, sub = tgt_idx.shape
+    box = params.boxsize
+    to_f = jnp.float32(box / POS_SCALE)
+    umask = (cover[:, None] & tgt_valid).reshape(-1)
+    rows = tgt_idx.reshape(-1)
+    ord2 = jnp.argsort(jnp.where(umask, 0, 1).astype(jnp.int8),
+                       stable=True)[:PP]
+    u_idx = rows[ord2][:, None]                    # [PP, 1]
+    u_valid = umask[ord2][:, None]
+    n_units = jnp.sum(umask.astype(jnp.int32))
+
+    tf = (ipos_s[u_idx[:, 0]].astype(jnp.float32) * to_f)
+    lo = jnp.where(u_valid, tf, 0.0)
+    qst, qcn, counts, cov2 = _classify(lo, lo, u_valid[:, 0], qmeta,
+                                       k, box, params.rcut, W, CAND)
+    # a point target always fits the W>=5 window
+    return (u_idx, u_valid, qst, qcn, counts, n_units,
+            jnp.max(counts))
+
+
+def stencilgrav(ipos, mass, params: ShortRangeParams,
+                window_tables=None, n_targets: int = None,
+                sub: int = 32, k: int = None, W: int = 5,
+                active=None, tier_cache: dict = None,
+                caps_cache: dict = None, want_pot: bool = False,
+                engine: str = None, batch: int = 1024,
+                pp_cap: int = 1024):
+    """Short-range gravity via the grid stencil (module docstring).
+
+    Drop-in sibling of treegrav_refined: same (acc, pot, None) return
+    in ORIGINAL particle order, same host-sync + grow-only cap
+    caching.  No octree required.
+    """
+    n = ipos.shape[0]
+    if n_targets is None:
+        n_targets = n
+    if k is None:
+        # cell in [rcut/2, rcut): finest power-of-two grid whose
+        # stencil halfwidth stays 2 (W=5 candidate window)
+        k = int(np.ceil(np.log2(params.boxsize / params.rcut)))
+    k = min(k, 10)
+    CAND = _next_pow2(W ** 3) if W ** 3 & (W ** 3 - 1) else W ** 3
+    compact = active is not None
+    if compact:
+        T = min(_next_pow2(max(int(n_targets), sub)), n)
+        active = jnp.asarray(active)
+    else:
+        T = n
+        active = jnp.zeros(0, bool)
+    T = ((T + sub - 1) // sub) * sub       # padded lanes (dup n-1)
+    if tier_cache is None:
+        tier_cache = {}
+
+    (order, ipos_s, qtab, qmeta, tgt_idx, tgt_valid, qst, qcn,
+     order_s, cover, diag) = _stencil_count(ipos, mass, active,
+                                            params, k, sub, W, CAND,
+                                            T, compact)
+    c1, c2, c3, c4, n_cover = [int(x) for x in np.asarray(diag)]
+
+    nbs = T // sub
+    key = ("stencil", k, sub, W, nbs)
+    cached = tier_cache.get(key, (0, 0, 0, 0))
+    pcaps = []
+    hi = 0
+    for c, cc in zip((c1, c2, c3, c4), cached):
+        hi = max(hi, _round_cap(c + 1), cc)
+        pcaps.append(hi)
+    pcaps = tuple(pcaps)
+    tier_cache[key] = pcaps
+
+    if engine is None:
+        import os
+        engine = os.environ.get("SHENQI_REFINED_ENGINE") or "xla"
+
+    acc_bs = jnp.zeros((nbs, sub, 3), jnp.float32)
+    pot_bs = jnp.zeros((nbs, sub), jnp.float32)
+    lo = 0
+    for b, pcap in zip(tier_bounds(nbs), pcaps):
+        nsel = b - lo
+        if nsel <= 0:
+            lo = b
+            continue
+        sel = jnp.sort(order_s[lo:b])
+        a, pp = _stencil_eval(ipos_s, qtab, tgt_idx, tgt_valid, qst,
+                              qcn, sel, params, window_tables, sub,
+                              pcap, nsel, batch=batch,
+                              want_pot=want_pot, engine=engine)
+        acc_bs = acc_bs.at[sel].set(a)
+        pot_bs = pot_bs.at[sel].set(pp)
+        lo = b
+
+    # ---- per-target fallback for coverage-overflow sub-blocks ----
+    if n_cover > 0:
+        if caps_cache is not None:
+            pp_cap = max(pp_cap, caps_cache.get("pp", 0))
+        PP = min(max(_next_pow2(32 * n_cover), pp_cap), T)
+        while True:
+            (u_idx, u_valid, uqst, uqcn, ucounts, n_units,
+             ucmax) = _cover_units(ipos_s, qmeta, tgt_idx, tgt_valid,
+                                   cover, params, k, W, CAND, PP)
+            if int(n_units) <= PP or PP >= T:
+                break
+            PP = min(PP * 2, T)
+        if caps_cache is not None:
+            caps_cache["pp"] = PP
+        ucap = max(_round_cap(int(ucmax) + 1),
+                   tier_cache.get(key + ("pp",), 0))
+        tier_cache[key + ("pp",)] = ucap
+        ua, up = _stencil_eval(ipos_s, qtab, u_idx, u_valid, uqst,
+                               uqcn, jnp.arange(PP, dtype=jnp.int32),
+                               params, window_tables, 1, ucap, PP,
+                               batch=min(batch * 8, PP),
+                               want_pot=want_pot, engine=engine)
+        # scatter per-target results into the sub-block lanes
+        flat_u = jnp.where(u_valid[:, 0],
+                           jnp.minimum(u_idx[:, 0], n - 1), n)
+        acc_u = jnp.zeros((n + 1, 3), jnp.float32).at[flat_u].set(
+            ua.reshape(PP, 3))
+        pot_u = jnp.zeros(n + 1, jnp.float32).at[flat_u].set(
+            up.reshape(PP))
+    else:
+        acc_u = None
+
+    # scatter back: sub lanes -> sorted rows -> original order
+    flat_idx = jnp.where(tgt_valid & ~cover[:, None], tgt_idx, n
+                         ).reshape(-1)
+    acc_sorted = jnp.zeros((n + 1, 3), jnp.float32).at[flat_idx].set(
+        acc_bs.reshape(-1, 3))
+    pot_sorted = jnp.zeros(n + 1, jnp.float32).at[flat_idx].set(
+        pot_bs.reshape(-1))
+    if acc_u is not None:
+        acc_sorted = acc_sorted + acc_u
+        pot_sorted = pot_sorted + pot_u
+    acc = jnp.zeros((n, 3), jnp.float32).at[order].set(acc_sorted[:n])
+    pot = jnp.zeros(n, jnp.float32).at[order].set(pot_sorted[:n])
+    return acc, pot, None

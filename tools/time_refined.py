@@ -128,8 +128,8 @@ if which == "detail":
         out = trav(); jax.block_until_ready(out)
     print(f"traverse+count {(time.perf_counter()-t0)/3*1e3:.1f} ms",
           flush=True)
-    (tgt_idx, tgt_valid, lists, keepbits, order_s, diag, qtab,
-     qstart, qcn) = out
+    (tgt_idx, tgt_valid, lists, keepbits, leaf_meta, order_s, diag,
+     qtab) = out
     d = [int(x) for x in np.asarray(diag)]
     print("diag", d, flush=True)
     nbs = nb * (128 // sub)
@@ -154,9 +154,12 @@ if which == "detail":
         lo = b
         def ev():
             return _refined_eval(tree, lists, tgt_idx, tgt_valid,
-                                 keepbits, selq, qtab, qstart, qcn,
+                                 keepbits, selq, qtab, leaf_meta,
                                  sp_rel, wt, 32, sub,
-                                 cap, ns, 128, has_nodes=d[2] > 0,
+                                 cap, ns, 128,
+                                 batch=int(os.environ.get("BBS",
+                                                          1024)),
+                                 has_nodes=d[2] > 0,
                                  want_pot=False, engine=engv)
         o = ev(); jax.block_until_ready(o)
         t0 = time.perf_counter()
@@ -205,6 +208,25 @@ if which == "parts":
     tgt_u32 = tree.ipos_s[tgt_idx.reshape(-1)].reshape(nb, block, 3)
     pk = jax.jit(packed_counts, static_argnums=(5, 6))
     timeto("packed_counts", lambda: pk(
-        tree, lists, tgt_u32, tgt_valid, sp_rel, 32, 32, qcn))
+        tree, lists, tgt_u32, tgt_valid, sp_rel, 32, 32, qstart,
+        qcn))
     timeto("tree_build", lambda: build_octree(
         ipos, mass, mass > 0, box, nlevels=nlevels, ncrit=32))
+
+if which == "stencil":
+    from shenqi_tpu.gravity.stencil import stencilgrav
+    tc3, cc3 = {}, {}
+    def sten():
+        a, _, _ = stencilgrav(ipos, mass, sp_rel, wt, sub=sub,
+                              tier_cache=tc3, caps_cache=cc3)
+        return a
+    timeit("stencil", sten)
+    a_old, _, _ = treegrav_blocked(
+        tree, oldacc, sp_rel, wt, n_targets=n, block=128,
+        maxi=maxi, maxl=maxl, ncrit=32, blocking="device",
+        tier_cache={}, caps_cache={}, want_pot=False)
+    a_new = sten()
+    d = np.linalg.norm(np.asarray(a_new) - np.asarray(a_old), axis=1)
+    s = np.median(np.linalg.norm(np.asarray(a_old), axis=1))
+    print(f"stencil-vs-blocked p50 {np.percentile(d/s,50):.2e} "
+          f"p99 {np.percentile(d/s,99):.2e}", flush=True)
