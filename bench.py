@@ -158,7 +158,17 @@ def bench_treepm(npart_side, nsteps, box=50000.0):
     from shenqi_tpu.gravity.window import window_polynomials
     wt = window_polynomials(sp.asmth)
 
-    def shortrange(tree, oldacc, params):
+    sten_caches = ({}, {})
+
+    def shortrange(tree, oldacc, params, cur_ipos=None):
+        if schedule == "stencil":
+            # grid-stencil direct-P3M: no octree at all (tree arg
+            # unused); strictly MAC-free inside rcut
+            from shenqi_tpu.gravity.stencil import stencilgrav
+            acc, _, _ = stencilgrav(
+                cur_ipos, mass, params, wt,
+                tier_cache=sten_caches[0], caps_cache=sten_caches[1])
+            return acc
         if schedule == "refined":
             from shenqi_tpu.gravity.shortrange_refined import \
                 treegrav_refined
@@ -178,11 +188,11 @@ def bench_treepm(npart_side, nsteps, box=50000.0):
     def step(ipos, vel, mass, oldacc, kick, drift):
         accel_pm, _, _ = pm_forces(ipos, mass, cfg,
                                    want_potential=False)
-        tree = build_octree(ipos, mass, mass > 0, box,
-                            nlevels=nlevels, ncrit=32)
+        tree = None if schedule == "stencil" else build_octree(
+            ipos, mass, mass > 0, box, nlevels=nlevels, ncrit=32)
         # production path: device-side cell-anchored blocks, cached
         # tier caps — no host position transfer per step
-        acc_tree = shortrange(tree, oldacc, sp_rel)
+        acc_tree = shortrange(tree, oldacc, sp_rel, cur_ipos=ipos)
         accel = accel_pm + acc_tree
         oldacc = jnp.linalg.norm(accel, axis=-1) / jnp.float32(sp.G)
         vel = vel + accel * kick
@@ -193,10 +203,11 @@ def bench_treepm(npart_side, nsteps, box=50000.0):
     k = jnp.float32(1e-4)
     # first step: strict BH opening to seed oldacc (use_bh=1 like
     # the reference's first force), excluded from the timing
-    tree0 = build_octree(ipos, mass, mass > 0, box,
-                         nlevels=nlevels, ncrit=32)
+    tree0 = None if schedule == "stencil" else build_octree(
+        ipos, mass, mass > 0, box, nlevels=nlevels, ncrit=32)
     acc0_pm, _, _ = pm_forces(ipos, mass, cfg, want_potential=False)
-    acc0_t = shortrange(tree0, jnp.zeros(n, jnp.float32), sp)
+    acc0_t = shortrange(tree0, jnp.zeros(n, jnp.float32), sp,
+                        cur_ipos=ipos)
     oldacc = jnp.linalg.norm(acc0_pm + acc0_t, axis=-1) \
         / jnp.float32(sp.G)
     ipos, vel, oldacc = step(ipos, vel, mass, oldacc, k, k)

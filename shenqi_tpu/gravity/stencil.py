@@ -120,7 +120,7 @@ def build_grid(ipos, mass, k: int):
 
 
 def _classify(bb_lo, bb_hi, live, qmeta, k: int, box, rcut, W: int,
-              CAND: int):
+              CAND: int, h_near=None):
     """Candidate stencil classification for [nbs] bboxes.
 
     Pure arithmetic geometry (no node table): candidates are the W^3
@@ -130,8 +130,12 @@ def _classify(bb_lo, bb_hi, live, qmeta, k: int, box, rcut, W: int,
     dropped lanes forced to (BIG, 0) — qc=0 lanes are no-ops in the
     cummax packing, so no separate keep mask is needed downstream.
 
-    Returns (qst [nbs, CAND], qcn [nbs, CAND], counts [nbs],
-    cover_ovf [nbs] bool).
+    h_near (softening length): when given, ALSO returns the NEAR
+    subset — cells within h of the bbox, the only ones that can hold
+    softened (r < h) pairs — for the capped-kernel correction pass.
+
+    Returns (qst, qcn [nbs, CAND], counts [nbs], cover_ovf [nbs],
+    near) with near = None or (qst_n, qcn_n [nbs, CAND], counts_n).
     """
     S = 1 << k
     cell = box / S
@@ -148,9 +152,10 @@ def _classify(bb_lo, bb_hi, live, qmeta, k: int, box, rcut, W: int,
     lane = jnp.all(offs[None, :, :] < need[:, None, :], axis=-1)
     wrapped = jnp.remainder(coords, S)
     cid = _cell_morton(wrapped, k)                 # [nbs, W^3]
-    meta = qmeta[jnp.maximum(cid, 0)]              # [nbs, W^3, 2]
-    qst = meta[:, :, 0]
-    qcn = meta[:, :, 1]
+    # TWO plain gathers, NOT one [*, 2]-row gather: XLA tiles the
+    # minor dim to 128 lanes (64x padding — 15.6G HBM at 64^3)
+    qst0 = qmeta[:, 0][cid]
+    qcn0 = qmeta[:, 1][cid]
 
     # unwrapped geometry: the window was built around the bbox, so
     # centers are already minimum-image — no box wrap needed
@@ -159,33 +164,76 @@ def _classify(bb_lo, bb_hi, live, qmeta, k: int, box, rcut, W: int,
     h = 0.5 * (bb_hi - bb_lo)[:, None, :]
     d = jnp.abs(ccen - c)
     dcell = jnp.maximum(d - h - 0.5 * cell, 0.0)
-    drop = jnp.sum(dcell * dcell, axis=-1) > rcut * rcut
-    keep = lane & (~drop) & live[:, None] & (qcn > 0)
+    d2 = jnp.sum(dcell * dcell, axis=-1)
+    base_keep = lane & live[:, None] & (qcn0 > 0)
 
-    BIG = jnp.int32(2 ** 30)
-    skey = jnp.where(keep, qst, BIG)
-    qcn = jnp.where(keep, qcn, 0)
-    if CAND > W ** 3:
-        pad = CAND - W ** 3
-        skey = jnp.pad(skey, ((0, 0), (0, pad)),
-                       constant_values=2 ** 30)
-        qcn = jnp.pad(qcn, ((0, 0), (0, pad)))
-    skey, qcn = jax.lax.sort((skey, qcn), dimension=1, num_keys=1)
-    counts = jnp.sum(qcn, axis=1, dtype=jnp.int32)
-    qst = jnp.where(qcn > 0, skey, 0)
-    return qst, qcn, counts, cover_ovf
+    def pack(keep):
+        BIG = jnp.int32(2 ** 30)
+        skey = jnp.where(keep, qst0, BIG)
+        qcn = jnp.where(keep, qcn0, 0)
+        if CAND > W ** 3:
+            pad = CAND - W ** 3
+            skey = jnp.pad(skey, ((0, 0), (0, pad)),
+                           constant_values=2 ** 30)
+            qcn = jnp.pad(qcn, ((0, 0), (0, pad)))
+        skey, qcn = jax.lax.sort((skey, qcn), dimension=1,
+                                 num_keys=1)
+        counts = jnp.sum(qcn, axis=1, dtype=jnp.int32)
+        qst = jnp.where(qcn > 0, skey, 0)
+        return qst, qcn, counts
+
+    qst, qcn, counts = pack(base_keep & (d2 <= rcut * rcut))
+    near = None
+    if h_near is not None:
+        near = pack(base_keep & (d2 < h_near * h_near))
+    return qst, qcn, counts, cover_ovf, near
+
+
+def _poly_fw(r, cellsize, wt: PolyWindow):
+    xmax, cf, _cp = wt
+    x = r * (1.0 / cellsize)
+    t = jnp.clip(2.0 * (x / xmax) - 1.0, -1.0, 1.0)
+    b1 = jnp.zeros_like(t)
+    b2 = jnp.zeros_like(t)
+    for kk in range(cf.shape[0] - 1, 0, -1):
+        b1, b2 = cf[kk] + 2 * t * b1 - b2, b1
+    fw = cf[0] + t * b1 - b2
+    return jnp.where(x < xmax, jnp.clip(fw, 0.0, 1.0), 0.0)
+
+
+def _cheap_fac(r2, mass, soft, cellsize, wt: PolyWindow):
+    """Capped-Newton force factor: m * min(rinv, 1/h)^3 * window.
+
+    Exact for every unsoftened pair (r >= h: min == rinv); softened
+    pairs get a finite capped value that the near-field correction
+    pass replaces with the true spline — the cap expression is
+    deterministic, so the correction's subtraction cancels it
+    bit-exactly.  ~25 fewer VPU ops per pair than the full spline
+    branch mix."""
+    rinv = jnp.where(r2 > 0, jax.lax.rsqrt(r2), 0.0)
+    rc = jnp.minimum(rinv, 1.0 / soft)
+    r = r2 * rinv
+    return mass * rc * rc * rc * _poly_fw(r, cellsize, wt)
 
 
 @partial(jax.jit, static_argnames=("params", "sub", "pcap", "nsel",
-                                   "batch", "want_pot", "engine"))
+                                   "batch", "want_pot", "engine",
+                                   "ncap"))
 def _stencil_eval(ipos_s, qtab, tgt_idx, tgt_valid, qst, qcn, sel,
                   params: ShortRangeParams, window_tables, sub: int,
                   pcap: int, nsel: int, batch: int = 1024,
-                  want_pot: bool = False, engine: str = "xla"):
+                  want_pot: bool = False, engine: str = "xla",
+                  qst_n=None, qcn_n=None, ncap: int = 0):
     """Packed dense evaluation of the selected stencil sub-blocks.
 
     tgt_idx [nbs, sub] rows into ipos_s; qst/qcn [nbs, CAND] sorted
     candidate meta; sel [nsel] sub-block ids; pcap in QUAD rows.
+
+    With a PolyWindow and want_pot=False the main pass runs the
+    capped-Newton kernel (_cheap_fac) and a small near-cell pass
+    (qst_n/qcn_n, cap `ncap`) adds the exact spline correction for
+    r < softening — softened pairs only live in cells within h of
+    the bbox.
     Returns (acc [nsel, sub, 3], pot [nsel, sub]) * G in sel order.
     """
     box = params.boxsize
@@ -193,53 +241,76 @@ def _stencil_eval(ipos_s, qtab, tgt_idx, tgt_valid, qst, qcn, sel,
     QCH = 128
     while pcap % QCH:
         QCH //= 2
-    bbs = min(batch, nsel)
+    # bound the batch's packed-table footprint: bbs*pcap quad rows
+    # (64B each) — caustic sub-blocks can push pcap to 10k+ quads,
+    # and [batch, 4*pcap] srow/spos/smass at batch=1024 then OOMs HBM
+    bbs = min(batch, nsel, max(64, (1 << 22) // max(pcap, 1)))
     while nsel % bbs:
         bbs //= 2
     nbatch = nsel // bbs
     QT = qtab.shape[0] - 1
+    split = (not want_pot) and isinstance(window_tables, PolyWindow) \
+        and ncap > 0
 
-    def pair_accum(tgt, spos, smass, acc, pot):
+    def seps(tgt, spos):
         d = spos[:, None, :, :] - tgt[:, :, None, :]
         dx = jax.lax.bitcast_convert_type(
             d, jnp.int32).astype(jnp.float32) * to_f
-        r2 = jnp.sum(dx * dx, axis=-1)
-        ff, fp = _pair_fac_any(r2, smass[:, None, :], params,
-                               window_tables, want_pot)
+        return dx, jnp.sum(dx * dx, axis=-1)
+
+    def pair_accum(tgt, spos, smass, acc, pot):
+        dx, r2 = seps(tgt, spos)
+        m = smass[:, None, :]
+        if split:
+            ff = _cheap_fac(r2, m, params.softening, params.cellsize,
+                            window_tables)
+            fp = None
+        else:
+            ff, fp = _pair_fac_any(r2, m, params, window_tables,
+                                   want_pot)
         acc = acc + jnp.sum(dx * ff[..., None], axis=2)
         if want_pot:
             pot = pot + jnp.sum(fp, axis=2)
         return acc, pot
 
-    def eval_batch(sel_b):
-        tidx = tgt_idx[sel_b]                    # [bbs, sub]
-        tval = tgt_valid[sel_b]
-        tgt = ipos_s[tidx]                       # [bbs, sub, 3] u32
-        q0 = qst[sel_b]                          # [bbs, CAND]
-        qn = qcn[sel_b]
+    def near_accum(tgt, spos, smass, acc):
+        dx, r2 = seps(tgt, spos)
+        m = smass[:, None, :]
+        full, _ = _pair_fac_any(r2, m, params, window_tables, False)
+        cheap = _cheap_fac(r2, m, params.softening, params.cellsize,
+                           window_tables)
+        h2 = params.softening * params.softening
+        dd = jnp.where(r2 < h2, full - cheap, 0.0)
+        return acc + jnp.sum(dx * dd[..., None], axis=2)
 
+    def pack(q0, qn, cap):
         cum = jnp.cumsum(qn, axis=1)
         excl = cum - qn
         total = cum[:, -1]
         v = jnp.where(qn > 0, q0 - excl, 0)
-        dst = jnp.where(qn > 0, jnp.minimum(excl, pcap), pcap)
+        dst = jnp.where(qn > 0, jnp.minimum(excl, cap), cap)
         flat = (jnp.arange(bbs, dtype=jnp.int32)[:, None]
-                * (pcap + 1) + dst)
-        buf = jnp.zeros(bbs * (pcap + 1), jnp.int32).at[
+                * (cap + 1) + dst)
+        buf = jnp.zeros(bbs * (cap + 1), jnp.int32).at[
             flat.reshape(-1)].max(v.reshape(-1),
                                   mode="promise_in_bounds")
-        vf = jax.lax.cummax(buf.reshape(bbs, pcap + 1)[:, :pcap],
+        vf = jax.lax.cummax(buf.reshape(bbs, cap + 1)[:, :cap],
                             axis=1)
-        p = jnp.arange(pcap, dtype=jnp.int32)[None, :]
+        p = jnp.arange(cap, dtype=jnp.int32)[None, :]
         valid = p < total[:, None]
         pidx = jnp.where(valid, jnp.minimum(vf + p, QT - 1), QT)
-
-        srow = qtab[pidx]                        # [bbs, pcap, 16]
-        srow = srow.reshape(bbs, pcap * 4, 4)
+        srow = qtab[pidx].reshape(bbs, cap * 4, 4)
         spos = jax.lax.bitcast_convert_type(srow[:, :, :3],
                                             jnp.uint32)
         smass = jax.lax.bitcast_convert_type(srow[:, :, 3],
                                              jnp.float32)
+        return spos, smass
+
+    def eval_batch(sel_b):
+        tidx = tgt_idx[sel_b]                    # [bbs, sub]
+        tval = tgt_valid[sel_b]
+        tgt = ipos_s[tidx]                       # [bbs, sub, 3] u32
+        spos, smass = pack(qst[sel_b], qcn[sel_b], pcap)
 
         def chunk(carry, c):
             acc, pot = carry
@@ -254,6 +325,9 @@ def _stencil_eval(ipos_s, qtab, tgt_idx, tgt_valid, qst, qcn, sel,
         pot0 = jnp.zeros((bbs, sub), jnp.float32)
         (acc, pot), _ = jax.lax.scan(chunk, (acc0, pot0),
                                      jnp.arange(pcap // QCH))
+        if split:
+            npos, nmass = pack(qst_n[sel_b], qcn_n[sel_b], ncap)
+            acc = near_accum(tgt, npos, nmass, acc)
         acc = jnp.where(tval[..., None], acc, 0.0)
         pot = jnp.where(tval, pot, 0.0)
         return acc, pot
@@ -303,20 +377,23 @@ def _stencil_count(ipos, mass, active, params, k: int,
     bb_lo = jnp.where(live[:, None], bb_lo, 0.0)
     bb_hi = jnp.where(live[:, None], bb_hi, 0.0)
 
-    qst, qcn, counts, cover = _classify(bb_lo, bb_hi, live, qmeta, k,
-                                        box, params.rcut, W, CAND)
+    qst, qcn, counts, cover, near = _classify(
+        bb_lo, bb_hi, live, qmeta, k, box, params.rcut, W, CAND,
+        h_near=params.softening)
+    qst_n, qcn_n, counts_n = near
     # coverage-overflow subs are evaluated per target elsewhere:
     # zero them here so their tier slots cost nothing
     qcn = jnp.where(cover[:, None], 0, qcn)
     counts = jnp.where(cover, 0, counts)
+    qcn_n = jnp.where(cover[:, None], 0, qcn_n)
 
     order_s = jnp.argsort(counts)
     tier_c = [counts[order_s[b - 1]] if b > 0 else jnp.int32(0)
               for b in tier_bounds(nbs)]
     n_cover = jnp.sum(cover.astype(jnp.int32))
-    diag = jnp.stack([*tier_c, n_cover])
+    diag = jnp.stack([*tier_c, n_cover, jnp.max(counts_n)])
     return (order, ipos_s, qtab, qmeta, tgt_idx, tgt_valid, qst, qcn,
-            order_s, cover, diag)
+            qst_n, qcn_n, order_s, cover, diag)
 
 
 @partial(jax.jit, static_argnames=("params", "k", "W", "CAND", "PP"))
@@ -340,8 +417,8 @@ def _cover_units(ipos_s, qmeta, tgt_idx, tgt_valid, cover, params,
 
     tf = (ipos_s[u_idx[:, 0]].astype(jnp.float32) * to_f)
     lo = jnp.where(u_valid, tf, 0.0)
-    qst, qcn, counts, cov2 = _classify(lo, lo, u_valid[:, 0], qmeta,
-                                       k, box, params.rcut, W, CAND)
+    qst, qcn, counts, cov2, _near = _classify(
+        lo, lo, u_valid[:, 0], qmeta, k, box, params.rcut, 5, 128)
     # a point target always fits the W>=5 window
     return (u_idx, u_valid, qst, qcn, counts, n_units,
             jnp.max(counts))
@@ -349,7 +426,7 @@ def _cover_units(ipos_s, qmeta, tgt_idx, tgt_valid, cover, params,
 
 def stencilgrav(ipos, mass, params: ShortRangeParams,
                 window_tables=None, n_targets: int = None,
-                sub: int = 32, k: int = None, W: int = 5,
+                sub: int = 32, k: int = None, W: int = 7,
                 active=None, tier_cache: dict = None,
                 caps_cache: dict = None, want_pot: bool = False,
                 engine: str = None, batch: int = 1024,
@@ -381,10 +458,10 @@ def stencilgrav(ipos, mass, params: ShortRangeParams,
         tier_cache = {}
 
     (order, ipos_s, qtab, qmeta, tgt_idx, tgt_valid, qst, qcn,
-     order_s, cover, diag) = _stencil_count(ipos, mass, active,
-                                            params, k, sub, W, CAND,
-                                            T, compact)
-    c1, c2, c3, c4, n_cover = [int(x) for x in np.asarray(diag)]
+     qst_n, qcn_n, order_s, cover, diag) = _stencil_count(
+         ipos, mass, active, params, k, sub, W, CAND, T, compact)
+    (c1, c2, c3, c4, n_cover,
+     cn_max) = [int(x) for x in np.asarray(diag)]
 
     nbs = T // sub
     key = ("stencil", k, sub, W, nbs)
@@ -396,6 +473,8 @@ def stencilgrav(ipos, mass, params: ShortRangeParams,
         pcaps.append(hi)
     pcaps = tuple(pcaps)
     tier_cache[key] = pcaps
+    ncap = max(_round_cap(cn_max + 1), tier_cache.get(key + ("n",), 0))
+    tier_cache[key + ("n",)] = ncap
 
     if engine is None:
         import os
@@ -413,7 +492,8 @@ def stencilgrav(ipos, mass, params: ShortRangeParams,
         a, pp = _stencil_eval(ipos_s, qtab, tgt_idx, tgt_valid, qst,
                               qcn, sel, params, window_tables, sub,
                               pcap, nsel, batch=batch,
-                              want_pot=want_pot, engine=engine)
+                              want_pot=want_pot, engine=engine,
+                              qst_n=qst_n, qcn_n=qcn_n, ncap=ncap)
         acc_bs = acc_bs.at[sel].set(a)
         pot_bs = pot_bs.at[sel].set(pp)
         lo = b

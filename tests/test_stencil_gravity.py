@@ -100,3 +100,20 @@ def test_stencil_odd_n_and_dead_rows():
     scale = np.median(fmag[fmag > 0])
     err = np.linalg.norm(acc[~dead] - exp_alive, axis=1) / scale
     assert np.percentile(err, 90) < 0.005
+
+
+def test_stencil_capped_kernel_split_matches_full():
+    """The capped-Newton main pass + near-cell spline correction must
+    reproduce the full spline kernel (want_pot=True disables the
+    split, so the two calls take different code paths)."""
+    from shenqi_tpu.gravity.window import window_polynomials
+    ipos, mass, params, _ = _ipos_mass(800, 25)
+    wt = window_polynomials(params.asmth)
+    acc_split, _, _ = stencilgrav(ipos, mass, params, wt)
+    acc_full, _, _ = stencilgrav(ipos, mass, params, wt,
+                                 want_pot=True)
+    a1 = np.asarray(acc_split)
+    a2 = np.asarray(acc_full)
+    scale = np.median(np.linalg.norm(a2, axis=1))
+    d = np.linalg.norm(a1 - a2, axis=1)
+    assert np.max(d) / scale < 1e-5, np.max(d) / scale

@@ -221,6 +221,58 @@ if which == "stencil":
                               tier_cache=tc3, caps_cache=cc3)
         return a
     timeit("stencil", sten)
+
+if which == "stendetail":
+    # piecewise timing of the stencil engine's stages
+    from shenqi_tpu.gravity import stencil as st
+    from shenqi_tpu.gravity.shortrange_refined import (_round_cap,
+                                                       _next_pow2,
+                                                       tier_bounds)
+    W = int(os.environ.get("W", 7))
+    k = int(np.ceil(np.log2(sp.boxsize / sp.rcut)))
+    k = min(k, 10)
+    CAND = _next_pow2(W ** 3)
+    T = ((n + sub - 1) // sub) * sub
+    nbs = T // sub
+
+    def timeto(label, fn, reps=3):
+        out = fn(); jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(); jax.block_until_ready(out)
+        print(f"{label:24s} {(time.perf_counter()-t0)/reps*1e3:8.1f} ms",
+              flush=True)
+        return out
+
+    out = timeto("stencil_count", lambda: st._stencil_count(
+        ipos, mass, jnp.zeros(0, bool), sp_rel, k, sub, W, CAND, T,
+        False))
+    (order, ipos_s, qtab, qmeta, tgt_idx, tgt_valid, qst, qcn,
+     qst_n, qcn_n, order_s, cover, diag) = out
+    d = [int(x) for x in np.asarray(diag)]
+    print(f"diag tiers={d[:4]} n_cover={d[4]} cn_max={d[5]}",
+          flush=True)
+    pcaps = []
+    hi = 0
+    for c in d[:4]:
+        hi = max(hi, _round_cap(c + 1))
+        pcaps.append(hi)
+    ncap = _round_cap(d[5] + 1)
+    print(f"nbs={nbs} pcaps={pcaps} ncap={ncap}", flush=True)
+    lo = 0
+    for ti, (b, cap) in enumerate(zip(tier_bounds(nbs), pcaps)):
+        ns = b - lo
+        if ns <= 0:
+            lo = b
+            continue
+        selq = jnp.sort(order_s[lo:b])
+        lo = b
+        timeto(f"eval t{ti} (q{cap}, {ns})",
+               lambda: st._stencil_eval(
+                   ipos_s, qtab, tgt_idx, tgt_valid, qst, qcn, selq,
+                   sp_rel, wt, sub, cap, ns, batch=1024,
+                   want_pot=False, engine="xla", qst_n=qst_n,
+                   qcn_n=qcn_n, ncap=ncap))
     a_old, _, _ = treegrav_blocked(
         tree, oldacc, sp_rel, wt, n_targets=n, block=128,
         maxi=maxi, maxl=maxl, ncrit=32, blocking="device",
