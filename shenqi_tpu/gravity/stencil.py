@@ -338,15 +338,22 @@ def _stencil_eval(ipos_s, qtab, tgt_idx, tgt_valid, qst, qcn, sel,
 
 
 @partial(jax.jit, static_argnames=("params", "k", "sub", "W", "CAND",
-                                   "T", "compact"))
+                                   "T", "compact", "TBC"))
 def _stencil_count(ipos, mass, active, params, k: int,
                    sub: int, W: int, CAND: int, T: int,
-                   compact: bool):
+                   compact: bool, TBC: int):
     """Fused device program: grid build, target compaction, stencil
     classification, tier order + diag for the single host sync.
 
     T is the padded target count (multiple of sub, clamped to n by
-    the caller); padding lanes duplicate row n-1 with valid=False."""
+    the caller).  Targets are packed into CELL-ANCHORED sub-blocks:
+    a Morton run is split whenever it crosses a level-(k-1) cell
+    boundary (or fills `sub` lanes), so every sub-block's bbox fits
+    inside one 2x2x2-cell box and the W=7 candidate window covers it
+    BY CONSTRUCTION (need <= 2 + 2*ceil(rcut/cell) + 1 <= 7 for
+    cell >= rcut/2) — no per-target coverage fallback in steady
+    state.  TBC is the static sub-block capacity (grow-only cached by
+    the host wrapper; diag reports the true block count)."""
     n = ipos.shape[0]
     order, ipos_s, mass_s, qtab, qmeta, n_alive = build_grid(
         ipos, mass, k)
@@ -361,9 +368,28 @@ def _stencil_count(ipos, mass, active, params, k: int,
     else:
         tgt_rows = jnp.minimum(lanes, n - 1)
         tvalid = alive_s[tgt_rows] & (lanes < n)
-    nbs = T // sub
-    tgt_idx = tgt_rows.reshape(nbs, sub)
-    tgt_valid = tvalid.reshape(nbs, sub)
+
+    # ---- cell-anchored sub-block assignment ----
+    top = (ipos_s >> jnp.uint32(32 - k)).astype(jnp.uint32)
+    cid_s = _cell_morton(top, k)
+    jcell = jnp.where(tvalid, cid_s[tgt_rows] >> 3, jnp.int32(2 ** 30))
+    prev = jnp.concatenate([jnp.full(1, -2, jnp.int32), jcell[:-1]])
+    rs = jcell != prev
+    run_start = jax.lax.cummax(jnp.where(rs, lanes, 0))
+    rank = lanes - run_start
+    newblk = (rs | (rank % sub == 0)) & tvalid
+    blk = jnp.cumsum(newblk.astype(jnp.int32)) - 1
+    tb_total = jnp.max(jnp.where(tvalid, blk, -1)) + 1
+    lane_in = rank % sub
+    dst = jnp.where(tvalid & (blk < TBC), blk * sub + lane_in,
+                    TBC * sub)
+    nbs = TBC
+    tgt_idx = jnp.zeros(TBC * sub + 1, jnp.int32).at[dst].set(
+        tgt_rows, mode="promise_in_bounds")[:TBC * sub
+                                            ].reshape(nbs, sub)
+    tgt_valid = jnp.zeros(TBC * sub + 1, bool).at[dst].set(
+        tvalid, mode="promise_in_bounds")[:TBC * sub
+                                          ].reshape(nbs, sub)
 
     box = params.boxsize
     to_f = jnp.float32(box / POS_SCALE)
@@ -388,10 +414,22 @@ def _stencil_count(ipos, mass, active, params, k: int,
     qcn_n = jnp.where(cover[:, None], 0, qcn_n)
 
     order_s = jnp.argsort(counts)
-    tier_c = [counts[order_s[b - 1]] if b > 0 else jnp.int32(0)
-              for b in tier_bounds(nbs)]
+    tier_c = []
+    tier_cn = []
+    lo = 0
+    for b in tier_bounds(nbs):
+        tier_c.append(counts[order_s[b - 1]] if b > 0
+                      else jnp.int32(0))
+        # per-tier NEAR cap: softened pairs live in ~1 cell, so the
+        # near counts are far below the main counts — one global cap
+        # made every tier pay the sparse worst case
+        tier_cn.append(jnp.max(jax.lax.dynamic_slice_in_dim(
+            counts_n[order_s], lo, max(b - lo, 1))) if b > lo
+            else jnp.int32(0))
+        lo = b
     n_cover = jnp.sum(cover.astype(jnp.int32))
-    diag = jnp.stack([*tier_c, n_cover, jnp.max(counts_n)])
+    diag = jnp.stack([*tier_c, n_cover, jnp.max(counts_n), tb_total,
+                      *tier_cn])
     return (order, ipos_s, qtab, qmeta, tgt_idx, tgt_valid, qst, qcn,
             qst_n, qcn_n, order_s, cover, diag)
 
@@ -457,13 +495,29 @@ def stencilgrav(ipos, mass, params: ShortRangeParams,
     if tier_cache is None:
         tier_cache = {}
 
-    (order, ipos_s, qtab, qmeta, tgt_idx, tgt_valid, qst, qcn,
-     qst_n, qcn_n, order_s, cover, diag) = _stencil_count(
-         ipos, mass, active, params, k, sub, W, CAND, T, compact)
-    (c1, c2, c3, c4, n_cover,
-     cn_max) = [int(x) for x in np.asarray(diag)]
+    # sub-block capacity: Morton runs split at level-(k-1) cell
+    # boundaries — blocks <= ceil(T/sub) + nonempty j-cells.  Rounded
+    # to 1k-multiples (not pow2): dead padding blocks ride tier 0's
+    # dense eval, so slack is pure waste
+    def _round_tbc(x):
+        return max((x + 1023) // 1024 * 1024, 1024)
 
-    nbs = T // sub
+    tbc_key = ("stencil_tbc", k, sub)
+    TBC = tier_cache.get(
+        tbc_key, _round_tbc(T // sub + max(T // (4 * sub), 64)))
+    while True:
+        (order, ipos_s, qtab, qmeta, tgt_idx, tgt_valid, qst, qcn,
+         qst_n, qcn_n, order_s, cover, diag) = _stencil_count(
+             ipos, mass, active, params, k, sub, W, CAND, T, compact,
+             TBC)
+        (c1, c2, c3, c4, n_cover, cn_max, tb_total, cn1, cn2, cn3,
+         cn4) = [int(x) for x in np.asarray(diag)]
+        if tb_total <= TBC:
+            break
+        TBC = _round_tbc(tb_total)
+    tier_cache[tbc_key] = TBC
+
+    nbs = TBC
     key = ("stencil", k, sub, W, nbs)
     cached = tier_cache.get(key, (0, 0, 0, 0))
     pcaps = []
@@ -473,8 +527,14 @@ def stencilgrav(ipos, mass, params: ShortRangeParams,
         pcaps.append(hi)
     pcaps = tuple(pcaps)
     tier_cache[key] = pcaps
-    ncap = max(_round_cap(cn_max + 1), tier_cache.get(key + ("n",), 0))
-    tier_cache[key + ("n",)] = ncap
+    cached_n = tier_cache.get(key + ("n",), (0, 0, 0, 0))
+    ncaps = []
+    hi = 0
+    for c, cc in zip((cn1, cn2, cn3, cn4), cached_n):
+        hi = max(hi, _round_cap(c + 1), cc)
+        ncaps.append(hi)
+    ncaps = tuple(ncaps)
+    tier_cache[key + ("n",)] = ncaps
 
     if engine is None:
         import os
@@ -483,7 +543,7 @@ def stencilgrav(ipos, mass, params: ShortRangeParams,
     acc_bs = jnp.zeros((nbs, sub, 3), jnp.float32)
     pot_bs = jnp.zeros((nbs, sub), jnp.float32)
     lo = 0
-    for b, pcap in zip(tier_bounds(nbs), pcaps):
+    for b, pcap, ncap in zip(tier_bounds(nbs), pcaps, ncaps):
         nsel = b - lo
         if nsel <= 0:
             lo = b

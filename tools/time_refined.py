@@ -221,6 +221,15 @@ if which == "stencil":
                               tier_cache=tc3, caps_cache=cc3)
         return a
     timeit("stencil", sten)
+    a_old, _, _ = treegrav_blocked(
+        tree, oldacc, sp_rel, wt, n_targets=n, block=128,
+        maxi=maxi, maxl=maxl, ncrit=32, blocking="device",
+        tier_cache={}, caps_cache={}, want_pot=False)
+    a_new = sten()
+    d = np.linalg.norm(np.asarray(a_new) - np.asarray(a_old), axis=1)
+    s = np.median(np.linalg.norm(np.asarray(a_old), axis=1))
+    print(f"stencil-vs-blocked p50 {np.percentile(d/s,50):.2e} "
+          f"p99 {np.percentile(d/s,99):.2e}", flush=True)
 
 if which == "stendetail":
     # piecewise timing of the stencil engine's stages
@@ -244,14 +253,20 @@ if which == "stendetail":
               flush=True)
         return out
 
-    out = timeto("stencil_count", lambda: st._stencil_count(
-        ipos, mass, jnp.zeros(0, bool), sp_rel, k, sub, W, CAND, T,
-        False))
+    TBC = _next_pow2(T // sub + max(T // (2 * sub), 64))
+    while True:
+        out = timeto("stencil_count", lambda: st._stencil_count(
+            ipos, mass, jnp.zeros(0, bool), sp_rel, k, sub, W, CAND,
+            T, False, TBC))
+        d = [int(x) for x in np.asarray(out[-1])]
+        if d[6] <= TBC:
+            break
+        TBC = _next_pow2(d[6])
     (order, ipos_s, qtab, qmeta, tgt_idx, tgt_valid, qst, qcn,
      qst_n, qcn_n, order_s, cover, diag) = out
-    d = [int(x) for x in np.asarray(diag)]
-    print(f"diag tiers={d[:4]} n_cover={d[4]} cn_max={d[5]}",
-          flush=True)
+    nbs = TBC
+    print(f"diag tiers={d[:4]} n_cover={d[4]} cn_max={d[5]} "
+          f"tb={d[6]}/{TBC}", flush=True)
     pcaps = []
     hi = 0
     for c in d[:4]:
@@ -273,12 +288,3 @@ if which == "stendetail":
                    sp_rel, wt, sub, cap, ns, batch=1024,
                    want_pot=False, engine="xla", qst_n=qst_n,
                    qcn_n=qcn_n, ncap=ncap))
-    a_old, _, _ = treegrav_blocked(
-        tree, oldacc, sp_rel, wt, n_targets=n, block=128,
-        maxi=maxi, maxl=maxl, ncrit=32, blocking="device",
-        tier_cache={}, caps_cache={}, want_pot=False)
-    a_new = sten()
-    d = np.linalg.norm(np.asarray(a_new) - np.asarray(a_old), axis=1)
-    s = np.median(np.linalg.norm(np.asarray(a_old), axis=1))
-    print(f"stencil-vs-blocked p50 {np.percentile(d/s,50):.2e} "
-          f"p99 {np.percentile(d/s,99):.2e}", flush=True)
