@@ -96,9 +96,101 @@ def _init_checks(pos, ids, mass, cp, boxsize):
               f"(check_omega)")
 
 
+def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
+              pos, vel, mass, ids, boxsize, nmesh, atime, outdir,
+              mesh_devices: int, max_steps: int):
+    """Multi-chip DM run: the slab simulation loop with sharded
+    snapshot/FOF/P(k) outputs (run.cpp:331-822 distributed; the
+    product wiring for parallel.slab_sim)."""
+    from ..parallel.slab_sim import SlabSimulation
+    from ..parallel.sharded import make_mesh
+    from ..io.sharded_io import save_snapshot_sharded
+    from ..fof.slab import make_fof_slab, compile_groups_from_slab
+    from ..io.fofio import save_fof
+
+    mesh = make_mesh(mesh_devices)
+    sim = SlabSimulation.from_arrays(
+        mesh, pos, vel, mass, ids, cp, boxsize, nmesh, timeline,
+        atime, tsp=tsp, gravity_kw=gravity_kw,
+        headroom=ps.get_double("PartAllocFactor"))
+
+    base = ps.get_string("SnapshotFileBase")
+    snapshot_with_fof = bool(ps.get_int("SnapshotWithFOF"))
+    snap_counter = [0]
+    npart_tot = len(pos)
+    mean_sep = boxsize / np.cbrt(max(npart_tot, 1))
+    b_link = ps.get_double("FOFHaloLinkingLength") * mean_sep
+    fof_fn = [None]
+
+    def on_snapshot(s, a):
+        path = os.path.join(outdir, f"{base}_{snap_counter[0]:03d}")
+        shdr = SnapshotHeader(
+            TotNumPart=np.zeros(6, np.uint64), MassTable=np.zeros(6),
+            Time=a, BoxSize=boxsize, Omega0=cp.Omega0,
+            OmegaLambda=cp.OmegaLambda, OmegaBaryon=cp.OmegaBaryon,
+            HubbleParam=cp.HubbleParam,
+            UnitLength_in_cm=units.UnitLength_in_cm,
+            UnitMass_in_g=units.UnitMass_in_g,
+            UnitVelocity_in_cm_per_s=units.UnitVelocity_in_cm_per_s,
+            UsePeculiarVelocity=1, TimeIC=hdr.TimeIC)
+        f = s.fields
+        save_snapshot_sharded(
+            path, shdr,
+            {"ipos": f["ipos"], "vel": f["vel"], "mass": f["mass"],
+             "pid": f["id_lo"], "pid_hi": f["id_hi"]},
+            s.mesh, boxsize, a, id_offset=0)
+        with open(os.path.join(outdir, "LastSnapNum.txt"), "w") as fh:
+            fh.write(str(snap_counter[0]))
+        if s.power_history:
+            a_p, kk, pk, nm = s.power_history[-1]
+            d1 = 1.0 / cp.growth_factor(1.0, a)
+            fn = os.path.join(outdir, f"powerspectrum-{a:.4f}.txt")
+            with open(fn, "w") as fh:
+                fh.write("# in Mpc/h Units \n")
+                fh.write(f"# D1 = {d1:g} \n")
+                fh.write("# k P N P(z=0)\n")
+                for j in range(len(kk)):
+                    if nm[j] > 0:
+                        fh.write(f"{kk[j]:g} {pk[j]:g} {int(nm[j])} "
+                                 f"{pk[j] / d1 ** 2:g}\n")
+        if snapshot_with_fof:
+            if fof_fn[0] is None:
+                fof_fn[0] = make_fof_slab(
+                    s.mesh, b_link, boxsize,
+                    nlevels=s.gravity.tree_nlevels)
+            glabel, finfo = fof_fn[0](
+                {"ipos": f["ipos"], "mass": f["mass"],
+                 "pid": f["id_lo"].astype(np.int32)})
+            groups, _pid = compile_groups_from_slab(
+                glabel, f, boxsize,
+                min_length=ps.get_int("FOFHaloMinLength"))
+            pig = os.path.join(
+                outdir, f"{ps.get_string('FOFFileBase')}"
+                f"_{snap_counter[0]:03d}")
+            save_fof(pig, groups, shdr, a)
+            print(f"FOF at a={a:g}: {groups.ngroups} groups -> {pig}")
+        snap_counter[0] += 1
+
+    sim.on_snapshot = on_snapshot
+
+    from ..utils.walltime import Walltime
+    wt = Walltime()
+    sim.walltime = wt
+    fd_cpu = open(os.path.join(outdir, ps.get_string("CpuFile")), "a")
+
+    def on_step(s):
+        wt.write_cpu_log(fd_cpu, s.atime())
+        wt.reset_step()
+
+    sim.on_step = on_step
+    sim.run(max_steps=max_steps)
+    fd_cpu.close()
+    return sim
+
+
 def run_gadget(paramfile: str, restart_flag: int = 2,
                snapnum: int = -1, max_steps: int = 10 ** 9,
-               strict: bool = False):
+               strict: bool = False, mesh_devices: int = 0):
     ps = gadget_params()
     ps.parse_file(paramfile, strict=strict)
     outdir = ps.get_string("OutputDir")
@@ -232,6 +324,20 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
             "ShortRangeForceWindowType") == 0 else "erfc"))
 
     has_gas = bool((ptype == 0).any()) and ps.get_int("HydroOn")
+
+    if mesh_devices:
+        # multi-chip slab run (--mesh N): DM-only TreePM this round
+        if has_gas:
+            raise NotImplementedError(
+                "--mesh: gas/subgrid physics runs single-device")
+        if cp.MassiveNuLinRespOn or ps.get_int("LightconeOn"):
+            raise NotImplementedError(
+                "--mesh supports DM-only TreePM runs")
+        return _run_slab(ps, hdr, cp, units, timeline, tsp,
+                         gravity_kw, pos, vel, mass, ids, boxsize,
+                         nmesh, atime, outdir, mesh_devices,
+                         max_steps)
+
     if has_gas:
         from ..simulation_gas import GasPhysics
         from ..physics.cooling_rates import CoolingParams, TreeCool
@@ -785,14 +891,19 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
 
 
 def main(argv=None):
-    argv = argv if argv is not None else sys.argv[1:]
+    argv = list(argv) if argv is not None else sys.argv[1:]
+    mesh_devices = 0
+    if "--mesh" in argv:
+        i = argv.index("--mesh")
+        mesh_devices = int(argv[i + 1])
+        del argv[i: i + 2]
     if len(argv) < 1:
         print("usage: python -m shenqi_tpu.cli.gadget_main paramfile "
-              "[RestartFlag] [SnapNum]", file=sys.stderr)
+              "[RestartFlag] [SnapNum] [--mesh N]", file=sys.stderr)
         return 1
     restart = int(argv[1]) if len(argv) > 1 else 2
     snapnum = int(argv[2]) if len(argv) > 2 else -1
-    run_gadget(argv[0], restart, snapnum)
+    run_gadget(argv[0], restart, snapnum, mesh_devices=mesh_devices)
     return 0
 
 

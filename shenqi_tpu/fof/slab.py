@@ -211,3 +211,35 @@ def make_fof_slab(mesh, b: float, boxsize: float, nlevels: int = 8,
                               ncrit, block=block, maxl=maxl)
 
     return jax.jit(run)
+
+
+def compile_groups_from_slab(glabel, fields, boxsize: float,
+                             min_length: int = 32):
+    """Host-side halo catalog from slab FOF labels (fof_reduce_groups
+    + fof_compile_catalogue analog for the sharded path).
+
+    glabel: [D*C] uint32 min-PID component labels (fof_label_slab).
+    fields: sharded dict with ipos/vel/mass and pid (or id_lo).
+    The min-pid labels are remapped to min-ROW labels so
+    fof.compile_groups' periodic-unwrap reference (indexed by label)
+    applies unchanged.  Returns FOFGroups over the ALIVE rows, plus
+    the alive-row ids (for member output)."""
+    from .fof import compile_groups
+
+    mass = np.asarray(fields["mass"])
+    alive = mass > 0
+    lab = np.asarray(glabel)[alive]
+    ipos = np.asarray(fields["ipos"])[alive]
+    vel = np.asarray(fields["vel"])[alive]
+    m = mass[alive]
+    pid = np.asarray(fields.get("pid", fields.get("id_lo"))
+                     ).astype(np.uint32)[alive]
+    # min-pid label -> row of that pid
+    order = np.argsort(pid, kind="stable")
+    rows = order[np.minimum(np.searchsorted(pid[order], lab),
+                            len(pid) - 1)]
+    ptype = np.full(len(m), 1, np.int8)
+    groups = compile_groups(rows, ipos, vel, m, ptype,
+                            np.ones(len(m), bool), boxsize,
+                            min_length=min_length)
+    return groups, pid

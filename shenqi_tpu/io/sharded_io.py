@@ -30,7 +30,8 @@ def _shard_hosts(arr, mesh):
 def save_snapshot_sharded(path: str, header: SnapshotHeader,
                           fields: Dict, mesh, boxsize: float,
                           atime: float, ptype: int = 1,
-                          num_writers: int = 4) -> str:
+                          num_writers: int = 4,
+                          id_offset: int = 1) -> str:
     """Write a PART snapshot from fields sharded over mesh axis 'dp'.
 
     fields: dict with ipos [N,3] uint32, vel [N,3] f32, mass [N] f32
@@ -48,6 +49,8 @@ def save_snapshot_sharded(path: str, header: SnapshotHeader,
     vel_s = _shard_hosts(fields["vel"], mesh)
     mass_s = _shard_hosts(fields["mass"], mesh)
     pid_s = _shard_hosts(fields["pid"], mesh)
+    pid_hi_s = (_shard_hosts(fields["pid_hi"], mesh)
+                if "pid_hi" in fields else None)
 
     alive = [m > 0 for m in mass_s]
     counts = np.array([int(a.sum()) for a in alive])
@@ -82,8 +85,12 @@ def save_snapshot_sharded(path: str, header: SnapshotHeader,
             blks["Velocity"].write(
                 off, (vel_s[d][a] * vfac).astype("<f4"))
             blks["Mass"].write(off, mass_s[d][a].astype("<f4"))
-            blks["ID"].write(
-                off, (pid_s[d][a].astype(np.uint64) + 1))
+            pid64 = (pid_s[d][a].astype(np.uint64)
+                     + np.uint64(id_offset))
+            if pid_hi_s is not None:
+                pid64 |= pid_hi_s[d][a].astype(np.uint64) \
+                    << np.uint64(32)
+            blks["ID"].write(off, pid64)
     for b in blks.values():
         b.flush()
     return path

@@ -106,9 +106,64 @@ def _pm_transfer_chain(rho_k, cfg, axis_name: str = "dp"):
     return rho_k * fac, (kx, ky, kz)
 
 
+def measure_power_pencil(rho_k, cfg, axis_name: str = "dp"):
+    """Distributed P(k) accumulation on the k-pencil layout.
+
+    Same binning math as gravity.pm.measure_power
+    (powerspectrum_add_mode, libgadget/gravpm.cpp:326): log-k2 bins,
+    hermitian weight 2 off the kz=0 / kz=N/2 planes, CIC window
+    deconvolution squared.  Each device bins its local ky chunk; one
+    psum per array yields the global sums on every device.
+
+    Returns a PowerSpectrum namedtuple (replicated scalars/arrays).
+    """
+    from ..gravity.pm import PowerSpectrum
+
+    n = cfg.nmesh
+    nbins = cfg.nbins_power or n
+    kx, ky, kz = pencil_kvec(n, axis_name)
+    k2 = kx * kx + ky * ky + kz * kz
+
+    def sinc(x):
+        return jnp.where(jnp.abs(x) > 1e-6, jnp.sin(x)
+                         / jnp.where(jnp.abs(x) > 1e-6, x, 1.0), 1.0)
+
+    w_arg = (2 * np.pi / (2 * n))
+    invwindow = 1.0 / jnp.maximum(
+        (sinc(kx * w_arg) * sinc(ky * w_arg)
+         * sinc(kz * w_arg)) ** 2, 1e-12)
+
+    m = rho_k.real ** 2 + rho_k.imag ** 2
+    w = jnp.where((kz == 0) | (kz == n // 2), 1.0, 2.0)
+    w = jnp.broadcast_to(w, m.shape)
+    keff = jnp.sqrt(k2)
+    binsperunit = (nbins - 1) / np.log(np.sqrt(3.) * n / 2.)
+    kint = jnp.floor(binsperunit * 0.5 * jnp.log(
+        jnp.where(k2 > 0, k2, 1.0))).astype(jnp.int32)
+    kint = jnp.where(k2 > 0, kint, nbins)
+    kint = jnp.clip(kint, 0, nbins)
+
+    flat = kint.ravel()
+    power = jax.ops.segment_sum(
+        (w * m * invwindow * invwindow).ravel(), flat,
+        num_segments=nbins + 1)[:nbins]
+    nmodes = jax.ops.segment_sum(w.ravel(), flat,
+                                 num_segments=nbins + 1)[:nbins]
+    ksum = jax.ops.segment_sum((w * keff).ravel(), flat,
+                               num_segments=nbins + 1)[:nbins]
+    norm = jnp.sum(jnp.where(k2 == 0, m, 0.0))
+    power = jax.lax.psum(power, axis_name)
+    nmodes = jax.lax.psum(nmodes, axis_name)
+    ksum = jax.lax.psum(ksum, axis_name)
+    norm = jax.lax.psum(norm, axis_name)
+    kmean = jnp.where(nmodes > 0, ksum / jnp.maximum(nmodes, 1), 0.0)
+    return PowerSpectrum(k=kmean, power=power, nmodes=nmodes,
+                         norm=norm)
+
+
 def pm_forces_slab(ipos_local, mass_local, cfg, ndev: int,
                    axis_name: str = "dp", halo: int = 2,
-                   mask=None):
+                   mask=None, want_power: bool = False):
     """Fully distributed PM forces: per-device memory O(N^3/D).
 
     Requires the slab domain invariant (parallel.domain): this
@@ -148,6 +203,8 @@ def pm_forces_slab(ipos_local, mass_local, cfg, ndev: int,
         slab = slab.at[nloc - halo:].add(buf[:halo])
 
     rho_k = pfft_r2c(slab, axis_name)              # [N, N/D, K]
+    ps = measure_power_pencil(rho_k, cfg, axis_name) if want_power \
+        else None
     pot_k, (kx, ky, kz) = _pm_transfer_chain(rho_k, cfg, axis_name)
 
     def diff_kernel(wv):
@@ -168,7 +225,8 @@ def pm_forces_slab(ipos_local, mass_local, cfg, ndev: int,
         ext = jnp.concatenate([lo_ext, fslab, hi_ext])
         accel.append(cic_readout_slab(ext, ipos_local, n, halo, x0,
                                       mask=mask))
-    return jnp.stack(accel, axis=-1)
+    accel = jnp.stack(accel, axis=-1)
+    return (accel, ps) if want_power else accel
 
 
 def pm_forces_pencil(ipos_local, mass_local, cfg, axis_name: str = "dp"):

@@ -165,7 +165,8 @@ def tree_forces_slab(fields: dict, sp: ShortRangeParams,
                      sub: int = 32,
                      pcaps: tuple = (256, 512, 1024, 2048),
                      fcap: int = 2048,
-                     traversal: str = "walk", engine: str = "xla"):
+                     traversal: str = "walk", engine: str = "xla",
+                     nb_mult: int = 1):
     """Locally-essential-tree short-range gravity on a slab domain.
 
     Replaces the round-1 replicated tree (all_gather + psum,
@@ -216,8 +217,11 @@ def tree_forces_slab(fields: dict, sp: ShortRangeParams,
         active = local & alive
         T = min(_next_pow2(C), n)
         level = auto_block_level(T, block)
-        nb = _next_pow2((T + block - 1) // block
-                        + max(T // (2 * block), 1))
+        # nb_mult: regrown by the caller when cell-anchored Morton-run
+        # splitting produces more blocks than the T/block estimate
+        # (diag[0] block_ovf) — bites at small T
+        nb = _next_pow2(((T + block - 1) // block
+                         + max(T // (2 * block), 1)) * nb_mult)
         nlv = _infer_nlevels(tree.center.shape[0], n) \
             if traversal == "bfs" else 0
         acc, pot, diag = treegrav_refined_fixed(

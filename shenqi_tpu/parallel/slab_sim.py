@@ -1,0 +1,455 @@
+"""Multi-chip slab-domain simulation loop: the distributed main loop.
+
+This is the product layer that composes the round-2/3 distributed
+library (domain exchange, slab PM + pencil FFT, locally-essential-tree
+refined gravity, slab FOF, sharded snapshot IO) into the reference's
+main-loop protocol (run.cpp:331-822) over a 1-D jax.sharding.Mesh —
+so reference examples (dm-small) actually RUN multi-chip from the CLI.
+
+Scope this round: collisionless (DM-only) physics with the full
+individual-timebin KDK integrator — the same non-hierarchical protocol
+as simulation.Simulation.run (which computes forces for every particle
+each step and applies per-bin kick factors; inactive bins get factor
+zero).  Gas/subgrid stay single-device for now.
+
+Design:
+  * Particle state is a dict of [D*C] arrays sharded over axis 'dp';
+    device d owns rows [d*C, (d+1)*C): its x-slab's particles plus
+    dead (mass=0) padding (domain.distribute_slabs layout).  Slab
+    ownership is restored by a bucketed all_to_all exchange EVERY
+    force step (domain.exchange; the reference runs
+    domain_decompose_full/maintain at the same cadence,
+    run.cpp:434-451), so the rcut-halo ghost exchange inside the
+    gravity program is always sufficient.
+  * One jitted shard_map "force program" per (pm?, first?) variant:
+    exchange -> [slab PM + pencil P(k)] -> refined slab tree gravity.
+    Static caps (pcaps/fcap/maxl/kcap) are regrown from the psum'd
+    diagnostics and the program rebuilt+rerun on overflow — the
+    distributed analog of the single-device grow-only tier caches.
+  * Drift/kicks/timebin bookkeeping are elementwise jnp ops on the
+    sharded arrays (XLA partitions them with zero communication); the
+    timestep ASSIGNMENT (assign_timebins) runs on host over the
+    gathered dloga like the single-device loop — O(N) host work per
+    step, acceptable at validation scale and isolated behind one
+    function for a later device-side port.
+
+Outputs (snapshots via io.sharded_io, FOF via fof.slab, P(k) from the
+pencil FFT) are wired by the CLI (cli/gadget_main.py --mesh N).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:                      # older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..core.particles import float_to_ipos, POS_SCALE
+from ..core.timeline import (Timeline, TIMEBINS, dti_from_timebin,
+                             round_down_power_of_two)
+from ..core.integrate import (DriftKickTimes, TimestepParams,
+                              active_bins_mask, find_next_kick,
+                              gravity_dloga, long_range_dloga,
+                              assign_timebins, gravkick_tables,
+                              update_kick_times, is_timebin_active)
+from ..gravity.treepm import (GravityConfig, get_window_tables,
+                              default_softening)
+from ..gravity.pm import finalize_power
+from ..utils.constants import CM_PER_MPC
+from .domain import distribute_slabs, exchange, collect_alive
+from .sharded import tree_forces_slab
+from .pfft import pm_forces_slab
+
+
+@jax.jit
+def _drift_fields(ipos, vel, alive, driftfac, pos_scale_over_box):
+    dx = vel * driftfac * pos_scale_over_box
+    newpos = ipos + dx.astype(jnp.int32).astype(jnp.uint32)
+    return jnp.where(alive[:, None], newpos, ipos)
+
+
+@jax.jit
+def _kick_bins(vel, gacc, timebin, gravkick_table, alive):
+    fac = gravkick_table[timebin.astype(jnp.int32)]
+    fac = jnp.where(alive, fac, 0.0)
+    return vel + gacc * fac[:, None]
+
+
+@jax.jit
+def _kick_pm_all(vel, gpm, alive, fac):
+    return vel + gpm * jnp.where(alive, fac, 0.0)[:, None]
+
+
+@dataclass
+class SlabCaps:
+    """Regrowable static sizes of the jitted force program."""
+    kcap: int = 512          # exchange rows per (src,dst) pair
+    gcap: int = 0            # ghost strip rows (0 = capacity C)
+    maxl: int = 512          # traversal leaf-list length
+    fcap: int = 2048         # BFS frontier cap (walk traversal: unused)
+    pcaps: tuple = (256, 512, 1024, 2048)   # eval tier caps (quads)
+    nb_mult: int = 1         # target-block count multiplier
+
+    def key(self):
+        return (self.kcap, self.gcap, self.maxl, self.fcap,
+                self.pcaps, self.nb_mult)
+
+
+@dataclass
+class SlabSimulation:
+    """Distributed DM TreePM simulation over a 1-D device mesh."""
+    CP: object
+    boxsize: float
+    timeline: Timeline
+    times: DriftKickTimes
+    gravity: GravityConfig
+    tsp: TimestepParams
+    mesh: Mesh
+    fields: dict                   # sharded [D*C] state
+    capacity: int                  # rows per device
+    window_tables: object = None
+    step_count: int = 0
+    power_history: list = field(default_factory=list)
+    snapshots: list = field(default_factory=list)
+    caps: SlabCaps = field(default_factory=SlabCaps)
+    on_snapshot: object = None     # callback(sim, atime)
+    on_step: object = None
+    walltime: object = None
+    _programs: dict = field(default_factory=dict)
+    _exchange_cadence_info: dict = field(default_factory=dict)
+
+    # ---------------- construction ----------------
+    @classmethod
+    def from_arrays(cls, mesh: Mesh, pos, vel, mass, ids, CP, boxsize,
+                    nmesh, timeline, atime,
+                    tsp: Optional[TimestepParams] = None,
+                    gravity_kw: Optional[dict] = None,
+                    headroom: float = 1.6):
+        n = len(pos)
+        ids = np.asarray(ids, np.uint64)
+        host = {
+            "ipos": np.asarray(float_to_ipos(pos, boxsize)),
+            "vel": np.asarray(vel, np.float32),
+            "mass": (np.asarray(mass, np.float32) if np.ndim(mass)
+                     else np.full(n, mass, np.float32)),
+            "oldacc": np.zeros(n, np.float32),
+            "tbin": np.ones(n, np.int32),
+            "id_lo": (ids & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            "id_hi": (ids >> np.uint64(32)).astype(np.uint32),
+            "gpm": np.zeros((n, 3), np.float32),
+            "gacc": np.zeros((n, 3), np.float32),
+        }
+        fields, capacity = distribute_slabs(mesh, host,
+                                            headroom=headroom)
+        soft = default_softening(boxsize, n)
+        gkw = dict(boxsize=boxsize, nmesh=nmesh, G=CP.GravInternal,
+                   softening=soft,
+                   tree_nlevels=min(20, max(6, int(np.ceil(
+                       np.log(max(n // mesh.devices.size, 8) / 16)
+                       / np.log(8))) + 4)),
+                   tree_ncrit=32)
+        if gravity_kw:
+            gkw.update(gravity_kw)
+        gravity = GravityConfig(**gkw)
+        ti = timeline.ti_from_loga(np.log(atime))
+        return cls(CP=CP, boxsize=boxsize, timeline=timeline,
+                   times=DriftKickTimes.init(ti), gravity=gravity,
+                   tsp=tsp or TimestepParams(), mesh=mesh,
+                   fields=fields, capacity=capacity)
+
+    # ---------------- small helpers ----------------
+    def atime(self) -> float:
+        return self.timeline.atime_from_ti(self.times.ti_current)
+
+    def _alive(self):
+        return self.fields["mass"] > 0
+
+    def _wt(self, name: str):
+        if self.walltime is not None:
+            self.walltime.measure(name)
+
+    def n_alive(self) -> int:
+        return int(jnp.sum(self._alive()))
+
+    def ids64(self):
+        return (np.asarray(self.fields["id_hi"]).astype(np.uint64)
+                << np.uint64(32)) \
+            | np.asarray(self.fields["id_lo"]).astype(np.uint64)
+
+    # ---------------- the force program ----------------
+    def _force_program(self, with_pm: bool, first: bool):
+        """Build (or fetch) the jitted shard_map force step."""
+        key = (with_pm, first, self.caps.key())
+        prog = self._programs.get(key)
+        if prog is not None:
+            return prog
+        if self.window_tables is None and \
+                self.gravity.window_type == "exact":
+            self.window_tables = get_window_tables(self.gravity)
+
+        mesh = self.mesh
+        ndev = mesh.devices.size
+        caps = self.caps
+        C = self.capacity
+        gcap = caps.gcap or C
+        sp = self.gravity.short(use_bh=1 if first else None)
+        cfg_pm = self.gravity.pm()
+        wt = self.window_tables
+        g = self.gravity
+        maxi = g.maxi
+
+        field_specs = {name: P("dp", *([None] * (a.ndim - 1)))
+                      for name, a in self.fields.items()}
+        info_specs = {"unsent": P(), "dropped": P(), "n_alive": P(),
+                      "halo_lost": P(), "walk_overflow": P(),
+                      "grav_diag": P()}
+        out_specs = (field_specs, info_specs)
+        if with_pm:
+            out_specs = out_specs + ((P(), P(), P(), P()),)
+
+        @partial(shard_map, mesh=mesh, in_specs=(field_specs,),
+                 out_specs=out_specs, check_vma=False)
+        def run(fields):
+            fields, xinfo = exchange(fields, ndev, caps.kcap)
+            alive = fields["mass"] > 0
+            ps = None
+            if with_pm:
+                gpm, ps = pm_forces_slab(
+                    fields["ipos"], fields["mass"], cfg_pm, ndev,
+                    halo=2, mask=alive, want_power=True)
+                fields = dict(fields, gpm=gpm)
+            acc, _pot, tinfo = tree_forces_slab(
+                {"ipos": fields["ipos"], "mass": fields["mass"],
+                 "oldacc": fields["oldacc"]},
+                sp, wt, ndev, gcap, g.tree_nlevels, g.tree_ncrit,
+                maxi, caps.maxl, g.block, schedule="refined",
+                sub=g.refine_sub, pcaps=caps.pcaps, fcap=caps.fcap,
+                traversal="walk", engine="xla",
+                nb_mult=caps.nb_mult)
+            fields = dict(fields, gacc=acc)
+            info = dict(xinfo)
+            info.update(tinfo)
+            out = (fields, info)
+            if with_pm:
+                out = out + ((ps.k, ps.power, ps.nmodes, ps.norm),)
+            return out
+
+        prog = jax.jit(run)
+        self._programs[key] = prog
+        return prog
+
+    def _grow_from_diag(self, info) -> bool:
+        """Inspect psum'd force diagnostics; grow caps on overflow.
+        Returns True when the program must be rebuilt and rerun."""
+        from ..gravity.shortrange_refined import _round_cap
+        grew = False
+        caps = self.caps
+        if int(info["unsent"]) > 0:
+            caps.kcap = caps.kcap * 2
+            grew = True
+        if int(info["dropped"]) > 0:
+            raise RuntimeError(
+                f"slab capacity overflow: {int(info['dropped'])} rows "
+                f"dropped at capacity {self.capacity} — rerun with "
+                f"more headroom (PartAllocFactor analog)")
+        if int(info["halo_lost"]) > 0:
+            if (caps.gcap or self.capacity) >= self.capacity:
+                # gcap is clamped to C inside halo_exchange: losses at
+                # gcap=C mean a strip outgrew the device's row count
+                raise RuntimeError(
+                    f"ghost strip overflow at gcap={self.capacity}")
+            caps.gcap = min(caps.gcap * 2, self.capacity)
+            grew = True
+        d = np.asarray(info["grav_diag"])
+        if d[0] > 0:                       # target-block count overflow
+            caps.nb_mult = caps.nb_mult * 2
+            grew = True
+        if d[1] > 0:                       # leaf-list overflow
+            caps.maxl = caps.maxl * 2
+            grew = True
+        if d[8] > 0:                       # frontier overflow (bfs)
+            caps.fcap = caps.fcap * 2
+            grew = True
+        if np.any(d[9:13] > 0):            # tier cap overflow
+            newcaps = []
+            hi = 0
+            for i in range(4):
+                hi = max(hi, _round_cap(int(d[4 + i]) + 1),
+                         caps.pcaps[i])
+                newcaps.append(hi)
+            caps.pcaps = tuple(newcaps)
+            grew = True
+        return grew
+
+    def _forces(self, with_pm: bool, first: bool = False):
+        """Run the force program, regrowing static caps on overflow."""
+        for _ in range(8):
+            prog = self._force_program(with_pm, first)
+            out = prog(self.fields)
+            info = out[1]
+            if not self._grow_from_diag(info):
+                self.fields = out[0]
+                if with_pm:
+                    k, power, nmodes, norm = out[2]
+                    from ..gravity.pm import PowerSpectrum
+                    mpc = CM_PER_MPC / 3.085678e21
+                    kk, pw, nm = finalize_power(
+                        PowerSpectrum(k=k, power=power, nmodes=nmodes,
+                                      norm=norm),
+                        self.gravity.pm(), self.boxsize / mpc)
+                    self.power_history.append(
+                        (self.atime(), kk, pw, nm))
+                return info
+        raise RuntimeError("force-program caps failed to converge "
+                           f"after 8 regrows: {self.caps}")
+
+    # ---------------- KDK pieces ----------------
+    def _drift_all(self, ti_next: int):
+        fac = self.timeline.exact_drift_factor(
+            self.CP, self.times.ti_current, ti_next)
+        self.fields["ipos"] = _drift_fields(
+            self.fields["ipos"], self.fields["vel"], self._alive(),
+            jnp.float32(fac), jnp.float32(POS_SCALE / self.boxsize))
+        self.times.ti_current = ti_next
+        for b in range(TIMEBINS + 1):
+            if is_timebin_active(b, ti_next):
+                self.times.ti_lastactivedrift[b] = ti_next
+
+    def _apply_half_kick(self):
+        gk, _hk, _dte = gravkick_tables(self.CP, self.timeline,
+                                        self.times)
+        self.fields["vel"] = _kick_bins(
+            self.fields["vel"], self.fields["gacc"],
+            self.fields["tbin"], gk, self._alive())
+
+    def _apply_pm_half_kick(self):
+        t0 = self.times.pm_kick
+        t1 = t0 + self.times.pm_length // 2
+        fac = self.timeline.exact_gravkick_factor(self.CP, t0, t1)
+        self.fields["vel"] = _kick_pm_all(
+            self.fields["vel"], self.fields["gpm"], self._alive(),
+            jnp.float32(fac))
+        self.times.pm_kick = t1
+
+    def _find_timesteps(self, first_step: bool):
+        times = self.times
+        is_pm = times.is_pm()
+        f = self.fields
+        atime = self.atime()
+        alive_h = np.asarray(self._alive())
+        if is_pm:
+            asmth_internal = (self.gravity.asmth * self.boxsize
+                              / self.gravity.nmesh)
+            ptype = np.full(alive_h.shape[0], 1, np.int8)
+            dloga_pm = long_range_dloga(
+                f["vel"], f["mass"], ptype, alive_h, atime, self.CP,
+                self.boxsize, asmth_internal, self.tsp)
+            dti = round_down_power_of_two(
+                self.timeline.dti_from_dloga(dloga_pm,
+                                             times.ti_current))
+            dti_max = (self.timeline.find_next_ti_sync(
+                times.ti_current) - times.pm_kick)
+            times.pm_length = min(dti, dti_max)
+            times.pm_start = times.pm_kick
+
+        hubble = float(self.CP.hubble_function(atime))
+        accel_tot = f["gacc"] + f["gpm"]
+        dloga = gravity_dloga(accel_tot, atime, hubble,
+                              self.gravity.softening,
+                              self.tsp.ErrTolIntAccuracy)
+        self.fields["oldacc"] = (
+            jnp.linalg.norm(accel_tot, axis=-1) / self.gravity.G)
+        active = np.asarray(self._active_mask())
+        if first_step:
+            active = alive_h
+        newbins, bad = assign_timebins(
+            np.asarray(dloga), np.asarray(f["tbin"], np.int32),
+            active & alive_h, times, self.timeline,
+            self.tsp.MinSizeTimestep)
+        self.fields["tbin"] = jax.device_put(
+            newbins.astype(np.int32),
+            NamedSharding(self.mesh, P("dp")))
+        occupied = newbins[alive_h]
+        if occupied.size:
+            times.mintimebin = int(occupied.min())
+            times.maxtimebin = int(occupied.max())
+        if is_pm and times.pm_length < dti_from_timebin(
+                times.maxtimebin):
+            times.pm_length = dti_from_timebin(times.maxtimebin)
+        return bad
+
+    def _active_mask(self):
+        bins_active = active_bins_mask(self.times.ti_current)
+        tb = np.asarray(self.fields["tbin"])
+        return bins_active[tb] & np.asarray(self._alive())
+
+    # ---------------- main loop ----------------
+    def run(self, max_steps: int = 10 ** 9):
+        """run.cpp:331-822 protocol, every stage distributed."""
+        first = self.step_count == 0
+        while max_steps > 0:
+            max_steps -= 1
+            times = self.times
+            self._wt("Misc")
+            if not first:
+                ti_next = find_next_kick(times.ti_current,
+                                         times.mintimebin)
+                ti_next = min(ti_next,
+                              times.pm_start + times.pm_length)
+                self._drift_all(ti_next)
+                self._wt("Drift")
+            is_pm = times.is_pm()
+
+            # forces (exchange + PM on PM steps + tree every step)
+            self._forces(with_pm=is_pm, first=first)
+            self._wt("Tree")
+
+            if not first:
+                self._apply_half_kick()
+            update_kick_times(times)
+            if is_pm and not first:
+                self._apply_pm_half_kick()
+
+            sp = self.timeline.find_current_sync_point(
+                times.ti_current)
+            if sp is not None and sp.write_snapshot:
+                if self.on_snapshot:
+                    self.on_snapshot(self, self.atime())
+                self.snapshots.append(self.atime())
+                self._wt("Snapshot")
+
+            if self.timeline.find_next_sync_point(times.ti_current) \
+                    is None:
+                break
+
+            bad = self._find_timesteps(first_step=first)
+            self._wt("Timeline")
+            if bad:
+                raise RuntimeError(f"{bad} bad timesteps at step "
+                                   f"{self.step_count}")
+            self._apply_half_kick()
+            if is_pm:
+                self._apply_pm_half_kick()
+            self.step_count += 1
+            first = False
+            if self.on_step:
+                self.on_step(self)
+        return self
+
+    # ---------------- host-side views ----------------
+    def gather_alive(self) -> dict:
+        """Host dict of alive rows + 64-bit ids (tests/outputs)."""
+        out = collect_alive({k: v for k, v in self.fields.items()})
+        out["id"] = ((out.pop("id_hi").astype(np.uint64)
+                      << np.uint64(32))
+                     | out.pop("id_lo").astype(np.uint64))
+        return out
