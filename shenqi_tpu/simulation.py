@@ -740,6 +740,10 @@ class Simulation:
             # sync point outputs
             sp = self.timeline.find_current_sync_point(times.ti_current)
             if sp is not None and sp.write_snapshot:
+                # reclaim dead rows before writing (run.cpp:704 runs
+                # slots_gc ahead of the snapshot)
+                if self.gas is not None and self.gas_physics is not None:
+                    self.gas_physics.slots_gc(self, self.gas)
                 if self.on_snapshot:
                     self.on_snapshot(self, self.atime())
                 self.snapshots.append(self.atime())

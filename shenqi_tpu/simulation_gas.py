@@ -912,11 +912,14 @@ class GasPhysics:
         smet[idx_whole] = gmet[idx_whole]
         sfr[idx_whole] = 0.0
 
-        # --- split spawns: new rows in the spare region ---
+        # --- split spawns: new rows on ANY dead slot ---
+        # dead rows inside the gas prefix (BH-swallowed gas) are
+        # reused before the spare tail and before growing capacity
+        # (slots_gc reclaim semantics, slotsmanager.cpp:133): long
+        # runs with ongoing SF + swallowing keep a bounded shape
         nspawn = len(idx_split)
         if nspawn:
-            n_real = getattr(sim, "n_real", p.n)
-            free = np.nonzero(~mask[n_real:])[0] + n_real
+            free = np.nonzero(~mask)[0]
             if len(free) < nspawn:
                 self._grow_star_capacity(
                     sim, gas, max(nspawn - len(free), 1))
@@ -928,8 +931,17 @@ class GasPhysics:
                 enr = np.array(gas.last_enrich_myr)
                 m0 = np.array(gas.mass0)
                 smet = np.array(gas.star_metallicity)
-                free = np.nonzero(~mask[n_real:])[0] + n_real
+                free = np.nonzero(~mask)[0]
             rows = free[:nspawn]
+            # scrub stale gas state on reused gas-prefix rows: the
+            # row becomes a star — no SFR, no wind delay, no BH mass
+            reused = rows[rows < ng]
+            if len(reused):
+                ri = jnp.asarray(reused)
+                sfr[reused] = 0.0
+                gas.delay_time = gas.delay_time.at[ri].set(0.0)
+                gas.bh_mass = gas.bh_mass.at[ri].set(0.0)
+                gas.bh_mdot = gas.bh_mdot.at[ri].set(0.0)
             ipos = np.array(p.ipos)
             vel = np.array(p.vel)
             hsml = np.array(p.hsml)
@@ -1006,3 +1018,39 @@ class GasPhysics:
         for name in ("birth_a", "last_enrich_myr", "mass0",
                      "total_returned", "star_metallicity"):
             setattr(gas, name, pad(getattr(gas, name)))
+
+    def slots_gc(self, sim, gas: GasState):
+        """Compact the spare tail (slots_gc, slotsmanager.cpp:133).
+
+        Dead rows inside the gas prefix stay as reusable spawn slots
+        (_convert_stars scans the whole mask); this pass shrinks the
+        ARRAYS when the tail beyond the last alive row is > 25% of
+        the total — the historical peak no longer fixes the shape.
+        Runs at snapshot cadence (run.cpp:704 runs slots_gc before
+        outputs); a shrink recompiles the jitted steps, rare by the
+        25% hysteresis."""
+        p = sim.particles
+        mask = np.asarray(p.mask)
+        alive_rows = np.nonzero(mask)[0]
+        last = int(alive_rows[-1]) + 1 if len(alive_rows) else 0
+        n_real = getattr(sim, "n_real", p.n)
+        new_n = max(last, n_real, gas.ngas)
+        new_n = ((new_n + 127) // 128) * 128
+        if new_n >= p.n or (p.n - new_n) < p.n // 4:
+            return
+
+        def cut(a):
+            return a[:new_n]
+
+        new = {}
+        for f in dataclasses.fields(p):
+            v = getattr(p, f.name)
+            if isinstance(v, jax.Array) and v.ndim >= 1 \
+                    and v.shape[0] == p.n:
+                new[f.name] = cut(v)
+        sim.particles = dataclasses.replace(p, **new)
+        for name in ("birth_a", "last_enrich_myr", "mass0",
+                     "total_returned", "star_metallicity"):
+            v = getattr(gas, name)
+            if v is not None and v.shape[0] > new_n:
+                setattr(gas, name, cut(v))
