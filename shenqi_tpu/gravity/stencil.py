@@ -273,6 +273,32 @@ def _stencil_eval(ipos_s, qtab, tgt_idx, tgt_valid, qst, qcn, sel,
             pot = pot + jnp.sum(fp, axis=2)
         return acc, pot
 
+    HIGH = jax.lax.Precision.HIGHEST
+
+    def pair_accum_mxu(dt, t2, spos, smass, center, acc):
+        """MXU pair pass: r^2 = |t|^2 + |s|^2 - 2 t.s and
+        acc += ff@s - t*sum(ff) — the two O(sub*S) contractions ride
+        the systolic array; only the force factor stays elementwise.
+
+        Coordinates are BLOCK-CENTER-relative (exact uint32 wrap then
+        float), so the cancellation error in r^2 is ~|coord|^2 2^-24
+        ~ O(1) internal units; softened (r < h) pairs are immune —
+        the capped-Newton kernel is FLAT there (d cheap/d r^2 = 0)
+        and the near pass replaces them with the exact spline."""
+        ds = (spos - center[:, None, :])
+        ds = jax.lax.bitcast_convert_type(
+            ds, jnp.int32).astype(jnp.float32) * to_f    # [bbs,S,3]
+        s2 = jnp.sum(ds * ds, axis=-1)
+        cross = jnp.einsum("btk,bsk->bts", dt, ds, precision=HIGH)
+        r2 = jnp.maximum(t2[:, :, None] + s2[:, None, :]
+                         - 2.0 * cross, 0.0)
+        ff = _cheap_fac(r2, smass[:, None, :], params.softening,
+                        params.cellsize, window_tables)
+        acc = acc + jnp.einsum("bts,bsk->btk", ff, ds,
+                               precision=HIGH)
+        acc = acc - dt * jnp.sum(ff, axis=2)[..., None]
+        return acc
+
     def near_accum(tgt, spos, smass, acc):
         dx, r2 = seps(tgt, spos)
         m = smass[:, None, :]
@@ -306,11 +332,19 @@ def _stencil_eval(ipos_s, qtab, tgt_idx, tgt_valid, qst, qcn, sel,
                                              jnp.float32)
         return spos, smass
 
+    use_mxu = split and engine == "mxu"
+
     def eval_batch(sel_b):
         tidx = tgt_idx[sel_b]                    # [bbs, sub]
         tval = tgt_valid[sel_b]
         tgt = ipos_s[tidx]                       # [bbs, sub, 3] u32
         spos, smass = pack(qst[sel_b], qcn[sel_b], pcap)
+        if use_mxu:
+            center = tgt[:, 0, :]                # any in-block point
+            dt = jax.lax.bitcast_convert_type(
+                tgt - center[:, None, :], jnp.int32
+            ).astype(jnp.float32) * to_f
+            t2 = jnp.sum(dt * dt, axis=-1)
 
         def chunk(carry, c):
             acc, pot = carry
@@ -318,7 +352,10 @@ def _stencil_eval(ipos_s, qtab, tgt_idx, tgt_valid, qst, qcn, sel,
                 spos, c * 4 * QCH, 4 * QCH, axis=1)
             sm = jax.lax.dynamic_slice_in_dim(
                 smass, c * 4 * QCH, 4 * QCH, axis=1)
-            acc, pot = pair_accum(tgt, sl, sm, acc, pot)
+            if use_mxu:
+                acc = pair_accum_mxu(dt, t2, sl, sm, center, acc)
+            else:
+                acc, pot = pair_accum(tgt, sl, sm, acc, pot)
             return (acc, pot), None
 
         acc0 = jnp.zeros((bbs, sub, 3), jnp.float32)
@@ -514,26 +551,37 @@ def stencilgrav(ipos, mass, params: ShortRangeParams,
          cn4) = [int(x) for x in np.asarray(diag)]
         if tb_total <= TBC:
             break
-        TBC = _round_tbc(tb_total)
+        TBC = _round_tbc(tb_total + 256)   # drift headroom
     tier_cache[tbc_key] = TBC
 
     nbs = TBC
     key = ("stencil", k, sub, W, nbs)
-    cached = tier_cache.get(key, (0, 0, 0, 0))
-    pcaps = []
-    hi = 0
-    for c, cc in zip((c1, c2, c3, c4), cached):
-        hi = max(hi, _round_cap(c + 1), cc)
-        pcaps.append(hi)
-    pcaps = tuple(pcaps)
+
+    def grow_caps(counts, cached, margin, bump):
+        """Grow-only caps with drift hysteresis: counts jitter a few
+        units per step as particles move — without margin a count
+        sitting on a 128-quad quantum boundary recompiles the tier
+        eval every step."""
+        caps = []
+        hi = 0
+        for c, cc in zip(counts, cached):
+            need = c + 1
+            if need > cc:
+                g = _round_cap(need + margin)
+                if cc:
+                    g = max(g, cc + bump)   # growth event: headroom
+            else:
+                g = cc
+            hi = max(hi, g)
+            caps.append(hi)
+        return tuple(caps)
+
+    pcaps = grow_caps((c1, c2, c3, c4),
+                      tier_cache.get(key, (0, 0, 0, 0)), 16, 128)
     tier_cache[key] = pcaps
-    cached_n = tier_cache.get(key + ("n",), (0, 0, 0, 0))
-    ncaps = []
-    hi = 0
-    for c, cc in zip((cn1, cn2, cn3, cn4), cached_n):
-        hi = max(hi, _round_cap(c + 1), cc)
-        ncaps.append(hi)
-    ncaps = tuple(ncaps)
+    ncaps = grow_caps((cn1, cn2, cn3, cn4),
+                      tier_cache.get(key + ("n",), (0, 0, 0, 0)),
+                      8, 64)
     tier_cache[key + ("n",)] = ncaps
 
     if engine is None:

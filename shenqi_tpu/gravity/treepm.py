@@ -33,11 +33,12 @@ class GravityConfig(NamedTuple):
     tree_ncrit: int = 32
     # 'exact': PM-calibrated window table; 'erfc': analytic
     window_type: str = "exact"
-    # 'refined': production schedule (sub-block drop + packed source
-    # tables, shortrange_refined.py); 'blocked': round-2 padded block
-    # engine; 'perparticle': reference-semantics vmapped walk
-    # (CPU/tests)
-    engine: str = "refined"
+    # 'stencil': production engine (grid-stencil direct P3M,
+    # stencil.py — exact P2P inside rcut, no octree); 'refined':
+    # sub-block drop + packed source tables (shortrange_refined.py);
+    # 'blocked': round-2 padded block engine; 'perparticle':
+    # reference-semantics vmapped walk (CPU/tests)
+    engine: str = "stencil"
     refine_sub: int = 32
     block: int = 128
     maxi: int = 1024

@@ -329,10 +329,23 @@ class Simulation:
         if self.window_tables is None and \
                 self.gravity.window_type == "exact":
             self.window_tables = get_window_tables(self.gravity)
+        sp = self.gravity.short(use_bh=1 if first_step else None)
+        if self.gravity.engine == "stencil":
+            # grid-stencil direct P3M: exact inside rcut, no octree,
+            # no oldacc dependence (MAC-free) — first_step needs no
+            # BH-opening special case
+            from .gravity.stencil import stencilgrav
+            mass = jnp.where(p.mask, p.mass, 0.0)
+            acc, pot, _ = stencilgrav(
+                p.ipos, mass, sp, self.window_tables,
+                sub=self.gravity.refine_sub,
+                tier_cache=self._tier_cache,
+                caps_cache=self._caps_cache, want_pot=False)
+            self.particles = dataclasses.replace(p, grav_accel=acc)
+            return
         tree = build_octree(p.ipos, p.mass, p.mask, self.boxsize,
                             nlevels=self.gravity.tree_nlevels,
                             ncrit=self.gravity.tree_ncrit)
-        sp = self.gravity.short(use_bh=1 if first_step else None)
         if self.gravity.engine == "refined":
             from .gravity.shortrange_refined import treegrav_refined
             acc, pot, _ = treegrav_refined(
@@ -383,10 +396,22 @@ class Simulation:
         if self.window_tables is None and \
                 self.gravity.window_type == "exact":
             self.window_tables = get_window_tables(self.gravity)
+        sp = self.gravity.short()
+        if self.gravity.engine == "stencil":
+            # active-source stencil force: sources = selected (masked
+            # mass), targets compacted to the active set
+            from .gravity.stencil import stencilgrav
+            if n_act is None:
+                n_act = int(np.asarray(sel).sum())
+            acc, _, _ = stencilgrav(
+                p.ipos, mass, sp, self.window_tables,
+                n_targets=max(n_act, 1), sub=self.gravity.refine_sub,
+                active=selj, tier_cache=self._tier_cache,
+                caps_cache=self._caps_cache, want_pot=False)
+            return acc
         tree = build_octree(p.ipos, mass, selj & p.mask, self.boxsize,
                             nlevels=self.gravity.tree_nlevels,
                             ncrit=self.gravity.tree_ncrit)
-        sp = self.gravity.short()
         if self.gravity.engine == "refined":
             from .gravity.shortrange_refined import treegrav_refined
             if n_act is None:

@@ -117,3 +117,47 @@ def test_stencil_capped_kernel_split_matches_full():
     scale = np.median(np.linalg.norm(a2, axis=1))
     d = np.linalg.norm(a1 - a2, axis=1)
     assert np.max(d) / scale < 1e-5, np.max(d) / scale
+
+
+def test_stencil_active_subset():
+    """Active-source stencil (the hierarchical-gravity per-bin path):
+    sources = masked subset, targets compacted to the subset — must
+    equal the full-call rows for a subset-only system."""
+    ipos, mass, params, _ = _ipos_mass(900, 23)
+    n = mass.shape[0]
+    rng = np.random.RandomState(5)
+    sel = rng.rand(n) < 0.4
+    selj = jnp.asarray(sel)
+    mass_sel = jnp.where(selj, mass, 0.0)
+
+    acc_a, _, _ = stencilgrav(ipos, mass_sel, params,
+                              n_targets=int(sel.sum()), active=selj)
+    # oracle: a fresh system containing ONLY the selected particles
+    acc_f, _, _ = stencilgrav(ipos, mass_sel, params)
+    aa = np.asarray(acc_a)
+    af = np.asarray(acc_f)
+    assert np.allclose(aa[sel], af[sel], rtol=1e-5, atol=1e-7)
+    assert np.all(aa[~sel] == 0.0)
+
+
+def test_stencil_mxu_engine_accuracy():
+    """engine='mxu' (matmul r^2 + matmul accumulation) must hold the
+    same accuracy bars as the elementwise pass vs the f64 oracle:
+    the capped-Newton split keeps softened pairs immune to the
+    |t|^2+|s|^2-2t.s cancellation (flat kernel below h + exact near
+    correction)."""
+    from shenqi_tpu.gravity.window import window_polynomials
+    ipos, mass, params, expected = _ipos_mass(900, 31)
+    wt = window_polynomials(params.asmth)
+    acc_m, _, _ = stencilgrav(ipos, mass, params, wt, engine="mxu")
+    acc_x, _, _ = stencilgrav(ipos, mass, params, wt, engine="xla")
+    am = np.asarray(acc_m)
+    ax = np.asarray(acc_x)
+    fmag = np.linalg.norm(expected, axis=1)
+    scale = np.median(fmag[fmag > 0])
+    err_m = np.linalg.norm(am - expected, axis=1) / scale
+    assert np.percentile(err_m, 90) < 0.005, np.percentile(err_m, 90)
+    assert np.percentile(err_m, 99) < 0.02
+    # and the two engines agree tightly pair-for-pair
+    d = np.linalg.norm(am - ax, axis=1) / scale
+    assert np.percentile(d, 99) < 2e-3, np.percentile(d, 99)
