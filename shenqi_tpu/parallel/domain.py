@@ -44,12 +44,64 @@ def _log2(ndev: int) -> int:
     return l
 
 
-def slab_index(ipos_x, ndev: int):
-    """Owner device of fixed-point x coordinates (exact bit shift)."""
+def slab_index(ipos_x, ndev: int, cuts_in=None):
+    """Owner device of fixed-point x coordinates.
+
+    Uniform slabs (cuts_in None): exact bit shift.  Cost-balanced
+    slabs: cuts_in is the sorted [ndev-1] uint32 array of interior
+    slab boundaries (domain.cpp:620 domain_assign_topleaves_balanced
+    analog) and ownership is a searchsorted rank.
+    """
+    if cuts_in is not None:
+        return jnp.searchsorted(jnp.asarray(cuts_in), ipos_x,
+                                side="right").astype(jnp.int32)
     l = _log2(ndev)
     if l == 0:
         return jnp.zeros(ipos_x.shape, jnp.int32)
     return (ipos_x >> jnp.uint32(32 - l)).astype(jnp.int32)
+
+
+def balance_cuts(plane_costs, ndev: int):
+    """Choose x-column slab boundaries that equalize cost.
+
+    plane_costs: host [nplanes] per-x-column cost histogram (particle
+    counts or weighted work; columns are uniform x-bins at any
+    power-of-two granularity — they need NOT be mesh planes, since
+    the PM deposit reaches the uniform FFT layout through the
+    route_rows layout exchange).  Returns cut_planes [ndev+1] ints
+    with cut_planes[0]=0, cut_planes[ndev]=nplanes, each slab >= 1
+    column, cumulative cost per slab as equal as column granularity
+    allows — the slab analog of the reference's balanced topleaf
+    segment assignment (libgadget/domain.cpp:620).
+    """
+    plane_costs = np.asarray(plane_costs, np.float64)
+    nplanes = len(plane_costs)
+    if nplanes < ndev:
+        raise ValueError(f"{nplanes} planes < {ndev} devices")
+    cum = np.cumsum(plane_costs)
+    total = cum[-1]
+    cuts = [0]
+    for d in range(1, ndev):
+        target = total * d / ndev
+        c = int(np.searchsorted(cum, target)) + 1
+        c = max(c, cuts[-1] + 1)
+        c = min(c, nplanes - (ndev - d))
+        cuts.append(c)
+    cuts.append(nplanes)
+    return np.asarray(cuts, np.int64)
+
+
+def cuts_fp_from_planes(cut_planes, nplanes: int):
+    """Interior fixed-point boundaries [ndev-1] from plane cuts.
+
+    nplanes must divide 2^32 (power-of-two mesh) so boundaries are
+    exactly representable — the mesh-plane alignment invariant.
+    """
+    if (1 << 32) % nplanes:
+        raise ValueError(f"nplanes {nplanes} must divide 2^32")
+    step = (1 << 32) // nplanes
+    inner = np.asarray(cut_planes, np.int64)[1:-1]
+    return (inner * step).astype(np.uint32)
 
 
 def slab_lo(me, ndev: int):
@@ -74,7 +126,7 @@ def _compact_first(mask, cap: int):
 
 
 def exchange(fields: dict, ndev: int, kcap: int,
-             axis_name: str = "dp"):
+             axis_name: str = "dp", cuts_in=None):
     """Migrate rows to their owner slab (domain_exchange analog).
 
     fields: dict of [C, ...] arrays; must contain 'ipos' (uint32
@@ -89,7 +141,7 @@ def exchange(fields: dict, ndev: int, kcap: int,
     C = ipos.shape[0]
     me = jax.lax.axis_index(axis_name)
     alive = mass > 0
-    dest = slab_index(ipos[:, 0], ndev)
+    dest = slab_index(ipos[:, 0], ndev, cuts_in)
     dest = jnp.where(alive, dest, me)
     leaving = alive & (dest != me)
 
@@ -137,7 +189,7 @@ def exchange(fields: dict, ndev: int, kcap: int,
 
 
 def _halo_a2a(fields: dict, width_fp: int, ndev: int, gcap: int,
-              axis_name: str):
+              axis_name: str, cuts_in=None):
     """General ghost exchange: one bucketed all_to_all shipping each
     boundary row to EVERY slab within `width_fp` of it — the
     arbitrary-rank export analog of treewalk2.h:307-362 (the ring is
@@ -162,12 +214,19 @@ def _halo_a2a(fields: dict, width_fp: int, ndev: int, gcap: int,
             for name, a in fields.items()}
     for d in range(ndev):
         # periodic uint32 distance from x to slab d's interval
-        # [lo, lo+slab): 0 inside; else min of the two walk directions
-        lo = jnp.uint32(d) << jnp.uint32(32 - l)
+        # [lo, lo+size): 0 inside; else min of the two walk directions
+        if cuts_in is None:
+            lo = jnp.uint32(d) << jnp.uint32(32 - l)
+            size = jnp.uint32(slab_fp)
+        else:
+            cuts = jnp.asarray(cuts_in)
+            lo = cuts[d - 1] if d > 0 else jnp.uint32(0)
+            hi = cuts[d] if d < ndev - 1 else jnp.uint32(0)
+            size = hi - lo                   # uint32 wrap: last slab
         a_off = x - lo                       # uint32 exact wrap
-        inside = a_off < jnp.uint32(slab_fp)
+        inside = a_off < size
         d_below = jnp.uint32(0) - a_off      # x up to lo
-        d_above = a_off - jnp.uint32(slab_fp - 1)
+        d_above = a_off - (size - jnp.uint32(1))
         dist = jnp.where(inside, jnp.uint32(0),
                          jnp.minimum(d_below, d_above))
         need = alive & (dist < jnp.uint32(width_fp)) & (d != me)
@@ -188,7 +247,7 @@ def _halo_a2a(fields: dict, width_fp: int, ndev: int, gcap: int,
 
 
 def halo_exchange(fields: dict, width_fp: int, ndev: int, gcap: int,
-                  axis_name: str = "dp"):
+                  axis_name: str = "dp", cuts_in=None):
     """Ship boundary strips of fixed-point width `width_fp` to the two
     slab neighbors (the ghost/export-import analog of
     treewalk2.h:307-362; slab domains only need their two neighbors
@@ -212,6 +271,11 @@ def halo_exchange(fields: dict, width_fp: int, ndev: int, gcap: int,
     # the same destination from both directions (duplicate ghost mass)
     # unless 2*width <= (ndev-1)*slab — past that, use the general
     # exchange
+    # cost-balanced cuts: strips are per-device intervals, not the
+    # uniform ring geometry — always take the general exchange
+    if ndev > 1 and cuts_in is not None:
+        return _halo_a2a(fields, width_fp, ndev, gcap, axis_name,
+                         cuts_in)
     if ndev > 1 and 2 * width_fp > (ndev - 1) * slab_fp:
         return _halo_a2a(fields, width_fp, ndev, gcap, axis_name)
     ipos, mass = fields["ipos"], fields["mass"]
@@ -257,12 +321,85 @@ def halo_exchange(fields: dict, width_fp: int, ndev: int, gcap: int,
     return ghosts, jax.lax.psum(n_lost, axis_name)
 
 
+def route_rows(fields: dict, dest, valid, ndev: int, kcap: int,
+               axis_name: str = "dp"):
+    """Round-trip layout exchange: ship rows to `dest` devices.
+
+    The petapm region/pencil layout-exchange analog
+    (libgadget/petapm.cpp:79-87): rows are delivered to another
+    LAYOUT (e.g. the uniform FFT slab) for a computation whose
+    per-row results then travel back with `route_back` — unlike
+    `exchange`, nothing migrates permanently and the sender keeps
+    its rows.
+
+    fields: dict of [C, ...] arrays; dest [C] int32 target device;
+    valid [C] rows eligible to ship.  Rows with dest == me are NOT
+    shipped (callers use them in place).  kcap bounds rows per
+    (src,dst) pair; overflow rows stay (psum-counted, never dropped
+    silently).
+
+    Returns (recv dict of [ndev*kcap, ...], rvalid [ndev*kcap] bool,
+    state, n_lost) — state feeds route_back.
+    """
+    C = dest.shape[0]
+    me = jax.lax.axis_index(axis_name)
+    leaving = valid & (dest != me)
+    key = jnp.where(leaving, dest, ndev)
+    perm = jnp.argsort(key.astype(jnp.int32), stable=True)
+    ksort = key[perm]
+    start = jnp.searchsorted(
+        ksort, jnp.arange(ndev, dtype=ksort.dtype))
+    rank = jnp.arange(C) - start[jnp.minimum(ksort, ndev - 1)]
+    is_mig = ksort < ndev
+    sendable = is_mig & (rank < kcap)
+    n_lost = jnp.sum(is_mig & ~sendable)
+    flat = jnp.where(sendable, ksort * kcap + rank, ndev * kcap)
+
+    recv = {}
+    for name, a in fields.items():
+        buf = jnp.zeros((ndev * kcap + 1,) + a.shape[1:], a.dtype)
+        send = buf.at[flat].set(a[perm])[:ndev * kcap]
+        send = send.reshape((ndev, kcap) + a.shape[1:])
+        recv[name] = jax.lax.all_to_all(
+            send, axis_name, split_axis=0, concat_axis=0
+        ).reshape((ndev * kcap,) + a.shape[1:])
+    vsend = jnp.zeros(ndev * kcap + 1, jnp.int32).at[flat].set(
+        sendable.astype(jnp.int32))[:ndev * kcap]
+    rvalid = jax.lax.all_to_all(
+        vsend.reshape(ndev, kcap), axis_name, split_axis=0,
+        concat_axis=0).reshape(-1) > 0
+    state = (perm, flat, kcap)
+    return recv, rvalid, state, jax.lax.psum(n_lost, axis_name)
+
+
+def route_back(res, state, axis_name: str = "dp"):
+    """Return per-row results of a route_rows delivery to the senders.
+
+    res: [ndev*kcap, ...] computed for the received rows (same row
+    order as route_rows' recv).  Returns [C, ...] in the SENDER's
+    original row order; rows that were not shipped get zeros.
+    """
+    perm, flat, kcap = state
+    ndev = res.shape[0] // kcap
+    send = res.reshape((ndev, kcap) + res.shape[1:])
+    back = jax.lax.all_to_all(send, axis_name, split_axis=0,
+                              concat_axis=0)
+    backf = back.reshape((ndev * kcap,) + res.shape[1:])
+    padded = jnp.concatenate(
+        [backf, jnp.zeros((1,) + res.shape[1:], res.dtype)])
+    res_perm = padded[flat]                  # rows in perm order
+    C = flat.shape[0]
+    return jnp.zeros((C,) + res.shape[1:], res.dtype).at[perm].set(
+        res_perm)
+
+
 # ---------------------------------------------------------------------------
 # host-side helpers
 
 
 def distribute_slabs(mesh: Mesh, fields: dict, capacity: int = None,
-                     headroom: float = 1.5, block: int = 128):
+                     headroom: float = 1.5, block: int = 128,
+                     cuts_in=None):
     """Partition global host arrays into per-slab fixed-capacity
     blocks and place them sharded over the mesh.
 
@@ -277,7 +414,11 @@ def distribute_slabs(mesh: Mesh, fields: dict, capacity: int = None,
     _log2(ndev)
     ipos = np.asarray(fields["ipos"])
     n = ipos.shape[0]
-    dest = np.asarray(slab_index(jnp.asarray(ipos[:, 0]), ndev))
+    if cuts_in is not None:
+        dest = np.searchsorted(np.asarray(cuts_in), ipos[:, 0],
+                               side="right").astype(np.int32)
+    else:
+        dest = np.asarray(slab_index(jnp.asarray(ipos[:, 0]), ndev))
     keys = np.asarray(morton_key(jnp.asarray(ipos)))
     order = np.lexsort((keys, dest))
     counts = np.bincount(dest, minlength=ndev)

@@ -163,7 +163,8 @@ def measure_power_pencil(rho_k, cfg, axis_name: str = "dp"):
 
 def pm_forces_slab(ipos_local, mass_local, cfg, ndev: int,
                    axis_name: str = "dp", halo: int = 2,
-                   mask=None, want_power: bool = False):
+                   mask=None, want_power: bool = False,
+                   cuts_in=None, route_kcap: int = 0):
     """Fully distributed PM forces: per-device memory O(N^3/D).
 
     Requires the slab domain invariant (parallel.domain): this
@@ -173,8 +174,20 @@ def pm_forces_slab(ipos_local, mass_local, cfg, ndev: int,
     exchange, reduced to a ring because domains ARE mesh slabs);
     readout borrows `halo` planes back.  No full-mesh psum, no force
     all_gather (replaces the round-1 pfft.py:104,137 hotspots).
+
+    Cost-balanced domains (cuts_in given): particles live in
+    VARIABLE x-slabs, so deposit rows are first routed to their
+    uniform FFT-slab owner with the round-trip layout exchange
+    (domain.route_rows — the full petapm region-exchange analog,
+    particle domain <-> FFT pencil domain) and the readout forces
+    travel back the same lanes.  route_kcap bounds routed rows per
+    device pair; overflow is counted in the returned pm_lost (the
+    caller regrows), never silently dropped.
+
+    Returns (accel, ps, pm_lost) with ps None unless want_power.
     """
     from ..ops.cic import cic_deposit_slab, cic_readout_slab
+    from .domain import route_rows, route_back
 
     n = cfg.nmesh
     if n % ndev:
@@ -185,8 +198,25 @@ def pm_forces_slab(ipos_local, mass_local, cfg, ndev: int,
     me = jax.lax.axis_index(axis_name)
     x0 = (me * nloc).astype(jnp.int32)
 
-    buf = cic_deposit_slab(ipos_local, mass_local, n, nloc, halo, x0,
-                           mask=mask)
+    pm_lost = jnp.zeros((), jnp.int32)
+    route_state = None
+    ipos_dep, mass_dep, dep_mask = ipos_local, mass_local, mask
+    if cuts_in is not None and ndev > 1:
+        l = int(np.log2(ndev))
+        alive = mask if mask is not None else (mass_local > 0)
+        udest = (ipos_local[:, 0] >> jnp.uint32(32 - l)
+                 ).astype(jnp.int32)
+        stay = alive & (udest == me)
+        kcap = route_kcap or ipos_local.shape[0]
+        recv, rvalid, route_state, pm_lost = route_rows(
+            {"ipos": ipos_local, "mass": mass_local}, udest, alive,
+            ndev, kcap, axis_name)
+        ipos_dep = jnp.concatenate([ipos_local, recv["ipos"]])
+        mass_dep = jnp.concatenate([mass_local, recv["mass"]])
+        dep_mask = jnp.concatenate([stay, rvalid])
+
+    buf = cic_deposit_slab(ipos_dep, mass_dep, n, nloc, halo, x0,
+                           mask=dep_mask)
     to_left = [(i, (i - 1) % ndev) for i in range(ndev)]
     to_right = [(i, (i + 1) % ndev) for i in range(ndev)]
     if ndev > 1:
@@ -223,10 +253,14 @@ def pm_forces_slab(ipos_local, mass_local, cfg, ndev: int,
             lo_ext = fslab[nloc - halo:]
             hi_ext = fslab[:halo]
         ext = jnp.concatenate([lo_ext, fslab, hi_ext])
-        accel.append(cic_readout_slab(ext, ipos_local, n, halo, x0,
-                                      mask=mask))
+        accel.append(cic_readout_slab(ext, ipos_dep, n, halo, x0,
+                                      mask=dep_mask))
     accel = jnp.stack(accel, axis=-1)
-    return (accel, ps) if want_power else accel
+    if route_state is not None:
+        C = ipos_local.shape[0]
+        acc_back = route_back(accel[C:], route_state, axis_name)
+        accel = jnp.where(stay[:, None], accel[:C], acc_back)
+    return accel, ps, pm_lost
 
 
 def pm_forces_pencil(ipos_local, mass_local, cfg, axis_name: str = "dp"):

@@ -166,7 +166,7 @@ def tree_forces_slab(fields: dict, sp: ShortRangeParams,
                      pcaps: tuple = (256, 512, 1024, 2048),
                      fcap: int = 2048,
                      traversal: str = "walk", engine: str = "xla",
-                     nb_mult: int = 1):
+                     nb_mult: int = 1, cuts_in=None):
     """Locally-essential-tree short-range gravity on a slab domain.
 
     Replaces the round-1 replicated tree (all_gather + psum,
@@ -187,7 +187,7 @@ def tree_forces_slab(fields: dict, sp: ShortRangeParams,
     ghosts, n_lost = halo_exchange(
         {"ipos": fields["ipos"], "mass": fields["mass"],
          "oldacc": fields["oldacc"]},
-        width_fp, ndev, gcap, axis_name)
+        width_fp, ndev, gcap, axis_name, cuts_in=cuts_in)
 
     ipos_all = jnp.concatenate([fields["ipos"], ghosts["ipos"]])
     mass_all = jnp.concatenate([fields["mass"], ghosts["mass"]])
@@ -336,8 +336,9 @@ def make_slab_step(mesh: Mesh, cfg_pm: PMConfig,
         fields, xinfo = exchange(fields, ndev, kcap)
         alive = fields["mass"] > 0
 
-        accel_pm = pm_forces_slab(fields["ipos"], fields["mass"],
-                                  cfg_pm, ndev, halo=pm_halo)
+        accel_pm, _, _ = pm_forces_slab(
+            fields["ipos"], fields["mass"], cfg_pm, ndev,
+            halo=pm_halo)
         acc_tree, _pot, tinfo = tree_forces_slab(
             fields, sp, window_tables, ndev, g, tree_nlevels,
             tree_ncrit, maxi, maxl, block, schedule=schedule,

@@ -70,6 +70,11 @@ from .sharded import tree_forces_slab
 from .pfft import pm_forces_slab
 
 
+# x-column granularity of the cost-balance histogram (the topleaf
+# count analog): fine enough to split a clustered mesh plane
+_BALANCE_COLS = 4096
+
+
 @jax.jit
 def _drift_fields(ipos, vel, alive, driftfac, pos_scale_over_box):
     dx = vel * driftfac * pos_scale_over_box
@@ -98,10 +103,11 @@ class SlabCaps:
     fcap: int = 2048         # BFS frontier cap (walk traversal: unused)
     pcaps: tuple = (256, 512, 1024, 2048)   # eval tier caps (quads)
     nb_mult: int = 1         # target-block count multiplier
+    pm_kcap: int = 2048      # PM layout-exchange rows per pair
 
     def key(self):
         return (self.kcap, self.gcap, self.maxl, self.fcap,
-                self.pcaps, self.nb_mult)
+                self.pcaps, self.nb_mult, self.pm_kcap)
 
 
 @dataclass
@@ -124,6 +130,9 @@ class SlabSimulation:
     on_snapshot: object = None     # callback(sim, atime)
     on_step: object = None
     walltime: object = None
+    balance_domains: bool = False  # cost-balanced slab cuts
+    cuts_planes: object = None     # [D+1] mesh-plane cut indices
+    _cuts_dev: object = None       # [D-1] uint32 interior cuts
     _programs: dict = field(default_factory=dict)
     _exchange_cadence_info: dict = field(default_factory=dict)
 
@@ -133,7 +142,8 @@ class SlabSimulation:
                     nmesh, timeline, atime,
                     tsp: Optional[TimestepParams] = None,
                     gravity_kw: Optional[dict] = None,
-                    headroom: float = 1.6):
+                    headroom: float = 1.6,
+                    balance_domains: bool = True):
         n = len(pos)
         ids = np.asarray(ids, np.uint64)
         host = {
@@ -148,8 +158,24 @@ class SlabSimulation:
             "gpm": np.zeros((n, 3), np.float32),
             "gacc": np.zeros((n, 3), np.float32),
         }
+        # cost-balanced slab cuts from the initial x-column histogram
+        # (domain.cpp:620 balanced topleaf assignment analog);
+        # NCOLS columns play the role of topleaves — finer than the
+        # mesh so a clustered plane can still be split
+        balance = balance_domains and mesh.devices.size > 1
+        cuts_planes = cuts_in = None
+        if balance:
+            from .domain import balance_cuts, cuts_fp_from_planes
+            ncols = _BALANCE_COLS
+            ipx = host["ipos"][:, 0][host["mass"] > 0]
+            cols = (ipx.astype(np.uint64) * np.uint64(ncols)
+                    >> np.uint64(32)).astype(np.int64)
+            hist = np.bincount(cols, minlength=ncols)
+            cuts_planes = balance_cuts(hist, mesh.devices.size)
+            cuts_in = cuts_fp_from_planes(cuts_planes, ncols)
         fields, capacity = distribute_slabs(mesh, host,
-                                            headroom=headroom)
+                                            headroom=headroom,
+                                            cuts_in=cuts_in)
         soft = default_softening(boxsize, n)
         gkw = dict(boxsize=boxsize, nmesh=nmesh, G=CP.GravInternal,
                    softening=soft,
@@ -164,7 +190,11 @@ class SlabSimulation:
         return cls(CP=CP, boxsize=boxsize, timeline=timeline,
                    times=DriftKickTimes.init(ti), gravity=gravity,
                    tsp=tsp or TimestepParams(), mesh=mesh,
-                   fields=fields, capacity=capacity)
+                   fields=fields, capacity=capacity,
+                   balance_domains=balance,
+                   cuts_planes=cuts_planes,
+                   _cuts_dev=(jnp.asarray(cuts_in)
+                              if cuts_in is not None else None))
 
     # ---------------- small helpers ----------------
     def atime(self) -> float:
@@ -207,25 +237,28 @@ class SlabSimulation:
         g = self.gravity
         maxi = g.maxi
 
+        balance = self.balance_domains and ndev > 1
+
         field_specs = {name: P("dp", *([None] * (a.ndim - 1)))
                       for name, a in self.fields.items()}
         info_specs = {"unsent": P(), "dropped": P(), "n_alive": P(),
                       "halo_lost": P(), "walk_overflow": P(),
-                      "grav_diag": P()}
+                      "grav_diag": P(), "pm_lost": P()}
         out_specs = (field_specs, info_specs)
         if with_pm:
             out_specs = out_specs + ((P(), P(), P(), P()),)
 
-        @partial(shard_map, mesh=mesh, in_specs=(field_specs,),
-                 out_specs=out_specs, check_vma=False)
-        def run(fields):
-            fields, xinfo = exchange(fields, ndev, caps.kcap)
+        def body(fields, cuts):
+            fields, xinfo = exchange(fields, ndev, caps.kcap,
+                                     cuts_in=cuts)
             alive = fields["mass"] > 0
             ps = None
+            pm_lost = jnp.zeros((), jnp.int32)
             if with_pm:
-                gpm, ps = pm_forces_slab(
+                gpm, ps, pm_lost = pm_forces_slab(
                     fields["ipos"], fields["mass"], cfg_pm, ndev,
-                    halo=2, mask=alive, want_power=True)
+                    halo=2, mask=alive, want_power=True,
+                    cuts_in=cuts, route_kcap=caps.pm_kcap)
                 fields = dict(fields, gpm=gpm)
             acc, _pot, tinfo = tree_forces_slab(
                 {"ipos": fields["ipos"], "mass": fields["mass"],
@@ -234,14 +267,26 @@ class SlabSimulation:
                 maxi, caps.maxl, g.block, schedule="refined",
                 sub=g.refine_sub, pcaps=caps.pcaps, fcap=caps.fcap,
                 traversal="walk", engine="xla",
-                nb_mult=caps.nb_mult)
+                nb_mult=caps.nb_mult, cuts_in=cuts)
             fields = dict(fields, gacc=acc)
             info = dict(xinfo)
             info.update(tinfo)
+            info["pm_lost"] = pm_lost
             out = (fields, info)
             if with_pm:
                 out = out + ((ps.k, ps.power, ps.nmodes, ps.norm),)
             return out
+
+        if balance:
+            run = partial(shard_map, mesh=mesh,
+                          in_specs=(field_specs, P()),
+                          out_specs=out_specs, check_vma=False)(
+                lambda fields, cuts: body(fields, cuts))
+        else:
+            run = partial(shard_map, mesh=mesh,
+                          in_specs=(field_specs,),
+                          out_specs=out_specs, check_vma=False)(
+                lambda fields: body(fields, None))
 
         prog = jax.jit(run)
         self._programs[key] = prog
@@ -261,6 +306,9 @@ class SlabSimulation:
                 f"slab capacity overflow: {int(info['dropped'])} rows "
                 f"dropped at capacity {self.capacity} — rerun with "
                 f"more headroom (PartAllocFactor analog)")
+        if int(info.get("pm_lost", 0)) > 0:
+            caps.pm_kcap = min(caps.pm_kcap * 2, self.capacity)
+            grew = True
         if int(info["halo_lost"]) > 0:
             if (caps.gcap or self.capacity) >= self.capacity:
                 # gcap is clamped to C inside halo_exchange: losses at
@@ -294,7 +342,10 @@ class SlabSimulation:
         """Run the force program, regrowing static caps on overflow."""
         for _ in range(8):
             prog = self._force_program(with_pm, first)
-            out = prog(self.fields)
+            if self.balance_domains and self.mesh.devices.size > 1:
+                out = prog(self.fields, self._cuts_dev)
+            else:
+                out = prog(self.fields)
             info = out[1]
             if not self._grow_from_diag(info):
                 self.fields = out[0]
@@ -392,6 +443,24 @@ class SlabSimulation:
         tb = np.asarray(self.fields["tbin"])
         return bins_active[tb] & np.asarray(self._alive())
 
+    def _rebalance_cuts(self):
+        """Re-cut slab boundaries from the drifted column histogram
+        (PM-step cadence — the reference re-decomposes at the same
+        cadence, run.cpp:434-451 / domain.cpp retry policies).  The
+        next force program's exchange migrates rows to the new
+        ownership; cuts are traced data, so no recompile."""
+        from .domain import balance_cuts, cuts_fp_from_planes
+        ncols = _BALANCE_COLS
+        x = np.asarray(self.fields["ipos"][:, 0])
+        alive = np.asarray(self._alive())
+        cols = (x[alive].astype(np.uint64) * np.uint64(ncols)
+                >> np.uint64(32)).astype(np.int64)
+        hist = np.bincount(cols, minlength=ncols)
+        cuts = balance_cuts(hist, self.mesh.devices.size)
+        self.cuts_planes = cuts
+        self._cuts_dev = jnp.asarray(
+            cuts_fp_from_planes(cuts, ncols))
+
     # ---------------- main loop ----------------
     def run(self, max_steps: int = 10 ** 9):
         """run.cpp:331-822 protocol, every stage distributed."""
@@ -409,7 +478,12 @@ class SlabSimulation:
                 self._wt("Drift")
             is_pm = times.is_pm()
 
-            # forces (exchange + PM on PM steps + tree every step)
+            # forces (exchange + PM on PM steps + tree every step);
+            # PM steps first re-cut the slab boundaries to the
+            # drifted particle load
+            if is_pm and self.balance_domains \
+                    and self.mesh.devices.size > 1 and not first:
+                self._rebalance_cuts()
             self._forces(with_pm=is_pm, first=first)
             self._wt("Tree")
 
