@@ -249,8 +249,13 @@ def _stencil_eval(ipos_s, qtab, tgt_idx, tgt_valid, qst, qcn, sel,
         bbs //= 2
     nbatch = nsel // bbs
     QT = qtab.shape[0] - 1
+    # engine="pallas": the fused VMEM pair kernel (ops/pallas_p2p)
+    # evaluates the EXACT spline+window force for every packed pair,
+    # so the capped-Newton/near-correction split is unnecessary
+    use_pallas = (engine == "pallas" and sub % 8 == 0
+                  and isinstance(window_tables, PolyWindow))
     split = (not want_pot) and isinstance(window_tables, PolyWindow) \
-        and ncap > 0
+        and ncap > 0 and not use_pallas
 
     def seps(tgt, spos):
         d = spos[:, None, :, :] - tgt[:, :, None, :]
@@ -339,6 +344,20 @@ def _stencil_eval(ipos_s, qtab, tgt_idx, tgt_valid, qst, qcn, sel,
         tval = tgt_valid[sel_b]
         tgt = ipos_s[tidx]                       # [bbs, sub, 3] u32
         spos, smass = pack(qst[sel_b], qcn[sel_b], pcap)
+        if use_pallas:
+            from ..ops.pallas_p2p import p2p_blocked
+            sch = 512
+            while (4 * pcap) % sch:
+                sch //= 2
+            acc, pp = p2p_blocked(
+                tgt, spos, smass, box, params.softening,
+                params.cellsize, window_tables, 1.0,
+                interpret=jax.default_backend() != "tpu",
+                want_pot=want_pot, sch=sch, blk=sub)
+            if pp is None:
+                pp = jnp.zeros((bbs, sub), jnp.float32)
+            acc = jnp.where(tval[..., None], acc, 0.0)
+            return acc, jnp.where(tval, pp, 0.0)
         if use_mxu:
             center = tgt[:, 0, :]                # any in-block point
             dt = jax.lax.bitcast_convert_type(

@@ -61,7 +61,7 @@ def test_stencil_matches_refined_engine():
     assert err_s.mean() <= err_t.mean() * 3 + 1e-3
 
 
-def test_stencil_active_subset():
+def test_stencil_sparse_active_fallback():
     ipos, mass, params, expected = _ipos_mass(800, 23)
     n = expected.shape[0]
     rng = np.random.RandomState(5)
@@ -138,6 +138,25 @@ def test_stencil_active_subset():
     af = np.asarray(acc_f)
     assert np.allclose(aa[sel], af[sel], rtol=1e-5, atol=1e-7)
     assert np.all(aa[~sel] == 0.0)
+
+
+def test_stencil_pallas_engine_interpret():
+    """engine='pallas' (fused VMEM pair kernel over the packed stencil
+    tables, interpret mode on CPU) must match the xla pass: the
+    kernel evaluates the exact spline+window force, so agreement is
+    f32-tight."""
+    from shenqi_tpu.gravity.window import window_polynomials
+    ipos, mass, params, _ = _ipos_mass(500, 33)
+    wt = window_polynomials(params.asmth)
+    acc_p, _, _ = stencilgrav(ipos, mass, params, wt,
+                              engine="pallas")
+    acc_x, _, _ = stencilgrav(ipos, mass, params, wt, engine="xla")
+    ap = np.asarray(acc_p)
+    ax = np.asarray(acc_x)
+    scale = np.median(np.linalg.norm(ax, axis=1))
+    d = np.linalg.norm(ap - ax, axis=1) / scale
+    assert np.percentile(d, 99) < 1e-4, np.percentile(d, 99)
+    assert np.isfinite(ap).all()
 
 
 def test_stencil_mxu_engine_accuracy():
