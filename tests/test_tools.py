@@ -129,3 +129,148 @@ def test_rebin_powerspectrum(tmp_path):
     # rebinned spectrum follows the power law
     slope = np.polyfit(np.log(rows[:, 0]), np.log(rows[:, 1]), 1)[0]
     assert slope == pytest.approx(-1.5, abs=0.05)
+
+
+def test_convert_from_gadget1(tmp_path):
+    """Round-trip: synthesize a Gadget-1 binary, convert, read back."""
+    import struct
+    n = 120
+    rng = np.random.RandomState(7)
+    pos = rng.uniform(0, 10000, (n, 3)).astype(np.float32)
+    vel = rng.normal(0, 30, (n, 3)).astype(np.float32)
+    ids = np.arange(1, n + 1, dtype=np.uint32)
+    a = 0.25
+    npart = [0, n, 0, 0, 0, 0]
+    mass = [0.0, 7.5, 0.0, 0.0, 0.0, 0.0]
+    hdr = struct.pack(
+        "<6i6dddii6Iii4dii6I",
+        *npart, *mass, a, 1 / a - 1, 0, 0, *npart, 0, 1,
+        10000.0, 0.3, 0.7, 0.7, 0, 0, 0, 0, 0, 0, 0, 0)
+    hdr += b"\0" * (256 - len(hdr))
+    src = tmp_path / "g1snap"
+    with open(src, "wb") as f:
+        for rec in (hdr, pos.tobytes(), vel.tobytes(),
+                    ids.tobytes()):
+            ln = struct.pack("<i", len(rec))
+            f.write(ln + rec + ln)
+    dest = str(tmp_path / "bigsnap")
+    r = _run("convert_from_gadget_1.py", str(src), dest)
+    assert r.returncode == 0, r.stderr
+    from shenqi_tpu.io.bigfile import BigFile
+    bf = BigFile(dest)
+    att = bf["Header"].attrs
+    assert float(np.atleast_1d(att["Time"])[0]) == pytest.approx(a)
+    assert float(np.atleast_1d(att["BoxSize"])[0]) == 10000.0
+    assert int(np.atleast_1d(att["UsePeculiarVelocity"])[0]) == 1
+    got_pos = np.asarray(bf["1/Position"].read())
+    got_vel = np.asarray(bf["1/Velocity"].read())
+    got_ids = np.asarray(bf["1/ID"].read())
+    np.testing.assert_allclose(got_pos, pos, rtol=0, atol=0)
+    np.testing.assert_allclose(got_vel, vel * np.sqrt(a), rtol=1e-6)
+    np.testing.assert_array_equal(got_ids, ids)
+
+
+def test_make_j21coefftable(tmp_path):
+    out = tmp_path / "j21.txt"
+    r = _run("make_j21coefftable.py", "-n", 5, "-o", str(out))
+    assert r.returncode == 0, r.stderr
+    tab = np.loadtxt(out)
+    assert tab.shape == (5, 7)
+    assert np.all(tab[:, 1:] > 0)
+    # harder spectra (steeper slope) ionise less
+    assert np.all(np.diff(tab[:, 1]) < 0)
+    # HeII rate < HI rate at every slope (fewer photons past 54 eV)
+    assert np.all(tab[:, 3] < tab[:, 1])
+
+
+def _write_pig(path, nhalo=50, seed=4):
+    from shenqi_tpu.io.bigfile import BigFile
+    rng = np.random.RandomState(seed)
+    bf = BigFile(str(path), create=True)
+    hb = bf.create_block("Header", "i4", 0)
+    hb.attrs["Time"] = np.array([0.25])
+    hb.attrs["HubbleParam"] = np.array([0.7])
+    hb.attrs["BoxSize"] = np.array([20000.0])
+    hb.flush()
+    m = np.sort(rng.lognormal(1.0, 1.0, nhalo))[::-1].astype(
+        np.float32)
+    blk = bf.create_block("FOFGroups/Mass", "f4", nhalo)
+    blk.write(0, m)
+    blk.flush()
+    mbt = np.zeros((nhalo, 6), np.float32)
+    mbt[:, 1] = 0.9 * m
+    mbt[:, 4] = 0.01 * m
+    blk = bf.create_block("FOFGroups/MassByType", "f4", nhalo,
+                          nmemb=6)
+    blk.write(0, mbt)
+    blk.flush()
+    return m
+
+
+def test_plot_gsmf_and_hmf(tmp_path):
+    pig = tmp_path / "PIG_003"
+    _write_pig(pig)
+    for which in ("gsmf", "hmf"):
+        out = tmp_path / f"{which}.pdf"
+        r = _run("plotGSMF.py", str(pig), "--which", which,
+                 "-o", str(out))
+        assert r.returncode == 0, r.stderr
+        assert out.exists() and out.stat().st_size > 0
+
+
+def test_plot_structure(tmp_path):
+    snap = str(tmp_path / "PART_001")
+    _write_snap(snap, n=300)
+    out = tmp_path / "dens.pdf"
+    r = _run("plot_structure.py", snap, "--nmesh", 16,
+             "-o", str(out))
+    assert r.returncode == 0, r.stderr
+    assert out.exists() and out.stat().st_size > 0
+
+
+def test_compare_two_plots(tmp_path, monkeypatch):
+    k = np.logspace(-2, 0, 100)
+    n = np.full(100, 40)
+    for d, amp in (("o1", 1.0), ("o2", 1.1)):
+        os.makedirs(tmp_path / d, exist_ok=True)
+        np.savetxt(tmp_path / d / "powerspectrum-0.2500.txt",
+                   np.c_[k, amp * k ** -1.5, n])
+        _write_pig(tmp_path / d / "PIG_000")
+    monkeypatch.chdir(tmp_path)
+    r = _run("compare_two_plots.py", str(tmp_path / "o1"),
+             str(tmp_path / "o2"), 0.25)
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "powerspectrum-0.2500.pdf").exists()
+    assert (tmp_path / "gsmf-0.2500.pdf").exists()
+    assert (tmp_path / "hmf-0.2500.pdf").exists()
+
+
+def test_make_class_power_eh_fallback(tmp_path):
+    """No classy in this image: the EH98 fallback must write a
+    Sigma8-normalized P(k) at the requested redshift."""
+    pf = tmp_path / "paramfile.genic"
+    pf.write_text("""
+OutputDir = {out}
+FileBase = IC
+Ngrid = 32
+BoxSize = 64000
+Omega0 = 0.288
+OmegaLambda = 0.712
+OmegaBaryon = 0.0472
+HubbleParam = 0.7
+Redshift = 9
+Sigma8 = 0.8
+DifferentTransferFunctions = 0
+FileWithInputSpectrum = pk_out.dat
+""".format(out=tmp_path))
+    r = _run("make_class_power.py", str(pf))
+    assert r.returncode == 0, r.stderr
+    out = np.loadtxt(tmp_path / "pk_out.dat")
+    k, pk = out[:, 0], out[:, 1]
+    assert np.all(pk > 0) and np.all(np.diff(k) > 0)
+    # sigma8 of the output ~ Sigma8 * D(z=9)/D(0)
+    from shenqi_tpu.cosmology.background import tophat_sigma
+    s8 = tophat_sigma(k, pk, 8.0)
+    assert 0.05 < s8 < 0.25, s8        # growth-suppressed from 0.8
+    # P(k) turns over near k_eq ~ 0.01-0.02 h/Mpc
+    assert 5e-3 < k[np.argmax(pk)] < 5e-2
