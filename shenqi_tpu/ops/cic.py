@@ -136,3 +136,70 @@ def cic_readout(mesh, ipos, mask=None) -> jax.Array:
     if mask is not None:
         out = jnp.where(mask, out, 0.0)
     return out
+
+
+def cic_deposit_brick(ipos, weights, nmesh: int, nxl: int, nyl: int,
+                      halo: int, x0, y0, mask=None) -> jax.Array:
+    """CIC deposit into an (x, y) brick buffer
+    [nxl + 2*halo, nyl + 2*halo, N] — the 2-D procgrid analog of
+    cic_deposit_slab (petapm.cpp:217-255 2-D processor grid regions).
+
+    The buffer covers global planes [x0 - halo, x0 + nxl + halo) x
+    [y0 - halo, y0 + nyl + halo) (mod nmesh); particles whose base
+    cell falls outside deposit nothing (the domain/route layer
+    guarantees they don't exist).
+    """
+    i0, f = _cell_coords(ipos, nmesh)
+    w = weights.astype(jnp.float32)
+    if mask is not None:
+        w = jnp.where(mask, w, 0.0)
+    nxb = nxl + 2 * halo
+    nyb = nyl + 2 * halo
+    relx = jnp.mod(i0[:, 0] - (x0 - halo), nmesh)
+    rely = jnp.mod(i0[:, 1] - (y0 - halo), nmesh)
+    inbuf = (relx < nxb - 1) & (rely < nyb - 1)
+    w = jnp.where(inbuf, w, 0.0)
+    relx = jnp.where(inbuf, relx, 0)
+    rely = jnp.where(inbuf, rely, 0)
+    buf = jnp.zeros((nxb, nyb, nmesh), jnp.float32)
+    for dx in (0, 1):
+        wx = (1.0 - f[:, 0]) if dx == 0 else f[:, 0]
+        ix = relx + dx
+        for dy in (0, 1):
+            wy = (1.0 - f[:, 1]) if dy == 0 else f[:, 1]
+            iy = rely + dy
+            for dz in (0, 1):
+                wz = (1.0 - f[:, 2]) if dz == 0 else f[:, 2]
+                iz = (i0[:, 2] + dz) % nmesh
+                buf = buf.at[ix, iy, iz].add(
+                    w * wx * wy * wz, mode="promise_in_bounds")
+    return buf
+
+
+def cic_readout_brick(buf, ipos, nmesh: int, halo: int, x0, y0,
+                      mask=None) -> jax.Array:
+    """Interpolate from an extended brick buffer (cic_deposit_brick
+    layout): plane (p, q) is global ((x0-halo+p) mod N,
+    (y0-halo+q) mod N)."""
+    nxb, nyb = buf.shape[0], buf.shape[1]
+    i0, f = _cell_coords(ipos, nmesh)
+    relx = jnp.mod(i0[:, 0] - (x0 - halo), nmesh)
+    rely = jnp.mod(i0[:, 1] - (y0 - halo), nmesh)
+    inbuf = (relx < nxb - 1) & (rely < nyb - 1)
+    relx = jnp.where(inbuf, relx, 0)
+    rely = jnp.where(inbuf, rely, 0)
+    out = jnp.zeros(ipos.shape[0], jnp.float32)
+    for dx in (0, 1):
+        wx = (1.0 - f[:, 0]) if dx == 0 else f[:, 0]
+        ix = relx + dx
+        for dy in (0, 1):
+            wy = (1.0 - f[:, 1]) if dy == 0 else f[:, 1]
+            iy = rely + dy
+            for dz in (0, 1):
+                wz = (1.0 - f[:, 2]) if dz == 0 else f[:, 2]
+                iz = (i0[:, 2] + dz) % nmesh
+                out = out + buf[ix, iy, iz] * (wx * wy * wz)
+    out = jnp.where(inbuf, out, 0.0)
+    if mask is not None:
+        out = jnp.where(mask, out, 0.0)
+    return out
