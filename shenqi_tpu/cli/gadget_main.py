@@ -154,13 +154,20 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
                         fh.write(f"{kk[j]:g} {pk[j]:g} {int(nm[j])} "
                                  f"{pk[j] / d1 ** 2:g}\n")
         if snapshot_with_fof:
+            balanced = s.balance_domains and s._cuts_dev is not None
             if fof_fn[0] is None:
                 fof_fn[0] = make_fof_slab(
                     s.mesh, b_link, boxsize,
-                    nlevels=s.gravity.tree_nlevels)
-            glabel, finfo = fof_fn[0](
-                {"ipos": f["ipos"], "mass": f["mass"],
-                 "pid": f["id_lo"].astype(np.int32)})
+                    nlevels=s.gravity.tree_nlevels,
+                    with_cuts=balanced)
+            fof_fields = {"ipos": f["ipos"], "mass": f["mass"],
+                          "pid": f["id_lo"].astype(np.int32)}
+            if balanced:
+                # balanced domains: ghost strips must follow the
+                # actual ownership cuts, not the uniform slabs
+                glabel, finfo = fof_fn[0](fof_fields, s._cuts_dev)
+            else:
+                glabel, finfo = fof_fn[0](fof_fields)
             groups, _pid = compile_groups_from_slab(
                 glabel, f, boxsize,
                 min_length=ps.get_int("FOFHaloMinLength"))

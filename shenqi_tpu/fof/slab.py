@@ -77,7 +77,7 @@ def _local_label_fixpoint(tree, tgt_idx, tgt_valid, lists, alive,
 def fof_label_slab(fields: dict, b: float, boxsize: float, ndev: int,
                    gcap: int, nlevels: int, ncrit: int,
                    block: int = 128, maxl: int = 512,
-                   axis_name: str = "dp"):
+                   axis_name: str = "dp", cuts_in=None):
     """Global FOF labels on a slab-sharded particle set.
 
     Runs INSIDE shard_map.  fields: ipos [C,3] uint32, mass [C]
@@ -94,7 +94,7 @@ def fof_label_slab(fields: dict, b: float, boxsize: float, ndev: int,
 
     ghosts, n_lost = halo_exchange(
         {"ipos": ipos_l, "mass": mass_l, "pid": pid_l},
-        width_fp, ndev, gcap, axis_name)
+        width_fp, ndev, gcap, axis_name, cuts_in=cuts_in)
     G = ghosts["ipos"].shape[0]
     ncomb = C + G
 
@@ -145,7 +145,7 @@ def fof_label_slab(fields: dict, b: float, boxsize: float, ndev: int,
         g_local, _, it = state
         gg, _ = halo_exchange(
             {"ipos": ipos_l, "mass": mass_l, "glabel": g_local},
-            width_fp, ndev, gcap, axis_name)
+            width_fp, ndev, gcap, axis_name, cuts_in=cuts_in)
         g_comb = jnp.concatenate([g_local, gg["glabel"]])
         g_comb = jnp.where(alive, g_comb, NOLABEL)
         g_new = seg_min(comp, g_comb)[:C]
@@ -178,11 +178,16 @@ def fof_label_slab(fields: dict, b: float, boxsize: float, ndev: int,
 
 def make_fof_slab(mesh, b: float, boxsize: float, nlevels: int = 8,
                   ncrit: int = 32, gcap: int = None,
-                  block: int = 128, maxl: int = 512):
+                  block: int = 128, maxl: int = 512,
+                  with_cuts: bool = False):
     """Host-side builder: jitted shard_map FOF over the 'dp' mesh.
 
     Returns fn(fields) -> (glabel sharded [D*C], info) for fields
     sharded with domain.distribute_slabs (ipos/mass/pid required).
+    With with_cuts=True the fn takes a second argument — the
+    [ndev-1] uint32 interior slab boundaries of a cost-balanced
+    domain (domain.balance_cuts) — so ghost strips follow the ACTUAL
+    ownership intervals, not the uniform slabs.
     """
     from jax.sharding import PartitionSpec as P
     try:
@@ -199,16 +204,27 @@ def make_fof_slab(mesh, b: float, boxsize: float, nlevels: int = 8,
                    "local_unconverged", "global_unconverged",
                    "rounds")}
 
-    @partial(shard_map, mesh=mesh, in_specs=(field_specs,),
-             out_specs=(P("dp"), info_specs), check_vma=False)
-    def run(fields):
+    def body(fields, cuts):
         C = fields["ipos"].shape[0]
         # a strip can never hold more rows than the device owns, and
         # clumps sitting exactly on a slab face DO put most of a slab
         # in the strip — default to the safe bound
         g = gcap if gcap is not None else C
         return fof_label_slab(fields, b, boxsize, ndev, g, nlevels,
-                              ncrit, block=block, maxl=maxl)
+                              ncrit, block=block, maxl=maxl,
+                              cuts_in=cuts)
+
+    if with_cuts:
+        run = partial(shard_map, mesh=mesh,
+                      in_specs=(field_specs, P()),
+                      out_specs=(P("dp"), info_specs),
+                      check_vma=False)(
+            lambda fields, cuts: body(fields, cuts))
+    else:
+        run = partial(shard_map, mesh=mesh, in_specs=(field_specs,),
+                      out_specs=(P("dp"), info_specs),
+                      check_vma=False)(
+            lambda fields: body(fields, None))
 
     return jax.jit(run)
 

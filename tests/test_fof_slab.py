@@ -82,3 +82,54 @@ def test_slab_fof_matches_single_device():
     np.testing.assert_array_equal(got, ref)
     # the filament spans slabs: needs >1 reconciliation round
     assert int(info["rounds"]) >= 1
+
+
+def test_slab_fof_matches_single_device_balanced_cuts():
+    """Same parity on a COST-BALANCED domain: ghost strips must
+    follow the actual ownership cuts (domain.balance_cuts), or
+    boundary clumps never co-reside and merges are missed."""
+    from shenqi_tpu.parallel.domain import (balance_cuts,
+                                            cuts_fp_from_planes)
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    pos = _config(seed=13)
+    n = len(pos)
+    ipos = np.asarray(float_to_ipos(pos, BOX))
+    mean_sep = BOX / np.cbrt(n)
+    b = 0.2 * mean_sep * 4
+
+    lbl1 = np.asarray(fof_label(jnp.asarray(ipos),
+                                jnp.ones(n, bool), b, BOX,
+                                nlevels=8, ncrit=32))
+    ref = np.zeros(n, np.uint32)
+    for root in np.unique(lbl1):
+        sel = lbl1 == root
+        ref[sel] = np.min(np.nonzero(sel)[0])
+
+    ncols = 4096
+    cols = (ipos[:, 0].astype(np.uint64) * np.uint64(ncols)
+            >> np.uint64(32)).astype(np.int64)
+    cuts_pl = balance_cuts(np.bincount(cols, minlength=ncols), 8)
+    cuts_in = cuts_fp_from_planes(cuts_pl, ncols)
+
+    mesh = make_mesh(8)
+    fields = {
+        "ipos": ipos,
+        "mass": np.ones(n, np.float32),
+        "pid": np.arange(n, dtype=np.int32),
+    }
+    sharded, C = distribute_slabs(mesh, fields, block=64,
+                                  cuts_in=cuts_in)
+    run = make_fof_slab(mesh, b, BOX, nlevels=8, ncrit=32,
+                        with_cuts=True)
+    glabel, info = run(sharded, jnp.asarray(cuts_in))
+    assert int(info["halo_lost"]) == 0
+    assert int(info["global_unconverged"]) == 0
+
+    glabel = np.asarray(glabel)
+    pid = np.asarray(sharded["pid"])
+    alive = np.asarray(sharded["mass"]) > 0
+    got = np.full(n, 0xFFFFFFFF, np.uint32)
+    got[pid[alive]] = glabel[alive]
+    assert (got != 0xFFFFFFFF).all()
+    np.testing.assert_array_equal(got, ref)
