@@ -274,3 +274,35 @@ FileWithInputSpectrum = pk_out.dat
     assert 0.05 < s8 < 0.25, s8        # growth-suppressed from 0.8
     # P(k) turns over near k_eq ~ 0.01-0.02 h/Mpc
     assert 5e-3 < k[np.argmax(pk)] < 5e-2
+
+
+def test_get_xgrids_and_plot(tmp_path):
+    """Density grid from a snapshot: global-norm mean == 1, mass
+    conservation in 'none' mode; then plot a slice panel."""
+    snap = str(tmp_path / "PART_000")
+    _write_snap(snap, n=400, box=20000.0)
+    out = str(tmp_path / "grids")
+    r = _run("get_xgrids.py", snap, "--output", out, "--outname",
+             "1_Value_grid_000", "--dataset", "1/", "--norm",
+             "global", "--resolution", 2.5)
+    assert r.returncode == 0, r.stderr
+    from shenqi_tpu.io.bigfile import BigFile
+    bf = BigFile(out)
+    g = np.asarray(bf["1_Value_grid_000"].read())
+    assert g.mean() == pytest.approx(1.0, rel=1e-6)
+    nm = int(np.atleast_1d(bf["1_Value_grid_000"].attrs["Nmesh"])[0])
+    assert g.size == nm ** 3
+
+    r = _run("get_xgrids.py", snap, "--output", out, "--outname",
+             "mass_none", "--dataset", "1/", "--norm", "none",
+             "--resolution", 2.5)
+    assert r.returncode == 0, r.stderr
+    g2 = np.asarray(bf["mass_none"].read())
+    assert g2.sum() == pytest.approx(400 * 5.0, rel=1e-5)
+
+    pdf = tmp_path / "grids.pdf"
+    r = _run("plot_grids.py", out, "--snapshots", "000",
+             "--gridnames", "1_Value", "--output", str(pdf),
+             "--slice-idx", 2, "--slice-depth", 2)
+    assert r.returncode == 0, r.stderr
+    assert pdf.exists() and pdf.stat().st_size > 0
