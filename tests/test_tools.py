@@ -306,3 +306,28 @@ def test_get_xgrids_and_plot(tmp_path):
              "--slice-idx", 2, "--slice-depth", 2)
     assert r.returncode == 0, r.stderr
     assert pdf.exists() and pdf.stat().st_size > 0
+
+
+def test_heii_table_maker(tmp_path):
+    """Generated HeII reionization table must parse through the
+    production helium_reion loader with a sane history."""
+    out = tmp_path / "HeIITable"
+    r = _run("HeII_input_file_maker.py", "--alphaq", 1.7,
+             "--hist", "linear", "--outfile", str(out),
+             "--numz", 8)
+    assert r.returncode == 0, r.stderr
+    from shenqi_tpu.physics.helium_reion import HeliumReion
+    h = HeliumReion.load(str(out))
+    assert h.start_redshift == pytest.approx(4.0, abs=0.01)
+    # X_HeIII monotone 0 -> 1 with a (increasing scale factor)
+    assert h.xheiii[0] == pytest.approx(0.0, abs=1e-6)
+    assert h.xheiii[-1] == pytest.approx(1.0, abs=1e-6)
+    assert np.all(np.diff(h.xheiii) >= -1e-12)
+    # long-MFP heating positive during reionization (zero exactly
+    # at z_i — no QSOs on yet; the reference table starts at 0 too),
+    # and the same order as the reference's shipped example
+    # (examples/HeIIReionizationTable rows 2-4: 1.6-3.2e-33)
+    inner = h.lmfp[(h.xheiii > 0) & (h.xheiii < 1)]
+    assert np.all(inner > 0)
+    assert 1e-34 < inner[0] < 1e-31, inner[:3]
+    assert h.inst_heating > 0
