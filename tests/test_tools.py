@@ -331,3 +331,42 @@ def test_heii_table_maker(tmp_path):
     assert np.all(inner > 0)
     assert 1e-34 < inner[0] < 1e-31, inner[:3]
     assert h.inst_heating > 0
+
+
+def test_make_hi_reionization_table(tmp_path):
+    """Zreion table generation from a genic paramfile; the output
+    must load through the production ZreionTable reader with a
+    density-correlated spread around the median redshift."""
+    ex = "/root/reference/examples/dm-small"
+    pf = tmp_path / "paramfile.genic"
+    pf.write_text(f"""
+OutputDir = {tmp_path}
+FileBase = IC
+Ngrid = 16
+BoxSize = 32000
+Omega0 = 0.288
+OmegaLambda = 0.712
+OmegaBaryon = 0.0472
+HubbleParam = 0.7
+Redshift = 9
+ProduceGas = 0
+FileWithInputSpectrum = {ex}/class_pk_9.dat
+DifferentTransferFunctions = 0
+UsePeculiarVelocity = 1
+Seed = 42
+""")
+    out = str(tmp_path / "zreion_tab")
+    r = _run("make_HI_reionization_table.py", "--genic", str(pf),
+             "--output", out, "--resolution", 4.0,
+             "--redshift", 7.5)
+    assert r.returncode == 0, r.stderr
+
+    from shenqi_tpu.physics.uv_fluctuations import ZreionTable
+    from shenqi_tpu.utils.constants import CM_PER_MPC
+    zt = ZreionTable.load(out, 32000.0, 3.085678e21)
+    tab = np.asarray(zt.table)
+    assert zt.median_redshift == 7.5
+    assert tab.mean() == pytest.approx(7.5, abs=0.05)
+    # overdense regions reionize earlier: nonzero spread, sane range
+    assert 0.005 < tab.std() < 2.0, tab.std()
+    assert tab.min() > 4.0 and tab.max() < 12.0
