@@ -370,3 +370,42 @@ Seed = 42
     # overdense regions reionize earlier: nonzero spread, sane range
     assert 0.005 < tab.std() < 2.0, tab.std()
     assert tab.min() > 4.0 and tab.max() < 12.0
+
+
+def test_count_photons(tmp_path):
+    """Reionization budget statistics from a synthetic gas snapshot:
+    mass/volume-weighted x_HI, Gamma_12 and T0 recovered."""
+    from shenqi_tpu.io.snapshot import SnapshotHeader, write_snapshot
+    box = 20000.0
+    n = 500
+    rng = np.random.RandomState(6)
+    hdr = SnapshotHeader(
+        TotNumPart=np.array([n, 0, 0, 0, 0, 0], np.uint64),
+        MassTable=np.zeros(6), Time=0.125, BoxSize=box, Omega0=0.3,
+        OmegaLambda=0.7, OmegaBaryon=0.0472, HubbleParam=0.7)
+    xhi = (rng.rand(n) < 0.4).astype(np.float32)   # 40% neutral
+    um, ul = 1.989e43, 3.085678e21
+    dens_mean = 1.8788e-29 * 0.0472 / (um / ul ** 3)
+    write_snapshot(str(tmp_path / "PART_000"), hdr, {0: {
+        "Position": rng.uniform(0, box, (n, 3)),
+        "Velocity": np.zeros((n, 3), np.float32),
+        "Mass": np.full(n, 2.0, np.float32),
+        "ID": np.arange(1, n + 1, dtype=np.uint64),
+        "NeutralHydrogenFraction": xhi,
+        "J21": np.full(n, 0.5, np.float32),
+        "InternalEnergy": np.full(n, 1000.0, np.float32),
+        "Density": np.full(n, dens_mean, np.float32),
+    }})
+    out = tmp_path / "cp.pdf"
+    dat = tmp_path / "cp.npz"
+    r = _run("count_photons.py", str(tmp_path), "--output",
+             str(out), "--dataname", str(dat), "--fesc-n", 0.1)
+    assert r.returncode == 0, r.stderr
+    assert out.exists() and out.stat().st_size > 0
+    d = np.load(dat)
+    assert d["redshift"][0] == pytest.approx(7.0)
+    assert d["mass_xhi"][0] == pytest.approx(xhi.mean(), rel=1e-6)
+    assert d["G12_avg"][0] == pytest.approx(0.5 * 2.535452,
+                                            rel=1e-6)
+    # all particles at mean density: T0 from u=1000 (km/s)^2
+    assert 3e3 < d["T0_avg"][0] < 2e5
