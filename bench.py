@@ -248,6 +248,26 @@ def _run_stage(stage: str, timeout_s: int, extra_env=None):
     return None
 
 
+def _probe_backend(timeout_s: int = 240) -> bool:
+    """Fast dead-tunnel detection: one trivial op in a subprocess.
+
+    The axon tunnel can hard-wedge (every JAX program hangs at
+    backend init — round-3 outage); without this probe the stage
+    timeouts would burn hours before the CPU fallback fires.
+    """
+    code = ("import jax, jax.numpy as jnp;"
+            "x = jnp.ones((128, 128));"
+            "(x @ x).block_until_ready();"
+            "print('BACKEND_OK', jax.default_backend())")
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True,
+                             timeout=timeout_s, env=dict(os.environ))
+        return "BACKEND_OK" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     # 128^3 clustered TreePM: 2.1M particles, the honest scale (the
     # round-1 32^3 jittered lattice was dispatch-bound)
@@ -255,6 +275,20 @@ def main():
     pm_side = int(os.environ.get("BENCH_NPART_SIDE", 128))
     pm_mesh = int(os.environ.get("BENCH_NMESH", 256))
     stage_budget = int(os.environ.get("BENCH_STAGE_SECONDS", 1500))
+
+    if not _probe_backend():
+        print("# backend probe timed out: TPU tunnel unreachable",
+              file=sys.stderr)
+        cpu = _run_stage("pm_small_cpu", 300,
+                         extra_env={"JAX_PLATFORMS": "cpu"})
+        print(json.dumps({
+            "metric": "pm-kdk particle-steps/sec (32^3/64, CPU "
+                      "fallback: TPU backend probe timed out)",
+            "value": cpu or 0.0,
+            "unit": "particle-steps/sec/chip",
+            "vs_baseline": 0.0,
+        }))
+        return
 
     treepm_ps = _run_stage("treepm", stage_budget)
     # second sample of the same stage: the axon tunnel adds run-to-run
