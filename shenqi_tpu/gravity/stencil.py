@@ -670,3 +670,140 @@ def stencilgrav(ipos, mass, params: ShortRangeParams,
     acc = jnp.zeros((n, 3), jnp.float32).at[order].set(acc_sorted[:n])
     pot = jnp.zeros(n, jnp.float32).at[order].set(pot_sorted[:n])
     return acc, pot, None
+
+
+@partial(jax.jit, static_argnames=("params", "k", "sub", "W", "CAND",
+                                   "T", "compact", "TBC", "pcaps",
+                                   "ncaps", "want_pot", "engine",
+                                   "batch"))
+def _stencil_fused(ipos, mass, active, window_tables,
+                   params: ShortRangeParams, k: int, sub: int,
+                   W: int, CAND: int, T: int, compact: bool,
+                   TBC: int, pcaps, ncaps, want_pot: bool,
+                   engine: str, batch: int):
+    """ONE device program: grid build + classify + all tier evals +
+    scatter-back, with STATIC (cached) caps and no host sync.
+
+    The slow path (stencilgrav) syncs a diagnostic vector every call
+    to grow its caps — on the remote-tunnel TPU that sync plus the
+    ~15 eager dispatches around it dominate the non-force step time.
+    Here cap sufficiency is checked ON DEVICE: the returned `ok`
+    scalar is True iff every tier count fit its static cap, no
+    sub-block overflowed TBC, and no coverage fallback was needed.
+    When ok is False the acc/pot values are UNUSABLE (tiers were
+    evaluated with truncated candidate lists) and the caller must
+    redo the step via stencilgrav, which regrows the caches.  `ok`
+    can be fetched asynchronously (e.g. one step behind) so the
+    check never stalls the pipeline.
+    """
+    n = ipos.shape[0]
+    (order, ipos_s, qtab, qmeta, tgt_idx, tgt_valid, qst, qcn,
+     qst_n, qcn_n, order_s, cover, diag) = _stencil_count(
+         ipos, mass, active, params, k, sub, W, CAND, T, compact,
+         TBC)
+    nbs = TBC
+    n_cover = diag[4]
+    tb_total = diag[6]
+    ok = (tb_total <= TBC) & (n_cover == 0)
+    for i in range(4):
+        # same sufficiency rule as grow_caps: need = count + 1
+        ok &= (diag[i] + 1 <= pcaps[i]) & (diag[7 + i] + 1
+                                           <= ncaps[i])
+
+    acc_bs = jnp.zeros((nbs, sub, 3), jnp.float32)
+    pot_bs = jnp.zeros((nbs, sub), jnp.float32)
+    lo = 0
+    for b, pcap, ncap in zip(tier_bounds(nbs), pcaps, ncaps):
+        nsel = b - lo
+        if nsel <= 0:
+            lo = b
+            continue
+        sel = jnp.sort(order_s[lo:b])
+        a, pp = _stencil_eval(ipos_s, qtab, tgt_idx, tgt_valid, qst,
+                              qcn, sel, params, window_tables, sub,
+                              pcap, nsel, batch=batch,
+                              want_pot=want_pot, engine=engine,
+                              qst_n=qst_n, qcn_n=qcn_n, ncap=ncap)
+        acc_bs = acc_bs.at[sel].set(a)
+        pot_bs = pot_bs.at[sel].set(pp)
+        lo = b
+
+    flat_idx = jnp.where(tgt_valid & ~cover[:, None], tgt_idx, n
+                         ).reshape(-1)
+    acc_sorted = jnp.zeros((n + 1, 3), jnp.float32).at[flat_idx].set(
+        acc_bs.reshape(-1, 3))
+    pot_sorted = jnp.zeros(n + 1, jnp.float32).at[flat_idx].set(
+        pot_bs.reshape(-1))
+    acc = jnp.zeros((n, 3), jnp.float32).at[order].set(acc_sorted[:n])
+    pot = jnp.zeros(n, jnp.float32).at[order].set(pot_sorted[:n])
+    return acc, pot, ok
+
+
+def stencil_fused_config(n, params: ShortRangeParams, tier_cache,
+                         n_targets=None, sub: int = 32, k: int = None,
+                         W: int = 7, compact: bool = False):
+    """Resolve the static configuration (k, T, CAND, TBC, pcaps,
+    ncaps) for _stencil_fused from a tier_cache seeded by at least
+    one stencilgrav call at the same shapes.  Returns None if the
+    cache has no entry yet (caller must warm up via stencilgrav)."""
+    if n_targets is None:
+        n_targets = n
+    if k is None:
+        k = int(np.ceil(np.log2(params.boxsize / params.rcut)))
+    k = min(k, 10)
+    CAND = _next_pow2(W ** 3) if W ** 3 & (W ** 3 - 1) else W ** 3
+    if compact:
+        T = min(_next_pow2(max(int(n_targets), sub)), n)
+    else:
+        T = n
+    T = ((T + sub - 1) // sub) * sub
+    TBC = tier_cache.get(("stencil_tbc", k, sub))
+    if TBC is None:
+        return None
+    key = ("stencil", k, sub, W, TBC)
+    pcaps = tier_cache.get(key)
+    ncaps = tier_cache.get(key + ("n",))
+    if pcaps is None or ncaps is None:
+        return None
+    return dict(k=k, sub=sub, W=W, CAND=CAND, T=T, compact=compact,
+                TBC=TBC, pcaps=pcaps, ncaps=ncaps)
+
+
+def stencilgrav_fused(ipos, mass, params: ShortRangeParams,
+                      window_tables=None, n_targets: int = None,
+                      sub: int = 32, k: int = None, W: int = 7,
+                      active=None, tier_cache: dict = None,
+                      caps_cache: dict = None, want_pot: bool = False,
+                      engine: str = None, batch: int = 1024):
+    """Steady-state stencil gravity: one dispatch, no host sync.
+
+    Returns (acc, pot, ok) where ok is a DEVICE bool scalar — the
+    caller may fetch it lazily (pipeline it a step behind).  If
+    bool(ok) turns out False the result must be discarded and the
+    step redone with stencilgrav (which grows the cap caches so the
+    retraced fused program fits again).  On a cold cache this falls
+    back to stencilgrav directly and returns ok=True.
+    """
+    if tier_cache is None:
+        tier_cache = {}
+    if engine is None:
+        import os
+        engine = os.environ.get("SHENQI_REFINED_ENGINE") or "xla"
+    n = ipos.shape[0]
+    compact = active is not None
+    cfg = stencil_fused_config(n, params, tier_cache,
+                               n_targets=n_targets, sub=sub, k=k,
+                               W=W, compact=compact)
+    if cfg is None:
+        acc, pot, _ = stencilgrav(
+            ipos, mass, params, window_tables, n_targets=n_targets,
+            sub=sub, k=k, W=W, active=active, tier_cache=tier_cache,
+            caps_cache=caps_cache, want_pot=want_pot, engine=engine,
+            batch=batch)
+        return acc, pot, jnp.bool_(True)
+    act = jnp.asarray(active) if compact else jnp.zeros(0, bool)
+    return _stencil_fused(ipos, mass, act, window_tables, params,
+                          cfg["k"], cfg["sub"], cfg["W"],
+                          cfg["CAND"], cfg["T"], cfg["compact"],
+                          cfg["TBC"], cfg["pcaps"], cfg["ncaps"],
+                          want_pot, engine, batch)

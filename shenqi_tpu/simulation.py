@@ -333,14 +333,23 @@ class Simulation:
         if self.gravity.engine == "stencil":
             # grid-stencil direct P3M: exact inside rcut, no octree,
             # no oldacc dependence (MAC-free) — first_step needs no
-            # BH-opening special case
-            from .gravity.stencil import stencilgrav
+            # BH-opening special case.  Steady state takes the fused
+            # single-dispatch path (no mid-step host sync); an
+            # on-device ok flag triggers the cap-regrowing slow path
+            # on overflow (optimistic execution, stencil.py).
+            from .gravity.stencil import stencilgrav, stencilgrav_fused
             mass = jnp.where(p.mask, p.mass, 0.0)
-            acc, pot, _ = stencilgrav(
+            acc, pot, ok = stencilgrav_fused(
                 p.ipos, mass, sp, self.window_tables,
                 sub=self.gravity.refine_sub,
                 tier_cache=self._tier_cache,
                 caps_cache=self._caps_cache, want_pot=False)
+            if not bool(ok):
+                acc, pot, _ = stencilgrav(
+                    p.ipos, mass, sp, self.window_tables,
+                    sub=self.gravity.refine_sub,
+                    tier_cache=self._tier_cache,
+                    caps_cache=self._caps_cache, want_pot=False)
             self.particles = dataclasses.replace(p, grav_accel=acc)
             return
         tree = build_octree(p.ipos, p.mass, p.mask, self.boxsize,
@@ -399,15 +408,24 @@ class Simulation:
         sp = self.gravity.short()
         if self.gravity.engine == "stencil":
             # active-source stencil force: sources = selected (masked
-            # mass), targets compacted to the active set
-            from .gravity.stencil import stencilgrav
+            # mass), targets compacted to the active set; fused
+            # single-dispatch steady state with slow-path redo on
+            # cap overflow (same protocol as _compute_tree)
+            from .gravity.stencil import stencilgrav, stencilgrav_fused
             if n_act is None:
                 n_act = int(np.asarray(sel).sum())
-            acc, _, _ = stencilgrav(
+            acc, _, ok = stencilgrav_fused(
                 p.ipos, mass, sp, self.window_tables,
                 n_targets=max(n_act, 1), sub=self.gravity.refine_sub,
                 active=selj, tier_cache=self._tier_cache,
                 caps_cache=self._caps_cache, want_pot=False)
+            if not bool(ok):
+                acc, _, _ = stencilgrav(
+                    p.ipos, mass, sp, self.window_tables,
+                    n_targets=max(n_act, 1),
+                    sub=self.gravity.refine_sub,
+                    active=selj, tier_cache=self._tier_cache,
+                    caps_cache=self._caps_cache, want_pot=False)
             return acc
         tree = build_octree(p.ipos, mass, selj & p.mask, self.boxsize,
                             nlevels=self.gravity.tree_nlevels,
