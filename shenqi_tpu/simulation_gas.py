@@ -15,6 +15,7 @@ keep their row (ptype 0 -> 4) so all shapes stay static.
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -204,7 +205,9 @@ class GasPhysics:
                            ngb_deviation=self.ngb_deviation,
                            do_egy_density=self.density_independent_sph,
                            ncrit=sim.gravity.tree_ncrit,
-                           caps=self._density_caps)
+                           caps=self._density_caps,
+                           engine=os.environ.get(
+                               "SHENQI_SPH_ENGINE", "stencil"))
         hsml = jnp.asarray(dout.hsml)
         gas = dataclasses.replace(
             gas, density=jnp.asarray(dout.density),
@@ -270,6 +273,61 @@ class GasPhysics:
             "f1": f1, "dhsml": gas.dhsml_egy, "dloga": dloga_tab,
         }
         from .sph.hydro import hydro_walk_blocked, hydro_walk
+
+        def oracle_patch(hres, tovf):
+            """Re-do flagged targets with the per-particle walk
+            (sph/density._oracle_patch protocol)."""
+            from .sph.hydro import HydroResult
+            sel_all = np.nonzero(np.asarray(tovf))[0]
+            acc, dts, mvs = (hres.accel, hres.dt_entropy,
+                             hres.max_signal_vel)
+            for c0 in range(0, len(sel_all), 256):
+                sel = sel_all[c0:c0 + 256]
+                nov = len(sel)
+                nbkt = max(16, 1 << (nov - 1).bit_length())
+                sel_p = np.full(nbkt, ng, dtype=np.int64)
+                sel_p[:nov] = sel
+                selj = jnp.asarray(sel_p)
+                gidx = jnp.minimum(selj, ng - 1)
+                lane = jnp.asarray(np.arange(nbkt) < nov)
+                tsub = {k: v[gidx] for k, v in targets.items()}
+                tsub["hsml"] = jnp.where(lane, tsub["hsml"], 0.0)
+                hs = hydro_walk(tree, payload_h, tsub, par,
+                                self.kernel, tf=tf)
+                acc = acc.at[selj].set(hs.accel, mode="drop")
+                dts = dts.at[selj].set(hs.dt_entropy, mode="drop")
+                mvs = mvs.at[selj].set(hs.max_signal_vel,
+                                       mode="drop")
+            return HydroResult(accel=acc, dt_entropy=dts,
+                               max_signal_vel=mvs)
+
+        sph_engine = os.environ.get("SHENQI_SPH_ENGINE", "stencil")
+        if sph_engine == "stencil":
+            # grid-stencil hydro (sph/stencil_hydro.py): no octree
+            # traversal; the tree above is kept for the oracle patch
+            from .sph.stencil_hydro import stencil_hydro_walk
+            if not hasattr(self, "_hydro_stencil_caps"):
+                self._hydro_stencil_caps = {}
+            mass_src = jnp.where(decoupled | ~gas_alive, 0.0, mass_g)
+            fields = jnp.stack(
+                [mass_src, hsml, vel_g[:, 0], vel_g[:, 1],
+                 vel_g[:, 2], gas.density, eom_dens, entvar, press,
+                 gas.div_vel, gas.curl_vel, gas.dhsml_egy,
+                 dloga_tab], axis=1).astype(jnp.float32)
+            hres, cover, n_cover = stencil_hydro_walk(
+                ipos_g, fields, targets, par, spec=self.kernel,
+                tier_cache=self._hydro_stencil_caps, tf=tf,
+                tvalid=gas_alive & (hsml > 0))
+            if n_cover:
+                hres = oracle_patch(hres, cover)
+            accel = jnp.where((gas_alive & ~decoupled)[:, None],
+                              hres.accel, 0.0)
+            dts = jnp.where(gas_alive & ~decoupled,
+                            hres.dt_entropy, 0.0)
+            return dataclasses.replace(
+                gas, hydro_accel=accel, dt_entropy=dts,
+                max_signal_vel=jnp.asarray(hres.max_signal_vel))
+
         maxl = getattr(self, "_hydro_maxl", 64)
         nb = getattr(self, "_hydro_nb", None)
         while True:
@@ -290,34 +348,8 @@ class GasPhysics:
                     # overflow tail at the HBM-bounded cap: re-do just
                     # those targets with the per-particle oracle (see
                     # sph/density._oracle_patch)
-                    sel_all = np.nonzero(np.asarray(
-                        hinfo["target_overflow"]))[0]
-                    acc, dts, mvs = (hres.accel, hres.dt_entropy,
-                                     hres.max_signal_vel)
-                    for c0 in range(0, len(sel_all), 256):
-                        sel = sel_all[c0:c0 + 256]
-                        nov = len(sel)
-                        nbkt = max(16, 1 << (nov - 1).bit_length())
-                        sel_p = np.full(nbkt, ng, dtype=np.int64)
-                        sel_p[:nov] = sel
-                        selj = jnp.asarray(sel_p)
-                        gidx = jnp.minimum(selj, ng - 1)
-                        lane = jnp.asarray(np.arange(nbkt) < nov)
-                        tsub = {k: v[gidx] for k, v in
-                                targets.items()}
-                        tsub["hsml"] = jnp.where(lane,
-                                                 tsub["hsml"], 0.0)
-                        hs = hydro_walk(tree, payload_h, tsub,
-                                        par, self.kernel, tf=tf)
-                        acc = acc.at[selj].set(hs.accel,
-                                               mode="drop")
-                        dts = dts.at[selj].set(hs.dt_entropy,
-                                               mode="drop")
-                        mvs = mvs.at[selj].set(hs.max_signal_vel,
-                                               mode="drop")
-                    from .sph.hydro import HydroResult
-                    hres = HydroResult(accel=acc, dt_entropy=dts,
-                                       max_signal_vel=mvs)
+                    hres = oracle_patch(hres,
+                                        hinfo["target_overflow"])
             if bool(hinfo["block_overflow"]):
                 nb0 = nb or max(2 * ((ng + 63) // 64), 8)
                 nb = (1 << (nb0 - 1).bit_length()) * 2

@@ -283,7 +283,28 @@ def density(tree: Octree, payload, target_ipos, target_vel,
                 out[k] = out[k].at[selj].set(sub[k], mode="drop")
         return DensityResult(*out)
 
+    if engine == "stencil":
+        # grid-stencil neighbour enumeration (stencil_density.py):
+        # no octree traversal at all; the tree is kept only for the
+        # per-particle oracle patch of cover-overflow targets
+        from .stencil_density import build_grid_sph, \
+            stencil_density_walk
+        n_src = payload["ipos"].shape[0]
+        sep_src = boxsize / max(n_src, 1) ** (1.0 / 3.0)
+        kst = int(np.clip(round(np.log2(boxsize / (2.4 * sep_src))),
+                          1, 10))
+        grid = build_grid_sph(payload["ipos"], payload["mass"],
+                              payload["vel"], payload["entvar"], kst)
+
     def walk(t_ipos, t_vel, hsml, nsub):
+        if engine == "stencil":
+            res, cover, n_cover = stencil_density_walk(
+                grid, t_ipos, t_vel, hsml, boxsize, kst, spec=spec,
+                tier_cache=caps)
+            if n_cover:
+                res = _oracle_patch(list(res), t_ipos, t_vel, hsml,
+                                    cover)
+            return res
         if engine != "blocked":
             return density_walk(tree, payload, t_ipos, t_vel, hsml,
                                 boxsize, spec)
@@ -340,7 +361,8 @@ def density(tree: Octree, payload, target_ipos, target_vel,
         nch = int(changed.sum())
         if nch == 0:
             break
-        if engine != "blocked" or not use_subset or nch > t // 2:
+        if engine not in ("blocked", "stencil") or not use_subset \
+                or nch > t // 2:
             res = walk(target_ipos, target_vel, state.hsml, t)
             res_arrays = list(res)
             continue
