@@ -719,7 +719,13 @@ class Simulation:
             # forces: gas first (density w/ adaptive hsml + hydro,
             # run.cpp:482-505), then gravity
             if self.gas is not None and self.gas_physics is not None:
-                self.gas = self.gas_physics.density_hydro(self, self.gas)
+                # density/hydro queue ONLY the active-bin gas
+                # (run.cpp:488-505 ActiveParticles); first step and
+                # PM-sync steps naturally activate everyone
+                act = None if first else np.asarray(
+                    self._active_mask())
+                self.gas = self.gas_physics.density_hydro(
+                    self, self.gas, active=act)
                 if getattr(self, "_gas_entropy_is_u", False):
                     # first pass: convert initial u to entropy and
                     # recompute the pressure-dependent parts next step

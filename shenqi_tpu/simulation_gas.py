@@ -147,17 +147,25 @@ class GasPhysics:
         return sub
 
     # ---------- density + hydro ----------
-    def density_hydro(self, sim, gas: GasState):
+    def density_hydro(self, sim, gas: GasState, active=None):
         """Gas-tree density + hydro with deep-tree retry: a blocked
         neighbour walk refuses truncated leaves (TreeTooShallow), and
         dense SF clumps can overflow bottom-level cells — rebuild with
-        more levels until the walk is exact (sticky across steps)."""
+        more levels until the walk is exact (sticky across steps).
+
+        active: optional host bool mask over ALL particles — density
+        and hydro walk only the active gas (the reference queues
+        ActiveParticles only, run.cpp:488-505); inactive rows keep
+        their stored hsml/density/accel until their bin next syncs.
+        Sources are always the full gas set at predicted quantities.
+        """
         from .ops.treewalk import TreeTooShallow
         extra = getattr(self, "_gas_tree_levels_extra", 0)
         while True:
             try:
                 gas2 = self._density_hydro_once(
-                    sim, gas, min(sim.gravity.tree_nlevels + extra, 20))
+                    sim, gas, min(sim.gravity.tree_nlevels + extra, 20),
+                    active=active)
                 self._gas_tree_levels_extra = extra
                 return gas2
             except TreeTooShallow:
@@ -165,7 +173,8 @@ class GasPhysics:
                     raise
                 extra += 1
 
-    def _density_hydro_once(self, sim, gas: GasState, nlv: int):
+    def _density_hydro_once(self, sim, gas: GasState, nlv: int,
+                            active=None):
         """Gas-tree density (adaptive hsml) then hydro force.
 
         Uses drift-time-predicted velocity and entropy (VelPred /
@@ -192,6 +201,25 @@ class GasPhysics:
         mass_g = jnp.where(gas_alive, p.mass[:ng], 0.0)
         entvar = jnp.maximum(ent_pred, 1e-35) ** (1.0 / GAMMA)
 
+        # active-only walk set (run.cpp:488-505 ActiveParticles):
+        # inactive rows keep their stored state; the duplicate-row
+        # padding trick (gather min(sel, ng-1), scatter mode=drop)
+        # keeps all shapes pow2-bucketed
+        asel_np = np.asarray(gas_alive) if active is None else \
+            (np.asarray(active)[:ng] & np.asarray(gas_alive))
+        n_act = int(asel_np.sum())
+        n_alive = int(np.asarray(gas_alive).sum())
+        if n_act == 0:
+            return gas
+        sub_act = active is not None and n_act < n_alive
+        if sub_act:
+            sel = np.nonzero(asel_np)[0]
+            nbkt = max(64, 1 << (n_act - 1).bit_length())
+            sel_p = np.full(nbkt, ng, dtype=np.int64)
+            sel_p[:n_act] = sel
+            selj = jnp.asarray(sel_p)
+            gidx = jnp.minimum(selj, ng - 1)
+
         tree = build_octree(ipos_g, mass_g, gas_alive, sim.boxsize,
                             nlevels=nlv,
                             ncrit=sim.gravity.tree_ncrit,
@@ -199,8 +227,15 @@ class GasPhysics:
         payload = make_gas_payload(tree, vel_g, entvar)
         if not hasattr(self, "_density_caps"):
             self._density_caps = {}
-        dout = sph_density(tree, payload, ipos_g, vel_g, entvar,
-                           np.asarray(p.hsml[:ng]), sim.boxsize,
+        if sub_act:
+            t_ipos, t_vel, t_ent = (ipos_g[gidx], vel_g[gidx],
+                                    entvar[gidx])
+            hsml0 = np.asarray(p.hsml[:ng])[np.minimum(sel_p, ng - 1)]
+        else:
+            t_ipos, t_vel, t_ent = ipos_g, vel_g, entvar
+            hsml0 = np.asarray(p.hsml[:ng])
+        dout = sph_density(tree, payload, t_ipos, t_vel, t_ent,
+                           hsml0, sim.boxsize,
                            self.kernel, eta=self.eta,
                            ngb_deviation=self.ngb_deviation,
                            do_egy_density=self.density_independent_sph,
@@ -208,16 +243,32 @@ class GasPhysics:
                            caps=self._density_caps,
                            engine=os.environ.get(
                                "SHENQI_SPH_ENGINE", "stencil"))
-        hsml = jnp.asarray(dout.hsml)
-        gas = dataclasses.replace(
-            gas, density=jnp.asarray(dout.density),
-            egy_wt_density=jnp.asarray(dout.egy_wt_density),
-            dhsml_egy=jnp.asarray(dout.dhsml_egy_density_factor),
-            div_vel=jnp.asarray(dout.div_vel),
-            curl_vel=jnp.asarray(dout.curl_vel),
-            dt_hsml=jnp.asarray(dout.dt_hsml),
-            gradrho_mag=jnp.linalg.norm(
-                jnp.asarray(dout.grad_rho), axis=-1))
+        if sub_act:
+            def mg(old, new):
+                return old.at[selj].set(jnp.asarray(new), mode="drop")
+            hsml = mg(p.hsml[:ng], dout.hsml)
+            gas = dataclasses.replace(
+                gas, density=mg(gas.density, dout.density),
+                egy_wt_density=mg(gas.egy_wt_density,
+                                  dout.egy_wt_density),
+                dhsml_egy=mg(gas.dhsml_egy,
+                             dout.dhsml_egy_density_factor),
+                div_vel=mg(gas.div_vel, dout.div_vel),
+                curl_vel=mg(gas.curl_vel, dout.curl_vel),
+                dt_hsml=mg(gas.dt_hsml, dout.dt_hsml),
+                gradrho_mag=mg(gas.gradrho_mag, jnp.linalg.norm(
+                    jnp.asarray(dout.grad_rho), axis=-1)))
+        else:
+            hsml = jnp.asarray(dout.hsml)
+            gas = dataclasses.replace(
+                gas, density=jnp.asarray(dout.density),
+                egy_wt_density=jnp.asarray(dout.egy_wt_density),
+                dhsml_egy=jnp.asarray(dout.dhsml_egy_density_factor),
+                div_vel=jnp.asarray(dout.div_vel),
+                curl_vel=jnp.asarray(dout.curl_vel),
+                dt_hsml=jnp.asarray(dout.dt_hsml),
+                gradrho_mag=jnp.linalg.norm(
+                    jnp.asarray(dout.grad_rho), axis=-1))
         # store hsml back on particles
         new_hsml = p.hsml.at[:ng].set(hsml)
         sim.particles = dataclasses.replace(p, hsml=new_hsml)
@@ -272,6 +323,11 @@ class GasPhysics:
             "egyrho": eom_dens, "entvar": entvar, "pressure": press,
             "f1": f1, "dhsml": gas.dhsml_egy, "dloga": dloga_tab,
         }
+        tvalid_h = gas_alive & (hsml > 0)
+        if sub_act:
+            targets = {k: v[gidx] for k, v in targets.items()}
+            tvalid_h = tvalid_h[gidx]
+        t_len = int(targets["hsml"].shape[0])
         from .sph.hydro import hydro_walk_blocked, hydro_walk
 
         def oracle_patch(hres, tovf):
@@ -285,21 +341,45 @@ class GasPhysics:
                 sel = sel_all[c0:c0 + 256]
                 nov = len(sel)
                 nbkt = max(16, 1 << (nov - 1).bit_length())
-                sel_p = np.full(nbkt, ng, dtype=np.int64)
-                sel_p[:nov] = sel
-                selj = jnp.asarray(sel_p)
-                gidx = jnp.minimum(selj, ng - 1)
+                sel_pp = np.full(nbkt, t_len, dtype=np.int64)
+                sel_pp[:nov] = sel
+                seljp = jnp.asarray(sel_pp)
+                gidxp = jnp.minimum(seljp, t_len - 1)
                 lane = jnp.asarray(np.arange(nbkt) < nov)
-                tsub = {k: v[gidx] for k, v in targets.items()}
+                tsub = {k: v[gidxp] for k, v in targets.items()}
                 tsub["hsml"] = jnp.where(lane, tsub["hsml"], 0.0)
                 hs = hydro_walk(tree, payload_h, tsub, par,
                                 self.kernel, tf=tf)
-                acc = acc.at[selj].set(hs.accel, mode="drop")
-                dts = dts.at[selj].set(hs.dt_entropy, mode="drop")
-                mvs = mvs.at[selj].set(hs.max_signal_vel,
-                                       mode="drop")
+                acc = acc.at[seljp].set(hs.accel, mode="drop")
+                dts = dts.at[seljp].set(hs.dt_entropy, mode="drop")
+                mvs = mvs.at[seljp].set(hs.max_signal_vel,
+                                        mode="drop")
             return HydroResult(accel=acc, dt_entropy=dts,
                                max_signal_vel=mvs)
+
+        def finish(hres):
+            """Mask decoupled/dead rows and merge into the gas state
+            (subset rows scatter over the stored full-set values)."""
+            if sub_act:
+                msub = (gas_alive & ~decoupled)[gidx]
+                acc_n = jnp.where(msub[:, None], hres.accel, 0.0)
+                dts_n = jnp.where(msub, hres.dt_entropy, 0.0)
+                return dataclasses.replace(
+                    gas,
+                    hydro_accel=gas.hydro_accel.at[selj].set(
+                        acc_n, mode="drop"),
+                    dt_entropy=gas.dt_entropy.at[selj].set(
+                        dts_n, mode="drop"),
+                    max_signal_vel=gas.max_signal_vel.at[selj].set(
+                        jnp.asarray(hres.max_signal_vel),
+                        mode="drop"))
+            accel = jnp.where((gas_alive & ~decoupled)[:, None],
+                              hres.accel, 0.0)
+            dts = jnp.where(gas_alive & ~decoupled,
+                            hres.dt_entropy, 0.0)
+            return dataclasses.replace(
+                gas, hydro_accel=accel, dt_entropy=dts,
+                max_signal_vel=jnp.asarray(hres.max_signal_vel))
 
         sph_engine = os.environ.get("SHENQI_SPH_ENGINE", "stencil")
         if sph_engine == "stencil":
@@ -317,19 +397,15 @@ class GasPhysics:
             hres, cover, n_cover = stencil_hydro_walk(
                 ipos_g, fields, targets, par, spec=self.kernel,
                 tier_cache=self._hydro_stencil_caps, tf=tf,
-                tvalid=gas_alive & (hsml > 0))
+                tvalid=tvalid_h)
             if n_cover:
                 hres = oracle_patch(hres, cover)
-            accel = jnp.where((gas_alive & ~decoupled)[:, None],
-                              hres.accel, 0.0)
-            dts = jnp.where(gas_alive & ~decoupled,
-                            hres.dt_entropy, 0.0)
-            return dataclasses.replace(
-                gas, hydro_accel=accel, dt_entropy=dts,
-                max_signal_vel=jnp.asarray(hres.max_signal_vel))
+            return finish(hres)
 
         maxl = getattr(self, "_hydro_maxl", 64)
-        nb = getattr(self, "_hydro_nb", None)
+        if not hasattr(self, "_hydro_nb_map"):
+            self._hydro_nb_map = {}
+        nb = self._hydro_nb_map.get(t_len)
         while True:
             hres, hinfo = hydro_walk_blocked(
                 tree, payload_h, targets, par, self.kernel,
@@ -351,20 +427,14 @@ class GasPhysics:
                     hres = oracle_patch(hres,
                                         hinfo["target_overflow"])
             if bool(hinfo["block_overflow"]):
-                nb0 = nb or max(2 * ((ng + 63) // 64), 8)
+                nb0 = nb or max(2 * ((t_len + 63) // 64), 8)
                 nb = (1 << (nb0 - 1).bit_length()) * 2
                 grew = True
             if not grew:
                 break
         self._hydro_maxl = maxl
-        self._hydro_nb = nb
-        accel = jnp.where((gas_alive & ~decoupled)[:, None],
-                          hres.accel, 0.0)
-        dts = jnp.where(gas_alive & ~decoupled, hres.dt_entropy, 0.0)
-        gas = dataclasses.replace(
-            gas, hydro_accel=accel, dt_entropy=dts,
-            max_signal_vel=jnp.asarray(hres.max_signal_vel))
-        return gas
+        self._hydro_nb_map[t_len] = nb
+        return finish(hres)
 
     def setup_density_indep_entropy(self, sim, gas: GasState,
                                     u_init: float) -> GasState:

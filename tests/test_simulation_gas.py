@@ -84,3 +84,38 @@ def test_adiabatic_hydro_simulation():
     assert np.median(ent) == pytest.approx(
         np.median(ent), rel=1e-6)  # sanity
     assert ent.max() < 1e4 * ent.min() + 1e30  # finite band
+
+    # ---- active-subset SPH (run.cpp:488-505 ActiveParticles) ----
+    # walking only an active subset must reproduce the full walk on
+    # the active rows and leave inactive rows untouched
+    import dataclasses as _dc
+    import jax.numpy as _jnp
+    gas0 = sim.gas
+    p0 = sim.particles
+    full = sim.gas_physics.density_hydro(sim, gas0, active=None)
+    hsml_full = np.asarray(sim.particles.hsml)[:ng]
+    # restore state, then subset walk
+    sim.particles = p0
+    rng = np.random.default_rng(7)
+    act = np.zeros(p0.ipos.shape[0], bool)
+    act_rows = rng.choice(ng, ng // 3, replace=False)
+    act[act_rows] = True
+    subset = sim.gas_physics.density_hydro(sim, gas0, active=act)
+    hsml_sub = np.asarray(sim.particles.hsml)[:ng]
+    sim.particles = p0
+    inact = np.setdiff1d(np.arange(ng), act_rows)
+    np.testing.assert_allclose(hsml_sub[act_rows],
+                               hsml_full[act_rows], rtol=1e-6)
+    np.testing.assert_array_equal(hsml_sub[inact],
+                                  np.asarray(p0.hsml)[:ng][inact])
+    for fld in ("density", "egy_wt_density", "div_vel",
+                "hydro_accel", "dt_entropy"):
+        a_f = np.asarray(getattr(full, fld))
+        a_s = np.asarray(getattr(subset, fld))
+        a_0 = np.asarray(getattr(gas0, fld))
+        # fp summation order differs (subset sub-block packing):
+        # tiny absolute slack for near-zero components
+        scale = np.abs(a_f).max()
+        np.testing.assert_allclose(a_s[act_rows], a_f[act_rows],
+                                   rtol=2e-4, atol=1e-6 * scale)
+        np.testing.assert_array_equal(a_s[inact], a_0[inact])
