@@ -281,6 +281,83 @@ def bench_treepm(npart_side, nsteps, box=50000.0):
     return n * nsteps / dt
 
 
+def bench_sph(npart_side, ncycles, box=50000.0):
+    """SPH density+hydro cycles/sec with the stencil engines (the
+    star-small cost driver; SPH was 90-95% of a full-physics step in
+    round 2).  One cycle = full density evaluation at converged hsml
+    (+ the convergence check) + the symmetric hydro force."""
+    import jax
+    import jax.numpy as jnp
+    from shenqi_tpu.core.particles import float_to_ipos
+    from shenqi_tpu.ops.tree import build_octree
+    from shenqi_tpu.sph.density import density, make_gas_payload
+    from shenqi_tpu.sph.kernels import CUBIC
+    from shenqi_tpu.sph.hydro import (HydroParams, balsara_f1,
+                                      pressure_predict,
+                                      hydro_time_factors)
+    from shenqi_tpu.sph.stencil_hydro import stencil_hydro_walk
+    from shenqi_tpu.utils.constants import GAMMA
+
+    pos = _clustered(npart_side, box)
+    n = len(pos)
+    ipos = jnp.asarray(float_to_ipos(pos, box))
+    mass = jnp.full(n, 1.0, jnp.float32)
+    rng = np.random.RandomState(1)
+    vel = jnp.asarray(rng.normal(0, 30.0, (n, 3)).astype(np.float32))
+    entropy = jnp.full(n, 100.0, jnp.float32)
+    entvar = entropy ** (1.0 / GAMMA)
+    sep = box / npart_side
+    hsml0 = np.full(n, 1.8 * sep, np.float32)
+    nlv = max(6, int(np.ceil(np.log(max(n, 8) / 16) / np.log(8))) + 3)
+    tree = build_octree(ipos, mass, jnp.ones(n, bool), box,
+                        nlevels=nlv, ncrit=32)
+    payload = make_gas_payload(tree, vel, entvar)
+    caps = {}
+    d0 = density(tree, payload, ipos, vel, entvar, hsml0, box, CUBIC,
+                 caps=caps, engine="stencil")
+    hsml = np.asarray(d0.hsml)
+    par = HydroParams(boxsize=box, atime=1.0, hubble=0.05)
+    tf = hydro_time_factors(1.0, 0.05)
+    hcaps = {}
+    zs = jnp.zeros(n, jnp.float32)
+
+    def cycle():
+        d = density(tree, payload, ipos, vel, entvar, hsml, box,
+                    CUBIC, caps=caps, engine="stencil")
+        hj = jnp.asarray(d.hsml)
+        eom = jnp.maximum(jnp.asarray(d.egy_wt_density), 1e-35)
+        press = pressure_predict(eom, entvar)
+        cs = jnp.sqrt(GAMMA * press / eom)
+        f1 = balsara_f1(jnp.asarray(d.div_vel),
+                        jnp.asarray(d.curl_vel), cs, hj, par.fac_mu)
+        dh = jnp.asarray(d.dhsml_egy_density_factor)
+        targets = {"ipos": ipos, "vel": vel, "hsml": hj,
+                   "mass": mass, "density": jnp.asarray(d.density),
+                   "egyrho": eom, "entvar": entvar,
+                   "pressure": press, "f1": f1, "dhsml": dh,
+                   "dloga": zs}
+        fields = jnp.stack(
+            [mass, hj, vel[:, 0], vel[:, 1], vel[:, 2],
+             jnp.asarray(d.density), eom, entvar, press,
+             jnp.asarray(d.div_vel), jnp.asarray(d.curl_vel), dh,
+             zs], axis=1)
+        hres, _cov, _nc = stencil_hydro_walk(
+            ipos, fields, targets, par, spec=CUBIC,
+            tier_cache=hcaps, tf=tf)
+        return hres.accel
+
+    a = cycle()
+    jax.block_until_ready(a)
+    a = cycle()
+    jax.block_until_ready(a)
+    t0 = time.perf_counter()
+    for _ in range(ncycles):
+        a = cycle()
+    jax.block_until_ready(a)
+    dt = time.perf_counter() - t0
+    return n * ncycles / dt
+
+
 def _run_stage(stage: str, timeout_s: int, extra_env=None):
     """Run one stage in a subprocess; returns value or None."""
     env = dict(os.environ)
@@ -354,6 +431,7 @@ def main():
         treepm_ps = treepm_ps2
     engine = os.environ.get("SHENQI_SCHEDULE", "stencil")
     pm_ps = _run_stage("pm", stage_budget)
+    sph_ps = _run_stage("sph", stage_budget)
 
     if treepm_ps is None and pm_ps is None:
         # TPU unreachable: still emit a valid line, measured on CPU
@@ -373,7 +451,9 @@ def main():
         metric = (f"treepm particle-steps/sec ({tree_side}^3 "
                   f"clustered, {engine} engine"
                   + (f"; pm-only {pm_side}^3/{pm_mesh}: {pm_ps:.3g}"
-                     if pm_ps else "") + ")")
+                     if pm_ps else "")
+                  + (f"; sph cycles {max(tree_side // 2, 32)}^3: "
+                     f"{sph_ps:.3g}" if sph_ps else "") + ")")
     else:
         metric = f"pm-kdk particle-steps/sec ({pm_side}^3, {pm_mesh})"
 
@@ -416,6 +496,9 @@ def stage_main(stage: str):
         v = bench_treepm(tree_side, nsteps)
     elif stage == "pm":
         v = bench_pm(pm_side, pm_mesh, nsteps)
+    elif stage == "sph":
+        v = bench_sph(max(int(os.environ.get(
+            "BENCH_TREE_SIDE", 128)) // 2, 32), nsteps)
     elif stage == "pm_small_cpu":
         import jax
         try:

@@ -98,10 +98,12 @@ def _init_checks(pos, ids, mass, cp, boxsize):
 
 def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
               pos, vel, mass, ids, boxsize, nmesh, atime, outdir,
-              mesh_devices: int, max_steps: int):
-    """Multi-chip DM run: the slab simulation loop with sharded
-    snapshot/FOF/P(k) outputs (run.cpp:331-822 distributed; the
-    product wiring for parallel.slab_sim)."""
+              mesh_devices: int, max_steps: int, species=None,
+              gas_u0=None):
+    """Multi-chip run: the slab simulation loop (TreePM + adiabatic
+    SPH when gas is present) with sharded snapshot/FOF/P(k) outputs
+    (run.cpp:331-822 distributed; the product wiring for
+    parallel.slab_sim)."""
     from ..parallel.slab_sim import SlabSimulation
     from ..parallel.sharded import make_mesh
     from ..io.sharded_io import save_snapshot_sharded
@@ -109,10 +111,16 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
     from ..io.fofio import save_fof
 
     mesh = make_mesh(mesh_devices)
-    sim = SlabSimulation.from_arrays(
-        mesh, pos, vel, mass, ids, cp, boxsize, nmesh, timeline,
-        atime, tsp=tsp, gravity_kw=gravity_kw,
-        headroom=ps.get_double("PartAllocFactor"))
+    if species is not None:
+        sim = SlabSimulation.from_species(
+            mesh, species, cp, boxsize, nmesh, timeline, atime,
+            gas_u0=gas_u0, tsp=tsp, gravity_kw=gravity_kw,
+            headroom=ps.get_double("PartAllocFactor"))
+    else:
+        sim = SlabSimulation.from_arrays(
+            mesh, pos, vel, mass, ids, cp, boxsize, nmesh, timeline,
+            atime, tsp=tsp, gravity_kw=gravity_kw,
+            headroom=ps.get_double("PartAllocFactor"))
 
     base = ps.get_string("SnapshotFileBase")
     snapshot_with_fof = bool(ps.get_int("SnapshotWithFOF"))
@@ -134,11 +142,19 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
             UnitVelocity_in_cm_per_s=units.UnitVelocity_in_cm_per_s,
             UsePeculiarVelocity=1, TimeIC=hdr.TimeIC)
         f = s.fields
-        save_snapshot_sharded(
-            path, shdr,
-            {"ipos": f["ipos"], "vel": f["vel"], "mass": f["mass"],
-             "pid": f["id_lo"], "pid_hi": f["id_hi"]},
-            s.mesh, boxsize, a, id_offset=0)
+        if getattr(s, "has_gas", False):
+            from ..io.sharded_io import save_snapshot_sharded_multi
+            save_snapshot_sharded_multi(
+                path, shdr,
+                dict(f, pid=f["id_lo"], pid_hi=f["id_hi"]),
+                s.mesh, boxsize, a, id_offset=0)
+        else:
+            save_snapshot_sharded(
+                path, shdr,
+                {"ipos": f["ipos"], "vel": f["vel"],
+                 "mass": f["mass"], "pid": f["id_lo"],
+                 "pid_hi": f["id_hi"]},
+                s.mesh, boxsize, a, id_offset=0)
         with open(os.path.join(outdir, "LastSnapNum.txt"), "w") as fh:
             fh.write(str(snap_counter[0]))
         if s.power_history:
@@ -333,17 +349,40 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
     has_gas = bool((ptype == 0).any()) and ps.get_int("HydroOn")
 
     if mesh_devices:
-        # multi-chip slab run (--mesh N): DM-only TreePM this round
-        if has_gas:
+        # multi-chip slab run (--mesh N): TreePM + adiabatic SPH
+        # distributed; subgrid sources stay single-device for now
+        if has_gas and (ps.get_int("CoolingOn")
+                        or ps.get_int("StarformationOn")
+                        or ps.get_int("WindOn")
+                        or ps.get_int("BlackHoleOn")):
             raise NotImplementedError(
-                "--mesh: gas/subgrid physics runs single-device")
+                "--mesh: subgrid (cooling/SFR/winds/BH) runs "
+                "single-device; distributed gas is adiabatic SPH")
         if cp.MassiveNuLinRespOn or ps.get_int("LightconeOn"):
             raise NotImplementedError(
-                "--mesh supports DM-only TreePM runs")
+                "--mesh supports TreePM(+adiabatic SPH) runs")
+        gas_u0 = None
+        species = None
+        if has_gas:
+            from ..utils.constants import (BOLTZMANN, PROTONMASS,
+                                           GAMMA_MINUS1,
+                                           HYDROGEN_MASSFRAC)
+            init_temp = ps.get_double("InitGasTemp")
+            if init_temp < 0:
+                init_temp = cp.CMBTemperature / atime
+            mw = 4.0 / (1 + 3 * HYDROGEN_MASSFRAC)
+            gas_u0 = (BOLTZMANN * init_temp / mw / PROTONMASS
+                      / GAMMA_MINUS1
+                      / units.UnitInternalEnergy_in_cgs)
+            species = []
+            for t in sorted(set(ptype.tolist())):
+                sel = ptype == t
+                species.append((int(t), pos[sel], vel[sel],
+                                mass[sel], ids[sel]))
         return _run_slab(ps, hdr, cp, units, timeline, tsp,
                          gravity_kw, pos, vel, mass, ids, boxsize,
                          nmesh, atime, outdir, mesh_devices,
-                         max_steps)
+                         max_steps, species=species, gas_u0=gas_u0)
 
     if has_gas:
         from ..simulation_gas import GasPhysics

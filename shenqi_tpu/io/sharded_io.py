@@ -96,6 +96,104 @@ def save_snapshot_sharded(path: str, header: SnapshotHeader,
     return path
 
 
+def save_snapshot_sharded_multi(path: str, header: SnapshotHeader,
+                                fields: Dict, mesh, boxsize: float,
+                                atime: float, num_writers: int = 4,
+                                id_offset: int = 0) -> str:
+    """Multi-species sharded write (petaio per-type layout).
+
+    fields: the slab-sim state dict with a 'ptyp' [N] i32 row-type
+    column plus ipos/vel/mass/pid(/pid_hi).  Gas rows (type 0)
+    additionally write SmoothingLength / Density / EgyWtDensity /
+    Entropy / InternalEnergy from the slab gas columns
+    (hsml/density/egywt/entropy — petaio.cpp gas property set,
+    InternalEnergy u = A rho^(g-1)/(g-1) like io/snapshot.py).
+    """
+    from ..utils.constants import GAMMA_MINUS1
+
+    ndev = mesh.devices.size
+    names = ["ipos", "vel", "mass", "pid", "ptyp"]
+    if "pid_hi" in fields:
+        names.append("pid_hi")
+    has_gas_cols = "entropy" in fields
+    if has_gas_cols:
+        names += ["hsml", "density", "egywt", "entropy"]
+    shards = {k: _shard_hosts(fields[k], mesh) for k in names}
+
+    alive = [m > 0 for m in shards["mass"]]
+    types = sorted({int(t) for d in range(ndev)
+                    for t in np.unique(shards["ptyp"][d][alive[d]])})
+    counts = {t: np.array([int((alive[d]
+                                & (shards["ptyp"][d] == t)).sum())
+                           for d in range(ndev)]) for t in types}
+    offsets = {t: np.concatenate([[0], np.cumsum(counts[t])])
+               for t in types}
+
+    bf = BigFile(path, create=True)
+    hdr_tot = np.zeros(6, dtype=np.uint64)
+    for t in types:
+        hdr_tot[t] = int(offsets[t][-1])
+    header = dataclasses.replace(header, TotNumPart=hdr_tot,
+                                 Time=atime)
+    header.write(bf)
+    vfac = 1.0 / atime if header.UsePeculiarVelocity else 1.0
+
+    base_specs = [("Position", "<f8", 3), ("Velocity", "<f4", 3),
+                  ("Mass", "<f4", 1), ("ID", "<u8", 1)]
+    gas_specs = [("SmoothingLength", "<f4", 1), ("Density", "<f4", 1),
+                 ("EgyWtDensity", "<f4", 1), ("Entropy", "<f4", 1),
+                 ("InternalEnergy", "<f4", 1)]
+    blks = {}
+    for t in types:
+        ntot_t = int(offsets[t][-1])
+        specs = base_specs + (gas_specs if (t == 0 and has_gas_cols)
+                              else [])
+        for name, dt, nm in specs:
+            blks[(t, name)] = bf.create_block(
+                f"{t}/{name}", dt, ntot_t, nmemb=nm)
+
+    for g0 in range(0, ndev, max(num_writers, 1)):
+        for d in range(g0, min(g0 + max(num_writers, 1), ndev)):
+            for t in types:
+                sel = alive[d] & (shards["ptyp"][d] == t)
+                if not sel.any():
+                    continue
+                off = int(offsets[t][d])
+                pos = (shards["ipos"][d][sel].astype(np.float64)
+                       * (boxsize / POS_SCALE))
+                blks[(t, "Position")].write(off, pos.astype("<f8"))
+                blks[(t, "Velocity")].write(
+                    off, (shards["vel"][d][sel] * vfac
+                          ).astype("<f4"))
+                blks[(t, "Mass")].write(
+                    off, shards["mass"][d][sel].astype("<f4"))
+                pid64 = (shards["pid"][d][sel].astype(np.uint64)
+                         + np.uint64(id_offset))
+                if "pid_hi" in shards:
+                    pid64 |= shards["pid_hi"][d][sel].astype(
+                        np.uint64) << np.uint64(32)
+                blks[(t, "ID")].write(off, pid64)
+                if t == 0 and has_gas_cols:
+                    dens = shards["density"][d][sel]
+                    entr = shards["entropy"][d][sel]
+                    blks[(t, "SmoothingLength")].write(
+                        off, shards["hsml"][d][sel].astype("<f4"))
+                    blks[(t, "Density")].write(
+                        off, dens.astype("<f4"))
+                    blks[(t, "EgyWtDensity")].write(
+                        off, shards["egywt"][d][sel].astype("<f4"))
+                    blks[(t, "Entropy")].write(
+                        off, entr.astype("<f4"))
+                    with np.errstate(invalid="ignore"):
+                        u = entr / GAMMA_MINUS1 \
+                            * dens ** GAMMA_MINUS1
+                    blks[(t, "InternalEnergy")].write(
+                        off, np.nan_to_num(u).astype("<f4"))
+    for b in blks.values():
+        b.flush()
+    return path
+
+
 def load_snapshot_sharded(path: str, mesh, boxsize: float,
                           ptype: int = 1, capacity: int = None,
                           block: int = 128, chunk: int = 1 << 20):

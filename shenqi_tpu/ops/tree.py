@@ -138,10 +138,15 @@ def build_octree(ipos, mass, alive, boxsize, nlevels: int = 8,
         m = jax.ops.segment_sum(mass_s, seg, num_segments=cap)
         cm = jax.ops.segment_sum(mpos, seg, num_segments=cap)
         hm = jax.ops.segment_max(mhml, seg, num_segments=cap)
-        # pstart: index of first particle of each run; pcount: raw run
-        # length (dead slots included — they carry zero mass)
+        # pstart: index of first particle of each run; pcount: ALIVE
+        # rows only.  Dead rows sort to the tail under the sentinel
+        # key, so real runs contain no dead rows and their counts are
+        # unchanged — but the all-dead sentinel run must count 0, or
+        # its (box-corner) leaf flags leaf_truncated forever when the
+        # dead fraction exceeds ncrit (slab capacity padding + the
+        # non-gas rows of a mixed-species SPH tree)
         ps = jax.ops.segment_min(idx, seg, num_segments=cap)
-        cnt = jax.ops.segment_sum(jnp.ones(n, jnp.int32), seg,
+        cnt = jax.ops.segment_sum(alive_s.astype(jnp.int32), seg,
                                   num_segments=cap)
         valid = jnp.arange(cap) < nseg
         ps = jnp.where(valid, ps, n)

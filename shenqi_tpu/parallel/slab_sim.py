@@ -6,11 +6,13 @@ refined gravity, slab FOF, sharded snapshot IO) into the reference's
 main-loop protocol (run.cpp:331-822) over a 1-D jax.sharding.Mesh —
 so reference examples (dm-small) actually RUN multi-chip from the CLI.
 
-Scope this round: collisionless (DM-only) physics with the full
-individual-timebin KDK integrator — the same non-hierarchical protocol
-as simulation.Simulation.run (which computes forces for every particle
-each step and applies per-bin kick factors; inactive bins get factor
-zero).  Gas/subgrid stay single-device for now.
+Scope: TreePM collisionless physics with the full individual-timebin
+KDK integrator — the same non-hierarchical protocol as
+simulation.Simulation.run — plus distributed ADIABATIC SPH when gas
+species are present (from_species): density/hydro via the ghost-halo
+slab passes (parallel/sph_slab.py), pressure-entropy init fixed
+point, hydro kicks and Courant timesteps.  Subgrid sources
+(cooling/SFR/winds/BH) stay single-device for now.
 
 Design:
   * Particle state is a dict of [D*C] arrays sharded over axis 'dp';
@@ -135,6 +137,17 @@ class SlabSimulation:
     _cuts_dev: object = None       # [D-1] uint32 interior cuts
     _programs: dict = field(default_factory=dict)
     _exchange_cadence_info: dict = field(default_factory=dict)
+    # ---- distributed gas (adiabatic SPH; run.cpp:482-505) ----
+    has_gas: bool = False
+    gas_u0: object = None          # initial specific energy (IC)
+    kernel: object = None          # sph KernelSpec (default CUBIC)
+    eta: float = 1.0
+    art_bulk_visc: float = 0.75
+    density_independent_sph: bool = True
+    density_contrast_limit: float = 100.0
+    _entropy_is_u: bool = False
+    _sph_caps: dict = field(default_factory=dict)
+    _hydro_caps: dict = field(default_factory=dict)
 
     # ---------------- construction ----------------
     @classmethod
@@ -195,6 +208,78 @@ class SlabSimulation:
                    cuts_planes=cuts_planes,
                    _cuts_dev=(jnp.asarray(cuts_in)
                               if cuts_in is not None else None))
+
+    @classmethod
+    def from_species(cls, mesh: Mesh, species, CP, boxsize, nmesh,
+                     timeline, atime, gas_u0: float = None,
+                     tsp: Optional[TimestepParams] = None,
+                     gravity_kw: Optional[dict] = None,
+                     headroom: float = 1.6,
+                     balance_domains: bool = True):
+        """Multi-species constructor (Simulation.from_species analog):
+        species = [(ptype, pos, vel, mass, ids), ...].  ptype 0 rows
+        get the distributed-SPH columns; entropy starts as the IC
+        specific energy u0 and converts after the first density pass
+        (init_gas_entropy protocol, init.cpp:230)."""
+        parts = []
+        for ptype, pos, vel, mass, ids in species:
+            n_s = len(pos)
+            m = (np.asarray(mass, np.float32) if np.ndim(mass)
+                 else np.full(n_s, mass, np.float32))
+            parts.append((ptype, np.asarray(pos), np.asarray(vel),
+                          m, np.asarray(ids, np.uint64)))
+        pos = np.concatenate([p[1] for p in parts])
+        vel = np.concatenate([p[2] for p in parts])
+        mass = np.concatenate([p[3] for p in parts])
+        ids = np.concatenate([p[4] for p in parts])
+        ptyp = np.concatenate([np.full(len(p[1]), p[0], np.int32)
+                               for p in parts])
+        sim = cls.from_arrays(mesh, pos, vel, mass, ids, CP, boxsize,
+                              nmesh, timeline, atime, tsp=tsp,
+                              gravity_kw=gravity_kw,
+                              headroom=headroom,
+                              balance_domains=balance_domains)
+        has_gas = bool((ptyp == 0).any())
+        # route ptype through the same slab layout as the dynamics:
+        # re-distribute a host dict carrying a row tag, then align by
+        # 64-bit id (distribute_slabs orders rows identically given
+        # identical inputs — but ids are authoritative)
+        if has_gas:
+            idsd = sim.ids64()
+            alive = np.asarray(sim._alive())
+            sort_idx = np.argsort(ids)
+            pt_rows = np.zeros(idsd.shape[0], np.int32)
+            rows = np.nonzero(alive)[0]
+            at = np.searchsorted(ids[sort_idx], idsd[rows])
+            pt_rows[rows] = ptyp[sort_idx[at]]
+            sh = NamedSharding(sim.mesh, P("dp"))
+            sh3 = NamedSharding(sim.mesh, P("dp", None))
+            f = sim.fields
+            f["ptyp"] = jax.device_put(pt_rows, sh)
+            is_gas = (pt_rows == 0) & alive
+            n_gas = int(is_gas.sum())
+            sep = boxsize / max(n_gas, 1) ** (1.0 / 3.0)
+            zs = np.zeros(idsd.shape[0], np.float32)
+            f["hsml"] = jax.device_put(
+                np.where(is_gas, 1.5 * sep, 0.0).astype(np.float32),
+                sh)
+            for name in ("density", "egywt", "dhsml_egy",
+                         "divv", "curlv", "dts", "mvsig", "dth"):
+                f["" + name] = jax.device_put(zs.copy(), sh)
+            # entropy HOLDS u0 until the first-density conversion
+            # (init_gas_entropy protocol — a zero entropy would make
+            # the first pass's entvar ~0 and EgyWtDensity 0/0)
+            ent0 = np.where(is_gas, np.float32(gas_u0 or 0.0), 0.0)
+            f["entropy"] = jax.device_put(ent0.astype(np.float32),
+                                          sh)
+            f["hacc"] = jax.device_put(
+                np.zeros((idsd.shape[0], 3), np.float32), sh3)
+            sim.has_gas = True
+            sim.gas_u0 = gas_u0
+            sim._entropy_is_u = gas_u0 is not None
+        from ..sph.kernels import CUBIC
+        sim.kernel = CUBIC
+        return sim
 
     # ---------------- small helpers ----------------
     def atime(self) -> float:
@@ -363,6 +448,173 @@ class SlabSimulation:
         raise RuntimeError("force-program caps failed to converge "
                            f"after 8 regrows: {self.caps}")
 
+    # ---------------- distributed gas stage ----------------
+    def _gas_density_hydro(self, first: bool):
+        """Distributed density (adaptive hsml) + hydro force over the
+        slab-owned gas (run.cpp:482-505; the reference runs both
+        stages distributed through the treewalk engine — here through
+        the ghost-halo slab passes, parallel/sph_slab.py).
+
+        Runs AFTER the force program (ownership re-established by its
+        exchange); uses the PREVIOUS step's accelerations in the
+        velocity/entropy predictors, exactly like the single-device
+        driver (core/integrate.predictor_tables semantics)."""
+        from ..core.integrate import predictor_tables
+        from ..sph.density import DensityResult
+        from ..sph.hydro import (HydroParams, balsara_f1,
+                                 pressure_predict, hydro_time_factors)
+        from ..sph.kernels import NUMDIMS
+        from ..utils.constants import GAMMA, GAMMA_MINUS1
+        from .sph_slab import density_slab, hydro_slab
+
+        f = self.fields
+        alive = self._alive()
+        is_gas = (f["ptyp"] == 0) & alive
+        # seed generous walk caps: every regrow retraces a ~30-minute
+        # 8-device shard_map compile on this host, and the list can
+        # never exceed local+ghost rows anyway
+        ml = min(1024, 1 << (max(3 * self.capacity - 1, 1)
+                             ).bit_length())
+        self._sph_caps.setdefault("maxl", ml)
+        self._hydro_caps.setdefault("maxl", ml)
+        gk_t, hk_t, de_t, gk_pm = predictor_tables(
+            self.CP, self.timeline, self.times)
+        bins = f["tbin"].astype(jnp.int32)
+        vel_p = (f["vel"] + f["gacc"] * gk_t[bins][:, None]
+                 + f["gpm"] * jnp.float32(gk_pm)
+                 + f["hacc"] * hk_t[bins][:, None])
+        ent_pred = f["entropy"] + f["dts"] * de_t[bins]
+        ent_pred = jnp.maximum(ent_pred, 0.25 * f["entropy"])
+        entvar = jnp.maximum(ent_pred, 1e-35) ** (1.0 / GAMMA)
+        mass_gas = jnp.where(is_gas, f["mass"], 0.0)
+
+        dfields = {"ipos": f["ipos"], "mass": mass_gas,
+                   "vel": vel_p, "entvar": entvar}
+        hsml0 = jnp.where(is_gas, f["hsml"], 0.0)
+        cuts = (self._cuts_dev if (self.balance_domains
+                                   and self.mesh.devices.size > 1)
+                else None)
+        res, hsml, dinfo = density_slab(
+            self.mesh, dfields, hsml0, self.boxsize,
+            spec=self.kernel, eta=self.eta, caps=self._sph_caps,
+            cuts_in=cuts)
+        self._wt("SPHDensity")
+        rho = jnp.maximum(res.rho, 1e-35)
+        dhsml_fac = 1.0 / (1.0 + res.dhsml_rho * hsml
+                           / (NUMDIMS * rho))
+        divv = res.div / rho
+        curlv = jnp.linalg.norm(res.rot, axis=-1) / rho
+        dth = (1.0 / NUMDIMS) * divv * hsml
+        egy_rho = jnp.maximum(res.egy_rho, 1e-35)
+        dhsml_egy = -(res.dhsml_egy * hsml
+                      / (NUMDIMS * egy_rho)) * dhsml_fac
+        egywt = egy_rho / jnp.maximum(entvar, 1e-35)
+        if not self.density_independent_sph:
+            egywt = rho
+            dhsml_egy = dhsml_fac
+
+        def mg(name, new):
+            f[name] = jnp.where(is_gas, new, f[name])
+        mg("hsml", hsml)
+        mg("density", rho)
+        mg("egywt", egywt)
+        mg("dhsml_egy", dhsml_egy)
+        mg("divv", divv)
+        mg("curlv", curlv)
+        mg("dth", dth)
+
+        if self._entropy_is_u and first:
+            # init_gas_entropy: IC u -> entropy.  With
+            # pressure-entropy SPH this is the same fixed point as
+            # the single-device setup_density_indep_entropy
+            # (init.cpp:403-449) — iterate entropy -> EgyWtDensity at
+            # FIXED hsml via the distributed pass until converged.
+            from .sph_slab import density_pass_slab
+            a3 = self.atime() ** 3
+            u0f = jnp.float32(self.gas_u0)
+            egywt = jnp.maximum(f["density"], 1e-35)
+            entropy = f["entropy"]
+            stop = False
+            for j in range(100):
+                # gas rows ONLY: an unmasked formula drives dead/DM
+                # rows' entvar to NaN within two iterations, and
+                # 0*NaN = NaN poisons every gas target whose
+                # candidate list holds a dead row
+                entropy = jnp.where(
+                    is_gas,
+                    GAMMA_MINUS1 * u0f
+                    / jnp.maximum(egywt / a3, 1e-35) ** GAMMA_MINUS1,
+                    0.0)
+                if not self.density_independent_sph:
+                    break
+                entvar_i = jnp.where(
+                    is_gas,
+                    jnp.maximum(entropy, 1e-35) ** (1.0 / GAMMA),
+                    0.0)
+                res2, _ = density_pass_slab(
+                    self.mesh,
+                    {"ipos": f["ipos"], "mass": mass_gas,
+                     "vel": jnp.zeros_like(vel_p),
+                     "entvar": entvar_i},
+                    f["hsml"], self.boxsize, spec=self.kernel,
+                    caps=self._sph_caps, cuts_in=cuts)
+                new_egywt = jnp.where(
+                    is_gas,
+                    jnp.maximum(res2.egy_rho, 1e-35)
+                    / jnp.maximum(entvar_i, 1e-35), 0.0)
+                if stop:
+                    egywt = new_egywt
+                    break
+                maxdiff = float(jnp.max(jnp.where(
+                    is_gas,
+                    jnp.abs(new_egywt - egywt)
+                    / jnp.maximum(new_egywt, 1e-35), 0.0)))
+                egywt = new_egywt
+                if maxdiff < 1e-3:
+                    stop = True
+            mg("entropy", entropy)
+            mg("egywt", jnp.maximum(egywt, 1e-35))
+            self._entropy_is_u = False
+            entvar = jnp.maximum(f["entropy"], 1e-35) ** (1.0 / GAMMA)
+
+        # ---- hydro force ----
+        atime = self.atime()
+        hubble = float(self.CP.hubble_function(atime))
+        par = HydroParams(boxsize=self.boxsize,
+                          art_bulk_visc_const=self.art_bulk_visc,
+                          density_contrast_limit=(
+                              self.density_contrast_limit),
+                          density_independent_sph=(
+                              self.density_independent_sph))
+        tf = hydro_time_factors(atime, hubble)
+        eom = f["egywt"] if self.density_independent_sph \
+            else f["density"]
+        press = pressure_predict(jnp.maximum(eom, 1e-35), entvar)
+        cs = jnp.sqrt(GAMMA * press / jnp.maximum(eom, 1e-35))
+        f1 = balsara_f1(f["divv"], f["curlv"], cs, f["hsml"],
+                        tf["fac_mu"])
+        zs = jnp.zeros_like(press)
+        hfields = {
+            "ipos": f["ipos"], "mass": mass_gas, "vel": vel_p,
+            "hsml": f["hsml"], "density": f["density"],
+            "eomdensity": eom, "entvar": entvar, "pressure": press,
+            "divvel": f["divv"], "curlvel": f["curlv"],
+            "dhsml_egy": f["dhsml_egy"], "dloga": zs,
+            "decoupled": jnp.zeros(press.shape[0], bool),
+            "f1": f1, "egyrho": eom, "dhsml": f["dhsml_egy"],
+        }
+        (hacc, dts_raw, mvsig), hinfo = hydro_slab(
+            self.mesh, hfields, par, tf, spec=self.kernel,
+            caps=self._hydro_caps, cuts_in=cuts)
+        hub_a2 = tf["hubble_a2"]
+        dts = dts_raw * GAMMA_MINUS1 / (
+            hub_a2 * jnp.maximum(f["density"], 1e-35)
+            ** GAMMA_MINUS1)
+        f["hacc"] = jnp.where(is_gas[:, None], hacc, f["hacc"])
+        mg("dts", dts)
+        mg("mvsig", mvsig)
+        self._wt("SPHHydro")
+
     # ---------------- KDK pieces ----------------
     def _drift_all(self, ti_next: int):
         fac = self.timeline.exact_drift_factor(
@@ -376,11 +628,20 @@ class SlabSimulation:
                 self.times.ti_lastactivedrift[b] = ti_next
 
     def _apply_half_kick(self):
-        gk, _hk, _dte = gravkick_tables(self.CP, self.timeline,
-                                        self.times)
+        gk, hk, dte = gravkick_tables(self.CP, self.timeline,
+                                      self.times)
         self.fields["vel"] = _kick_bins(
             self.fields["vel"], self.fields["gacc"],
             self.fields["tbin"], gk, self._alive())
+        if self.has_gas:
+            # hydro kick + entropy half-update (do_hydro_kick)
+            f = self.fields
+            is_gas = (f["ptyp"] == 0) & self._alive()
+            bins = f["tbin"].astype(jnp.int32)
+            hkf = jnp.where(is_gas, hk[bins], 0.0)
+            dtef = jnp.where(is_gas, dte[bins], 0.0)
+            f["vel"] = f["vel"] + f["hacc"] * hkf[:, None]
+            f["entropy"] = f["entropy"] + dtef * f["dts"]
 
     def _apply_pm_half_kick(self):
         t0 = self.times.pm_kick
@@ -400,7 +661,8 @@ class SlabSimulation:
         if is_pm:
             asmth_internal = (self.gravity.asmth * self.boxsize
                               / self.gravity.nmesh)
-            ptype = np.full(alive_h.shape[0], 1, np.int8)
+            ptype = (np.asarray(f["ptyp"], np.int8) if self.has_gas
+                     else np.full(alive_h.shape[0], 1, np.int8))
             dloga_pm = long_range_dloga(
                 f["vel"], f["mass"], ptype, alive_h, atime, self.CP,
                 self.boxsize, asmth_internal, self.tsp)
@@ -417,6 +679,14 @@ class SlabSimulation:
         dloga = gravity_dloga(accel_tot, atime, hubble,
                               self.gravity.softening,
                               self.tsp.ErrTolIntAccuracy)
+        if self.has_gas:
+            # Courant + hsml-change limits for gas rows
+            from ..core.integrate import hydro_dloga
+            dl_h = hydro_dloga(f["hsml"], f["mvsig"], f["dth"],
+                               atime, hubble, self.tsp.CourantFac)
+            is_gas = (f["ptyp"] == 0) & self._alive()
+            dloga = jnp.where(is_gas, jnp.minimum(dloga, dl_h),
+                              dloga)
         self.fields["oldacc"] = (
             jnp.linalg.norm(accel_tot, axis=-1) / self.gravity.G)
         active = np.asarray(self._active_mask())
@@ -486,6 +756,10 @@ class SlabSimulation:
                 self._rebalance_cuts()
             self._forces(with_pm=is_pm, first=first)
             self._wt("Tree")
+            if self.has_gas:
+                # distributed SPH on the freshly slab-owned gas
+                # (run.cpp:482-505; predictors use last-step accels)
+                self._gas_density_hydro(first)
 
             if not first:
                 self._apply_half_kick()

@@ -41,13 +41,18 @@ from .domain import halo_exchange
 
 def _combined_tree(fields, ghost_names, width_fp, ndev, gcap,
                    nlevels, ncrit, boxsize, with_hmax=False,
-                   axis_name="dp"):
-    """Halo exchange + octree over [local + ghosts]."""
+                   axis_name="dp", cuts_in=None):
+    """Halo exchange + octree over [local + ghosts].
+
+    cuts_in: cost-balanced slab cut positions — MUST be passed when
+    the domain runs balanced cuts, or the ghost strips follow the
+    wrong (uniform) geometry (halo_exchange routes to the general
+    bucketed all_to_all in that case)."""
     from ..ops.morton import morton_key
 
     ship = {k: fields[k] for k in ghost_names}
     ghosts, n_lost = halo_exchange(ship, width_fp, ndev, gcap,
-                                   axis_name)
+                                   axis_name, cuts_in=cuts_in)
     comb = {k: jnp.concatenate([fields[k], ghosts[k]])
             for k in ghost_names}
     alive = comb["mass"] > 0
@@ -66,7 +71,7 @@ def make_density_pass(mesh, boxsize: float, width_fp: int,
                       spec: KernelSpec = CUBIC, nlevels: int = 8,
                       ncrit: int = 32, block: int = 64,
                       maxl: int = 128, gcap: int = None,
-                      nb: int = None):
+                      nb: int = None, with_cuts: bool = False):
     """Jitted shard_map density pass over 'dp'-sharded gas fields.
 
     fn(fields, hsml) -> (DensityResult arrays [D*C], info); fields
@@ -83,16 +88,19 @@ def make_density_pass(mesh, boxsize: float, width_fp: int,
                   ("halo_lost", "list_overflow", "block_overflow",
                    "leaf_truncated", "width_exceeded")}
 
-    @partial(shard_map, mesh=mesh, in_specs=(field_specs, P("dp")),
+    d_in = (field_specs, P("dp")) + ((P(),) if with_cuts else ())
+
+    @partial(shard_map, mesh=mesh, in_specs=d_in,
              out_specs=(res_specs, info_specs), check_vma=False)
-    def one_pass(fields, hsml):
+    def one_pass(fields, hsml, *cuts):
         C = fields["ipos"].shape[0]
         g = gcap if gcap is not None else C
         f = dict(fields)
         f["hsml"] = hsml
         tree, comb, alive, n_lost = _combined_tree(
             f, ("ipos", "mass", "vel", "entvar", "hsml"), width_fp,
-            ndev, g, nlevels, ncrit, boxsize)
+            ndev, g, nlevels, ncrit, boxsize,
+            cuts_in=cuts[0] if cuts else None)
         order = tree.order
         payload = {"ipos": tree.ipos_s, "mass": tree.mass_s,
                    "vel": comb["vel"][order],
@@ -133,7 +141,7 @@ def make_hydro_pass(mesh, par: HydroParams, width_fp: int,
                     spec: KernelSpec = CUBIC, nlevels: int = 8,
                     ncrit: int = 32, block: int = 64,
                     maxl: int = 128, gcap: int = None,
-                    nb: int = None):
+                    nb: int = None, with_cuts: bool = False):
     """Jitted shard_map hydro-force pass (symmetric walk).
 
     fn(fields, tf) -> ((accel [D*C,3], dt_entropy_raw [D*C],
@@ -162,14 +170,17 @@ def make_hydro_pass(mesh, par: HydroParams, width_fp: int,
                   ("halo_lost", "list_overflow", "block_overflow",
                    "leaf_truncated", "width_exceeded")}
 
-    @partial(shard_map, mesh=mesh, in_specs=(field_specs, tf_specs),
+    h_in = (field_specs, tf_specs) + ((P(),) if with_cuts else ())
+
+    @partial(shard_map, mesh=mesh, in_specs=h_in,
              out_specs=(out_specs, info_specs), check_vma=False)
-    def one_pass(fields, tf):
+    def one_pass(fields, tf, *cuts):
         C = fields["ipos"].shape[0]
         g = gcap if gcap is not None else C
         tree, comb, alive, n_lost = _combined_tree(
             fields, ghost_names, width_fp, ndev, g, nlevels, ncrit,
-            boxsize=par.boxsize, with_hmax=True)
+            boxsize=par.boxsize, with_hmax=True,
+            cuts_in=cuts[0] if cuts else None)
         order = tree.order
         payload = {"ipos": tree.ipos_s, "mass": tree.mass_s}
         for k in ghost_names[2:]:
@@ -222,23 +233,123 @@ _PASS_CACHE = {}
 
 
 def _cached_density_pass(mesh, boxsize, width, spec, nlv, ncrit,
-                         maxl):
-    key = ("dens", id(mesh), boxsize, width, spec, nlv, ncrit, maxl)
+                         maxl, with_cuts=False):
+    key = ("dens", id(mesh), boxsize, width, spec, nlv, ncrit, maxl,
+           with_cuts)
     fn = _PASS_CACHE.get(key)
     if fn is None:
         fn = make_density_pass(mesh, boxsize, width, spec,
-                               nlevels=nlv, ncrit=ncrit, maxl=maxl)
+                               nlevels=nlv, ncrit=ncrit, maxl=maxl,
+                               with_cuts=with_cuts)
         _PASS_CACHE[key] = fn
     return fn
+
+
+def _cached_hydro_pass(mesh, par, width, spec, nlv, ncrit, maxl,
+                       with_cuts=False):
+    key = ("hyd", id(mesh), par, width, spec, nlv, ncrit, maxl,
+           with_cuts)
+    fn = _PASS_CACHE.get(key)
+    if fn is None:
+        fn = make_hydro_pass(mesh, par, width, spec, nlevels=nlv,
+                             ncrit=ncrit, maxl=maxl,
+                             with_cuts=with_cuts)
+        _PASS_CACHE[key] = fn
+    return fn
+
+
+def density_pass_slab(mesh, fields, hsml, boxsize,
+                      spec: KernelSpec = CUBIC, nlevels: int = 8,
+                      ncrit: int = 32, caps: dict = None,
+                      cuts_in=None):
+    """ONE density evaluation at fixed hsml with overflow-regrowing
+    caps (for the pressure-entropy init fixed point and other
+    fixed-hsml recomputations).  Returns (DensityResult, info)."""
+    if caps is None:
+        caps = {}
+    hmax0 = float(np.max(np.where(
+        np.asarray(fields["mass"]) > 0, np.asarray(hsml), 0.0)))
+    step = 1 << 27
+    w0 = int(3 * hmax0 / boxsize * 2 ** 32) + (1 << 12)
+    caps.setdefault("width", ((w0 + step - 1) // step) * step)
+    caps.setdefault("maxl", 128)
+    caps.setdefault("nlv", nlevels)
+    if caps["width"] < w0:
+        caps["width"] = ((w0 + step - 1) // step) * step
+    while True:
+        fn = _cached_density_pass(mesh, boxsize, caps["width"], spec,
+                                  caps["nlv"], ncrit, caps["maxl"],
+                                  with_cuts=cuts_in is not None)
+        args = (fields, hsml) + ((cuts_in,)
+                                 if cuts_in is not None else ())
+        res, info = fn(*args)
+        grew = False
+        if int(info["list_overflow"]):
+            caps["maxl"] *= 2
+            grew = True
+        if int(info["leaf_truncated"]):
+            caps["nlv"] = min(caps["nlv"] + 1, 20)
+            grew = True
+        if int(info["width_exceeded"]):
+            caps["width"] *= 2
+            grew = True
+        if not grew:
+            return res, info
+
+
+def hydro_slab(mesh, fields, par: HydroParams, tf,
+               spec: KernelSpec = CUBIC, nlevels: int = 8,
+               ncrit: int = 32, caps: dict = None, cuts_in=None):
+    """Hydro force over slab-sharded gas with overflow-regrowing caps
+    (the hydra2.cpp distributed stage; same retry protocol as
+    density_slab.run).  fields: make_hydro_pass columns.  Returns
+    ((accel, dt_entropy_raw, maxvsig), info)."""
+    if caps is None:
+        caps = {}
+    boxsize = float(par.boxsize)
+    hmax0 = float(np.max(np.where(
+        np.asarray(fields["mass"]) > 0,
+        np.asarray(fields["hsml"]), 0.0)))
+    step = 1 << 27
+    w0 = int(3 * hmax0 / boxsize * 2 ** 32) + (1 << 12)
+    caps.setdefault("width", ((w0 + step - 1) // step) * step)
+    caps.setdefault("maxl", 128)
+    caps.setdefault("nlv", nlevels)
+    if caps["width"] < w0:
+        caps["width"] = ((w0 + step - 1) // step) * step
+    while True:
+        fn = _cached_hydro_pass(mesh, par, caps["width"], spec,
+                                caps["nlv"], ncrit, caps["maxl"],
+                                with_cuts=cuts_in is not None)
+        args = (fields, tf) + ((cuts_in,)
+                               if cuts_in is not None else ())
+        out, info = fn(*args)
+        grew = False
+        if int(info["list_overflow"]):
+            caps["maxl"] *= 2
+            grew = True
+        if int(info["leaf_truncated"]):
+            caps["nlv"] = min(caps["nlv"] + 1, 20)
+            grew = True
+        if int(info["width_exceeded"]):
+            caps["width"] *= 2
+            grew = True
+        if not grew:
+            return out, info
 
 
 def density_slab(mesh, fields, hsml0, boxsize, spec: KernelSpec = CUBIC,
                  eta: float = 1.0, ngb_deviation: float = 2.0,
                  nlevels: int = 8, ncrit: int = 32,
-                 maxiter: int = 60):
+                 maxiter: int = 60, caps: dict = None,
+                 cuts_in=None):
     """Adaptive-hsml density loop over slab-sharded gas
     (do_hsml_loop over D devices).  fields: dict sharded over 'dp'
     with ipos/mass/vel/entvar.  Returns (DensityResult, hsml, info).
+
+    caps: persistent grow-only {width, maxl, nlv} dict — pass the
+    same dict across steps so regrows (each a distinct compiled
+    shard_map program) happen once per run, not once per step.
     """
     from ..sph.density import HsmlState, update_hsml
     from ..sph.kernels import desnumngb
@@ -248,23 +359,47 @@ def density_slab(mesh, fields, hsml0, boxsize, spec: KernelSpec = CUBIC,
     t = hsml.shape[0]
     # dead rows (capacity padding / non-gas) are done from the start
     dead = np.asarray(fields["mass"]) <= 0
-    state = HsmlState(hsml=hsml, left=jnp.zeros(t, jnp.float32),
-                      right=jnp.full(t, boxsize, jnp.float32),
-                      done=jnp.asarray(dead))
+    n_alive = int((~dead).sum())
     hmax0 = float(np.max(np.where(dead, 0.0, np.asarray(hsml))))
+    # bracket ceiling (sph/density.py lesson): right = boxsize lets a
+    # single probing particle push hsml past the halo width, and each
+    # width doubling is a fresh ~10-minute shard_map compile — bound
+    # the bisection to a few mean separations instead
+    sep = boxsize / max(n_alive, 1) ** (1.0 / 3.0)
+    hmax_allowed = min(boxsize / 4.0, max(8.0 * sep, 2.0 * hmax0))
+    state = HsmlState(hsml=hsml, left=jnp.zeros(t, jnp.float32),
+                      right=jnp.full(t, hmax_allowed, jnp.float32),
+                      done=jnp.asarray(dead))
     # quantize the halo width to box/32 steps: a distinct width is a
     # distinct compiled shard_map program, and hmax jitters run-to-run
-    w0 = int(3 * hmax0 / boxsize * 2 ** 32) + (1 << 12)
+    w0 = int(1.05 * hmax_allowed / boxsize * 2 ** 32) + (1 << 12)
     step = 1 << 27                      # box/32 in fixed point
-    caps = {"maxl": 128, "nlv": nlevels,
-            "width": ((w0 + step - 1) // step) * step}
+    if caps is None:
+        caps = {}
+    caps.setdefault("maxl", 128)
+    caps.setdefault("nlv", nlevels)
+    caps.setdefault("width", ((w0 + step - 1) // step) * step)
+    if caps["width"] < w0:
+        caps["width"] = ((w0 + step - 1) // step) * step
+
+    import os as _os
+    _dbg = _os.environ.get("SHENQI_SPH_SLAB_DEBUG")
 
     def run(hsml):
         while True:
             fn = _cached_density_pass(
                 mesh, boxsize, caps["width"], spec, caps["nlv"],
-                ncrit, caps["maxl"])
-            res, info = fn(fields, hsml)
+                ncrit, caps["maxl"], with_cuts=cuts_in is not None)
+            args = (fields, hsml) + ((cuts_in,)
+                                     if cuts_in is not None else ())
+            if _dbg:
+                print(f"# density pass call caps={caps}", flush=True)
+            res, info = fn(*args)
+            if _dbg:
+                print(f"# density pass done "
+                      f"ovf={int(info['list_overflow'])} "
+                      f"wid={int(info['width_exceeded'])}",
+                      flush=True)
             grew = False
             if int(info["list_overflow"]):
                 caps["maxl"] *= 2
@@ -283,6 +418,8 @@ def density_slab(mesh, fields, hsml0, boxsize, spec: KernelSpec = CUBIC,
         res, info = run(state.hsml)
         state = update_hsml(state, res.ngb, res.dhsml_rho, res.rho,
                             des, ngb_deviation, boxsize)
+        state = state._replace(hsml=jnp.minimum(state.hsml,
+                                                hmax_allowed))
         if bool(jnp.all(state.done)):
             break
     res, info = run(state.hsml)

@@ -67,7 +67,9 @@ def _density_accum(spec: KernelSpec):
         ngb = ngb + jnp.sum(w * wkv) * volume(H)
         rho = rho + jnp.sum(w * m * wkv)
         dh = dh + jnp.sum(w * m * dWdH)
-        entv = src["entvar"]
+        # sanitize BEFORE weighting: excluded (dead/non-gas) rows can
+        # carry non-finite entvar, and 0 * NaN = NaN
+        entv = jnp.where(inside, src["entvar"], 0.0)
         egy = egy + jnp.sum(w * m * entv * wkv)
         dhe = dhe + jnp.sum(w * m * entv * dWdH)
         # velocity derivatives (skip r == 0)

@@ -335,14 +335,20 @@ def _hydro_eval(stab, extra, tgt_ipos, tgt_idx, tgt_valid, sst, scn,
 
 
 @partial(jax.jit, static_argnames=("spec", "par_static", "box",
-                                   "lcap"))
+                                   "lcap", "tch"))
 def _hydro_long_eval(long_rows, extra, tgt_ipos, tvalid, n_long, box,
-                     spec: KernelSpec, par_static, lcap: int):
-    """Dense pass: every target vs the compacted long-reach sources."""
+                     spec: KernelSpec, par_static, lcap: int,
+                     tch: int = 4096):
+    """Dense pass: every target vs the compacted long-reach sources.
+
+    Targets are processed in `tch`-sized chunks via lax.map so the
+    [targets, lcap] pair intermediates never exceed tch*lcap rows
+    (HBM-bounded at production scale)."""
     accum = _hydro_accum_cached(spec, par_static)
     src = _unpack_src(long_rows)                 # dict [lcap(,3)]
     lanes = jnp.arange(lcap, dtype=jnp.int32)
     lvalid = lanes < n_long
+    t = tgt_ipos.shape[0]
 
     def one_t(extra_t, tpos_u, valid_t):
         d = tpos_u[None, :] - src["ipos"]
@@ -357,9 +363,29 @@ def _hydro_long_eval(long_rows, extra, tgt_ipos, tvalid, n_long, box,
         return accum(carry0, extra_t, tpos_f, src, dist, r2,
                      lvalid & valid_t)
 
-    return jax.vmap(one_t)(extra, tgt_ipos,
-                           jnp.broadcast_to(tvalid[:, None],
-                                            (tvalid.shape[0], lcap)))
+    if t <= tch:
+        return jax.vmap(one_t)(extra, tgt_ipos,
+                               jnp.broadcast_to(tvalid[:, None],
+                                                (t, lcap)))
+    tp = ((t + tch - 1) // tch) * tch
+    idx = jnp.minimum(jnp.arange(tp, dtype=jnp.int32), t - 1)
+    extra_p = jax.tree_util.tree_map(lambda a: a[idx], extra)
+    tgt_p = tgt_ipos[idx]
+    val_p = tvalid[idx] & (jnp.arange(tp) < t)
+
+    def chunk(args):
+        e_c, tg_c, v_c = args
+        return jax.vmap(one_t)(e_c, tg_c,
+                               jnp.broadcast_to(v_c[:, None],
+                                                (tch, lcap)))
+
+    nb = tp // tch
+    rs = lambda a: a.reshape((nb, tch) + a.shape[1:])
+    acc, dts, mv = jax.lax.map(
+        chunk, (jax.tree_util.tree_map(rs, extra_p), rs(tgt_p),
+                rs(val_p)))
+    return (acc.reshape(tp, 3)[:t], dts.reshape(tp)[:t],
+            mv.reshape(tp)[:t])
 
 
 def _round_tbc(x):

@@ -76,7 +76,12 @@ def test_tree_moments():
 
 
 def test_tree_ranges_partition():
-    """At each level, valid cells partition the particle index range."""
+    """At each level, valid cells partition the ALIVE particle rows.
+
+    Dead rows sort to the tail under the sentinel key and count ZERO
+    (pcount is alive-only — a raw count let the all-dead sentinel
+    leaf flag leaf_truncated forever once the dead fraction exceeded
+    ncrit, e.g. the non-gas rows of a mixed-species SPH tree)."""
     pos, mass = random_particles(300, seed=2)
     alive = np.ones(300, bool)
     alive[250:] = False  # some dead particles
@@ -87,14 +92,14 @@ def test_tree_ranges_partition():
     length = np.asarray(tree.length)[valid]
     # group nodes by level via their cell length
     for ll in np.unique(length):
-        sel = length == ll
+        sel = (length == ll) & (pcount > 0)
         s = pstart[sel]
         c = pcount[sel]
         o = np.argsort(s)
         s, c = s[o], c[o]
         assert s[0] == 0
         np.testing.assert_array_equal(s[1:], (s + c)[:-1])
-        assert (s + c)[-1] == 300
+        assert (s + c)[-1] == 250
 
 
 def test_tree_sibling_linkage():
