@@ -122,6 +122,42 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
             atime, tsp=tsp, gravity_kw=gravity_kw,
             headroom=ps.get_double("PartAllocFactor"))
 
+    # distributed subgrid config (elementwise cooling + SF flips)
+    if species is not None and (ps.get_int("CoolingOn")
+                                or ps.get_int("StarformationOn")):
+        from ..physics.cooling_rates import CoolingParams, TreeCool
+        from ..physics.sfr import SFRParams, CoolingUnits
+        sim.cooling_on = bool(ps.get_int("CoolingOn"))
+        sim.sfr_on = bool(ps.get_int("StarformationOn"))
+        sim.coolpar = CoolingParams(
+            CMBTemperature=ps.get_double("CMBTemperature"),
+            MinGasTemp=ps.get_double("MinGasTemp"),
+            PhotoIonizeFactor=ps.get_double("PhotoIonizeFactor"),
+            SelfShieldingOn=bool(ps.get_int("SelfShieldingOn")),
+            PhotoIonizationOn=bool(ps.get_int("PhotoIonizationOn")),
+            UVRedshiftThreshold=ps.get_double("UVRedshiftThreshold"),
+            fBar=cp.OmegaBaryon / max(cp.OmegaCDM, 1e-10))
+        tcf = ps.get_string("TreeCoolFile")
+        if sim.cooling_on and tcf:
+            sim.treecool = TreeCool(tcf,
+                                    sim.coolpar.PhotoIonizeFactor)
+        sim.coolunits = CoolingUnits.create(units, cp.HubbleParam)
+        if sim.sfr_on:
+            from ..physics.cooling_rates import UVBG
+            avg_bar = float(np.median(mass[ptype == 0]))
+            sim.sfrpar = SFRParams(
+                CritOverDensity=ps.get_double("CritOverDensity"),
+                CritPhysDensity=ps.get_double("CritPhysDensity"),
+                FactorSN=ps.get_double("FactorSN"),
+                FactorEVP=ps.get_double("FactorEVP"),
+                TempSupernova=ps.get_double("TempSupernova"),
+                TempClouds=ps.get_double("TempClouds"),
+                MaxSfrTimescale=ps.get_double("MaxSfrTimescale"),
+                Generations=int(ps.get_double("Generations")),
+                MinGasTemp=ps.get_double("MinGasTemp"),
+                Criterion=ps.get_enum("StarformationCriterion"))
+            sim.sfrpar.init(cp, units, avg_bar, UVBG(), sim.coolpar)
+
     base = ps.get_string("SnapshotFileBase")
     snapshot_with_fof = bool(ps.get_int("SnapshotWithFOF"))
     snap_counter = [0]
@@ -349,18 +385,19 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
     has_gas = bool((ptype == 0).any()) and ps.get_int("HydroOn")
 
     if mesh_devices:
-        # multi-chip slab run (--mesh N): TreePM + adiabatic SPH
-        # distributed; subgrid sources stay single-device for now
-        if has_gas and (ps.get_int("CoolingOn")
-                        or ps.get_int("StarformationOn")
-                        or ps.get_int("WindOn")
-                        or ps.get_int("BlackHoleOn")):
+        # multi-chip slab run (--mesh N): TreePM + SPH + elementwise
+        # subgrid (cooling, whole-conversion SF) distributed;
+        # winds/BH/metal-return need neighbour passes or row spawns
+        # and stay single-device
+        if has_gas and (ps.get_int("WindOn")
+                        or ps.get_int("BlackHoleOn")
+                        or ps.get_int("MetalReturnOn")):
             raise NotImplementedError(
-                "--mesh: subgrid (cooling/SFR/winds/BH) runs "
-                "single-device; distributed gas is adiabatic SPH")
+                "--mesh: winds/BH/metal-return run single-device; "
+                "distributed gas covers SPH + cooling + SF flips")
         if cp.MassiveNuLinRespOn or ps.get_int("LightconeOn"):
             raise NotImplementedError(
-                "--mesh supports TreePM(+adiabatic SPH) runs")
+                "--mesh supports TreePM(+SPH+cooling/SF) runs")
         gas_u0 = None
         species = None
         if has_gas:

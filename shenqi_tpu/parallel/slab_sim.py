@@ -148,6 +148,16 @@ class SlabSimulation:
     _entropy_is_u: bool = False
     _sph_caps: dict = field(default_factory=dict)
     _hydro_caps: dict = field(default_factory=dict)
+    # distributed subgrid sources (elementwise; winds/BH/metal-return
+    # stay single-device — they need neighbour passes or row spawns)
+    cooling_on: bool = False
+    sfr_on: bool = False
+    coolpar: object = None
+    treecool: object = None
+    sfrpar: object = None
+    coolunits: object = None
+    rng_key: object = None
+    star_count: int = 0
 
     # ---------------- construction ----------------
     @classmethod
@@ -274,6 +284,14 @@ class SlabSimulation:
                                           sh)
             f["hacc"] = jax.device_put(
                 np.zeros((idsd.shape[0], 3), np.float32), sh3)
+            # subgrid state: electron abundance, metallicity, SF
+            # generation counter, SFR, |grad rho|, star birth time
+            f["ne"] = jax.device_put(
+                np.where(is_gas, 1.0, 0.0).astype(np.float32), sh)
+            for name in ("met", "sfr", "grho", "birtha"):
+                f[name] = jax.device_put(zs.copy(), sh)
+            f["gen"] = jax.device_put(
+                np.zeros(idsd.shape[0], np.int32), sh)
             sim.has_gas = True
             sim.gas_u0 = gas_u0
             sim._entropy_is_u = gas_u0 is not None
@@ -522,6 +540,7 @@ class SlabSimulation:
         mg("divv", divv)
         mg("curlv", curlv)
         mg("dth", dth)
+        mg("grho", jnp.linalg.norm(res.grad_rho, axis=-1))
 
         if self._entropy_is_u and first:
             # init_gas_entropy: IC u -> entropy.  With
@@ -614,6 +633,77 @@ class SlabSimulation:
         mg("dts", dts)
         mg("mvsig", mvsig)
         self._wt("SPHHydro")
+
+    def _gas_source_terms(self, dtime: float):
+        """Strang-split cooling + star formation on the sharded gas
+        (cooling_and_starformation, run.cpp:604-681 — ELEMENTWISE
+        per-particle work, so it shards with zero communication).
+
+        Star formation converts whole gas rows in place (ptype flip,
+        make_particle_star); generation-split SPAWNS need new rows and
+        are not supported multi-chip — require Generations == 1."""
+        if not self.has_gas or not (self.cooling_on or self.sfr_on):
+            return
+        from ..utils.constants import HYDROGEN_MASSFRAC
+        from ..physics.sfr import starformation_step, entropy_to_u
+        from ..physics.cooling_rates import UVBG
+
+        f = self.fields
+        alive = self._alive()
+        is_gas = (f["ptyp"] == 0) & alive
+        atime = self.atime()
+        a3inv = 1.0 / atime ** 3
+        redshift = 1.0 / atime - 1.0
+        uvbg = (self.treecool.uvbg(redshift, self.coolpar)
+                if self.treecool else UVBG())
+        mass_gas = jnp.where(is_gas, f["mass"], 0.0)
+
+        if self.sfr_on:
+            if self.sfrpar.Generations != 1:
+                raise NotImplementedError(
+                    "--mesh star formation requires Generations=1 "
+                    "(whole-row conversions; splits spawn rows)")
+            if self.rng_key is None:
+                self.rng_key = jax.random.PRNGKey(42)
+            self.rng_key, sub = jax.random.split(self.rng_key)
+            res = starformation_step(
+                sub, f["density"], f["egywt"], f["entropy"],
+                mass_gas, f["ne"], f["met"], f["gen"], dtime, a3inv,
+                redshift, uvbg, self.sfrpar, self.coolpar,
+                self.coolunits, is_gas, gradrho_mag=f["grho"],
+                hsml=f["hsml"])
+            f["entropy"] = jnp.where(is_gas, res.entropy,
+                                     f["entropy"])
+            f["ne"] = jnp.where(is_gas, res.ne, f["ne"])
+            f["met"] = jnp.where(is_gas, res.metallicity, f["met"])
+            f["sfr"] = jnp.where(is_gas, res.sfr, f["sfr"])
+            conv = is_gas & res.form_star & res.convert_whole
+            f["ptyp"] = jnp.where(conv, jnp.int32(4), f["ptyp"])
+            f["birtha"] = jnp.where(conv, jnp.float32(atime),
+                                    f["birtha"])
+            self.star_count += int(jnp.sum(conv.astype(jnp.int32)))
+        elif self.cooling_on:
+            from ..physics.cooling_rates import do_cooling
+            cu = self.coolunits
+            eom = f["egywt"] if self.density_independent_sph \
+                else f["density"]
+            dfac = entropy_to_u(jnp.maximum(eom, 1e-35), a3inv)
+            u = f["entropy"] * dfac
+            u_cgs, ne = do_cooling(
+                u * cu.uu_in_cgs,
+                f["density"] * a3inv * cu.density_in_phys_cgs,
+                dtime * cu.tt_in_s, 1 - HYDROGEN_MASSFRAC, redshift,
+                uvbg, self.coolpar,
+                min_egyspec_cgs=(self.sfrpar.min_egyspec()
+                                 * cu.uu_in_cgs if self.sfrpar
+                                 else 0.0),
+                ne_init=f["ne"], metallicity=f["met"])
+            u_new = u_cgs / cu.uu_in_cgs
+            ent = jnp.where(is_gas & (dfac > 0),
+                            u_new / jnp.maximum(dfac, 1e-35),
+                            f["entropy"])
+            f["entropy"] = ent
+            f["ne"] = jnp.where(is_gas, ne, f["ne"])
 
     # ---------------- KDK pieces ----------------
     def _drift_all(self, ti_next: int):
@@ -766,6 +856,15 @@ class SlabSimulation:
             update_kick_times(times)
             if is_pm and not first:
                 self._apply_pm_half_kick()
+
+            # Strang-split sources after the kick (run.cpp:604-681)
+            if self.has_gas and not first \
+                    and (self.cooling_on or self.sfr_on):
+                dloga_src = self.timeline.get_dloga_for_bin(
+                    max(times.mintimebin, 1), times.ti_current)
+                hubble = float(self.CP.hubble_function(self.atime()))
+                self._gas_source_terms(dloga_src / hubble)
+                self._wt("Cooling")
 
             sp = self.timeline.find_current_sync_point(
                 times.ti_current)
