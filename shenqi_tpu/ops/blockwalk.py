@@ -130,6 +130,13 @@ def block_traverse(tree: Octree, bb_lo, bb_hi, block_radius, block_aold,
                 open_node = overlap
                 accept = jnp.zeros((), bool)
 
+            # massless subtrees hold no alive sources — cull like the
+            # BFS traversal's lane &= nmass > 0 (the all-dead sentinel
+            # run is now a LEVEL-1 leaf since pcount went alive-only,
+            # and its box/2 cell would otherwise land in nearly every
+            # block's list)
+            open_node = open_node & (nmass > 0)
+            accept = accept & (nmass > 0)
             is_leaf = child_no < 0
             take_leaf = open_node & is_leaf
             descend = open_node & (~is_leaf)

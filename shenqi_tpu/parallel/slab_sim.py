@@ -501,9 +501,15 @@ class SlabSimulation:
         vel_p = (f["vel"] + f["gacc"] * gk_t[bins][:, None]
                  + f["gpm"] * jnp.float32(gk_pm)
                  + f["hacc"] * hk_t[bins][:, None])
+        # zero non-gas/dead rows: their accelerations can be
+        # non-finite, and any non-finite SOURCE field reaches gas
+        # sums through 0*NaN=NaN
+        vel_p = jnp.where(is_gas[:, None], vel_p, 0.0)
         ent_pred = f["entropy"] + f["dts"] * de_t[bins]
         ent_pred = jnp.maximum(ent_pred, 0.25 * f["entropy"])
-        entvar = jnp.maximum(ent_pred, 1e-35) ** (1.0 / GAMMA)
+        entvar = jnp.where(
+            is_gas, jnp.maximum(ent_pred, 1e-35) ** (1.0 / GAMMA),
+            0.0)
         mass_gas = jnp.where(is_gas, f["mass"], 0.0)
 
         dfields = {"ipos": f["ipos"], "mass": mass_gas,

@@ -363,16 +363,18 @@ def density_slab(mesh, fields, hsml0, boxsize, spec: KernelSpec = CUBIC,
     hmax0 = float(np.max(np.where(dead, 0.0, np.asarray(hsml))))
     # bracket ceiling (sph/density.py lesson): right = boxsize lets a
     # single probing particle push hsml past the halo width, and each
-    # width doubling is a fresh ~10-minute shard_map compile — bound
-    # the bisection to a few mean separations instead
+    # width doubling is a fresh multi-minute shard_map compile —
+    # bound the bisection to a few mean separations instead
     sep = boxsize / max(n_alive, 1) ** (1.0 / 3.0)
     hmax_allowed = min(boxsize / 4.0, max(8.0 * sep, 2.0 * hmax0))
     state = HsmlState(hsml=hsml, left=jnp.zeros(t, jnp.float32),
                       right=jnp.full(t, hmax_allowed, jnp.float32),
                       done=jnp.asarray(dead))
-    # quantize the halo width to box/32 steps: a distinct width is a
-    # distinct compiled shard_map program, and hmax jitters run-to-run
-    w0 = int(1.05 * hmax_allowed / boxsize * 2 ** 32) + (1 << 12)
+    # initial halo width from the CURRENT max hsml (3x covers the
+    # bisection's growth factor); the bracket ceiling above keeps
+    # width_exceeded regrows bounded.  Quantized to box/32 steps: a
+    # distinct width is a distinct compiled shard_map program
+    w0 = int(3 * hmax0 / boxsize * 2 ** 32) + (1 << 12)
     step = 1 << 27                      # box/32 in fixed point
     if caps is None:
         caps = {}

@@ -75,7 +75,11 @@ def _density_accum(spec: KernelSpec):
         # velocity derivatives (skip r == 0)
         rpos = r > 0
         fac = jnp.where(rpos, m * dwkv / jnp.maximum(r, 1e-30), 0.0) * w
-        dv = vel_i[None, :] - src["vel"]
+        # sanitize the j-side velocity BEFORE differencing: excluded
+        # (dead) rows can carry non-finite predictions and
+        # fac=0 * NaN = NaN
+        v_j = jnp.where(inside[..., None], src["vel"], 0.0)
+        dv = vel_i[None, :] - v_j
         div = div - jnp.sum(fac * jnp.sum(dist * dv, axis=-1))
         cx = dv[:, 1] * dist[:, 2] - dv[:, 2] * dist[:, 1]
         cy = dv[:, 2] * dist[:, 0] - dv[:, 0] * dist[:, 2]

@@ -157,27 +157,24 @@ def _sph_classify(bb_lo, bb_hi, live, pmeta, k: int, box, radius,
 
 
 @partial(jax.jit, static_argnames=("k", "sub", "W", "CAND", "T",
-                                   "compact", "TBC", "box"))
-def _sph_count(grid, tgt_ipos, tgt_hsml, active, box, k: int,
-               sub: int, W: int, CAND: int, T: int, compact: bool,
-               TBC: int):
+                                   "TBC", "box"))
+def _sph_count(grid, tgt_ipos, tgt_hsml, box, k: int,
+               sub: int, W: int, CAND: int, T: int, TBC: int):
     """Target sub-block assembly + classification (one device
     program; diag for the single host sync of the slow path).
 
     Targets are INDEPENDENT of the source grid (subset iterations of
-    the hsml loop pass a gathered subset): they sort by their own
-    cell id and split into cell-anchored sub-blocks at level-(k-1)
-    boundaries, exactly like gravity's _stencil_count.
+    the hsml loop pass a GATHERED subset with padded lanes' hsml
+    zeroed — no separate active mask is needed): they sort by their
+    own cell id and split into cell-anchored sub-blocks at
+    level-(k-1) boundaries, exactly like gravity's _stencil_count.
     """
     t = tgt_ipos.shape[0]
     (order_g, ipos_s, cid_s, ptab, pmeta, n_alive) = grid
     top = (tgt_ipos >> jnp.uint32(32 - k)).astype(jnp.uint32)
     tcid = _cell_morton(top, k)
     lanes = jnp.arange(T, dtype=jnp.int32)
-    if compact:
-        alive_t = active
-    else:
-        alive_t = tgt_hsml > 0
+    alive_t = tgt_hsml > 0
     key = jnp.where(alive_t, tcid, jnp.int32(2 ** 30))
     torder = jnp.argsort(key).astype(jnp.int32)
     tgt_rows = torder[jnp.minimum(lanes, t - 1)]
@@ -381,15 +378,14 @@ def stencil_density_walk(grid, tgt_ipos, tgt_vel, tgt_hsml, boxsize,
     box = float(boxsize)
     CAND = _next_pow2(W ** 3) if W ** 3 & (W ** 3 - 1) else W ** 3
     T = ((t + sub - 1) // sub) * sub
-    active = jnp.zeros(0, bool)
 
     tbc_key = ("sphst_tbc", k, sub)
     TBC = tier_cache.get(
         tbc_key, _round_tbc(T // sub + max(T // (4 * sub), 64)))
     while True:
         (tgt_idx, tgt_valid, pst, pcn, order_s, cover,
-         diag) = _sph_count(grid, tgt_ipos, tgt_hsml, active, box,
-                            k, sub, W, CAND, T, False, TBC)
+         diag) = _sph_count(grid, tgt_ipos, tgt_hsml, box,
+                            k, sub, W, CAND, T, TBC)
         (c1, c2, c3, c4, n_cover, tb_total) = [
             int(x) for x in np.asarray(diag)]
         if tb_total <= TBC:

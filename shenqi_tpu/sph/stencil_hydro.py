@@ -113,36 +113,11 @@ def _unpack_src(srow):
     }
 
 
-def _pair_vmapped(accum, extra_blk, tgt_u32, src, box, live):
-    """Apply the walk accumulator over [bbs, sub, S] pair slabs.
-
-    extra_blk: per-target dict [bbs, sub(,3)]; src: dict [bbs, S(,3)];
-    live [bbs, sub, S].  Returns (acc [bbs,sub,3], dts, maxvsig).
-    """
-    to_f = jnp.float32(box / POS_SCALE)
-
-    def one_target(extra_t, tpos_u, src_c, live_t):
-        d = tpos_u[None, :] - src_c["ipos"]
-        dist = jax.lax.bitcast_convert_type(
-            d, jnp.int32).astype(jnp.float32) * to_f
-        r2 = jnp.sum(dist * dist, axis=-1)
-        carry0 = (jnp.zeros(3, jnp.float32), jnp.float32(0.0),
-                  jnp.float32(0.0))
-        tpos_f = tpos_u.astype(jnp.float32) * to_f
-        return accum(carry0, extra_t, tpos_f, src_c, dist, r2,
-                     live_t)
-
-    inner = jax.vmap(one_target, in_axes=(0, 0, None, 0))
-    outer = jax.vmap(inner, in_axes=(0, 0, 0, 0))
-    return outer(extra_blk, tgt_u32, src, live)
-
-
-@partial(jax.jit, static_argnames=("spec", "par_static", "k", "sub",
-                                   "W", "CAND", "T", "TBC", "box",
-                                   "hcut"))
+@partial(jax.jit, static_argnames=("k", "sub", "W", "CAND", "T",
+                                   "TBC", "box", "hcut"))
 def _hydro_count(tgt_ipos, tgt_hsml, tvalid_in, smeta, cellh, box,
                  hcut, k: int, sub: int, W: int, CAND: int, T: int,
-                 TBC: int, spec=None, par_static=None):
+                 TBC: int):
     """Sub-block assembly + symmetric-reach classification."""
     t = tgt_ipos.shape[0]
     top = (tgt_ipos >> jnp.uint32(32 - k)).astype(jnp.uint32)

@@ -409,3 +409,47 @@ def test_count_photons(tmp_path):
                                             rel=1e-6)
     # all particles at mean density: T0 from u=1000 (km/s)^2
     assert 3e3 < d["T0_avg"][0] < 2e5
+
+
+def test_extract_yields(tmp_path):
+    out = tmp_path / "metal_tables.h"
+    r = _run("extract_yields.py", "-o", str(out))
+    assert r.returncode == 0, r.stderr
+    text = out.read_text()
+    # both tables present with the reference's layout markers
+    for marker in ("#define AGB_NMET", "#define AGB_NMASS",
+                   "#define SNII_NMET 4", "#define SNII_NMASS 7",
+                   "snii_masses[SNII_NMASS] = { 13.00,15.00,18.00,"
+                   "20.00,25.00,30.00,40.00 }",
+                   "agb_yield[NSPECIES]", "snii_yield[NSPECIES]"):
+        assert marker in text, marker
+    # AGB filter: no mass >= 8 rows, no Z in (0.0009, 0.002)
+    import re
+    m = re.search(r"agb_masses\[AGB_NMASS\] = \{ ([^}]*)\}", text)
+    masses = [float(x) for x in m.group(1).split(",")]
+    assert max(masses) < 8.0 and min(masses) >= 1.0
+    z = re.search(r"agb_metallicities\[AGB_NMET\] = \{ ([^}]*)\}",
+                  text)
+    mets = [float(x) for x in z.group(1).split(",")]
+    assert all(not (0.0009 < zz < 0.002) for zz in mets)
+
+
+@pytest.mark.slow
+def test_generate_force_kernels(tmp_path):
+    r = _run("generate_force_kernels.py", "1.25", str(tmp_path),
+             "--nmesh", "64")
+    assert r.returncode == 0, r.stderr
+    txt = tmp_path / "shortrange-force-kernels-1.25.txt"
+    c = tmp_path / "shortrange-kernels.c"
+    assert txt.exists() and c.exists()
+    tab = np.loadtxt(txt)
+    assert tab.shape[1] == 5
+    rr, wp1, wf1, wpe, wfe = tab.T
+    # windows start at 1, decay to ~0, and the measured force window
+    # tracks erfc to a few 1e-2 in the matching region (r ~ 1-4 cells)
+    assert wp1[0] == pytest.approx(1.0) and wf1[0] == pytest.approx(1.0)
+    assert abs(wf1[-1]) < 1e-3 and abs(wp1[-1]) < 1e-3
+    mid = (rr > 1.0) & (rr < 4.0)
+    assert np.max(np.abs(wf1[mid] - wfe[mid])) < 0.05
+    assert np.max(np.abs(wp1[mid] - wpe[mid])) < 0.05
+    assert "shortrange_force_kernels" in c.read_text()
