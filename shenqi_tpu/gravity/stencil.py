@@ -55,6 +55,37 @@ from .shortrange_refined import _pair_fac_any, _next_pow2, _round_cap, \
     tier_bounds
 
 
+def _round_tbc(x):
+    """Sub-block capacity rounded to 1k multiples (not pow2): dead
+    padding blocks ride tier 0's dense eval, so slack is pure waste."""
+    return max((x + 1023) // 1024 * 1024, 1024)
+
+
+def default_tbc(T: int, sub: int) -> int:
+    """Initial sub-block capacity estimate for T padded targets."""
+    return _round_tbc(T // sub + max(T // (4 * sub), 64))
+
+
+def grow_tier_caps(counts, cached, margin, bump):
+    """Grow-only tier caps with drift hysteresis: counts jitter a few
+    units per step as particles move — without margin a count sitting
+    on a 128-quad quantum boundary recompiles the tier eval every
+    step.  Sufficiency rule everywhere: need = count + 1."""
+    caps = []
+    hi = 0
+    for c, cc in zip(counts, cached):
+        need = int(c) + 1
+        if need > cc:
+            g = _round_cap(need + margin)
+            if cc:
+                g = max(g, cc + bump)       # growth event: headroom
+        else:
+            g = cc
+        hi = max(hi, g)
+        caps.append(hi)
+    return tuple(caps)
+
+
 def _cell_morton(coords, k: int):
     """Morton cell id from integer cell coords [..., 3] at level k."""
     cx = _expand_bits10(coords[..., 0].astype(jnp.uint32))
@@ -576,31 +607,12 @@ def stencilgrav(ipos, mass, params: ShortRangeParams,
     nbs = TBC
     key = ("stencil", k, sub, W, nbs)
 
-    def grow_caps(counts, cached, margin, bump):
-        """Grow-only caps with drift hysteresis: counts jitter a few
-        units per step as particles move — without margin a count
-        sitting on a 128-quad quantum boundary recompiles the tier
-        eval every step."""
-        caps = []
-        hi = 0
-        for c, cc in zip(counts, cached):
-            need = c + 1
-            if need > cc:
-                g = _round_cap(need + margin)
-                if cc:
-                    g = max(g, cc + bump)   # growth event: headroom
-            else:
-                g = cc
-            hi = max(hi, g)
-            caps.append(hi)
-        return tuple(caps)
-
-    pcaps = grow_caps((c1, c2, c3, c4),
-                      tier_cache.get(key, (0, 0, 0, 0)), 16, 128)
+    pcaps = grow_tier_caps((c1, c2, c3, c4),
+                           tier_cache.get(key, (0, 0, 0, 0)), 16, 128)
     tier_cache[key] = pcaps
-    ncaps = grow_caps((cn1, cn2, cn3, cn4),
-                      tier_cache.get(key + ("n",), (0, 0, 0, 0)),
-                      8, 64)
+    ncaps = grow_tier_caps((cn1, cn2, cn3, cn4),
+                           tier_cache.get(key + ("n",), (0, 0, 0, 0)),
+                           8, 64)
     tier_cache[key + ("n",)] = ncaps
 
     if engine is None:
@@ -695,6 +707,11 @@ def _stencil_fused(ipos, mass, active, window_tables,
     redo the step via stencilgrav, which regrows the caches.  `ok`
     can be fetched asynchronously (e.g. one step behind) so the
     check never stalls the pipeline.
+
+    Also returns the raw diag vector [c1..c4, n_cover, cn_max,
+    tb_total, cn1..cn4] so callers that CANNOT host-sync per call
+    (the shard_map slab path) can grow their static caps from a
+    pmax-reduced diag instead of rerunning the slow path.
     """
     n = ipos.shape[0]
     (order, ipos_s, qtab, qmeta, tgt_idx, tgt_valid, qst, qcn,
@@ -736,7 +753,7 @@ def _stencil_fused(ipos, mass, active, window_tables,
         pot_bs.reshape(-1))
     acc = jnp.zeros((n, 3), jnp.float32).at[order].set(acc_sorted[:n])
     pot = jnp.zeros(n, jnp.float32).at[order].set(pot_sorted[:n])
-    return acc, pot, ok
+    return acc, pot, ok, diag
 
 
 def stencil_fused_config(n, params: ShortRangeParams, tier_cache,
@@ -802,8 +819,9 @@ def stencilgrav_fused(ipos, mass, params: ShortRangeParams,
             batch=batch)
         return acc, pot, jnp.bool_(True)
     act = jnp.asarray(active) if compact else jnp.zeros(0, bool)
-    return _stencil_fused(ipos, mass, act, window_tables, params,
-                          cfg["k"], cfg["sub"], cfg["W"],
-                          cfg["CAND"], cfg["T"], cfg["compact"],
-                          cfg["TBC"], cfg["pcaps"], cfg["ncaps"],
-                          want_pot, engine, batch)
+    acc, pot, ok, _diag = _stencil_fused(
+        ipos, mass, act, window_tables, params,
+        cfg["k"], cfg["sub"], cfg["W"], cfg["CAND"], cfg["T"],
+        cfg["compact"], cfg["TBC"], cfg["pcaps"], cfg["ncaps"],
+        want_pot, engine, batch)
+    return acc, pot, ok

@@ -275,6 +275,70 @@ def tree_forces_slab(fields: dict, sp: ShortRangeParams,
     return acc, pot, info
 
 
+def stencil_static_config(C: int, sub: int = 32, W: int = 7,
+                          sp: ShortRangeParams = None):
+    """Host-reproducible static stencil shapes for a slab device with
+    row capacity C.  T deliberately omits stencilgrav's min(T, n)
+    clamp — n depends on the ghost layout (ring vs all_to_all), and
+    the host must be able to resolve TBC without tracing."""
+    from ..gravity.shortrange_refined import _next_pow2
+    k = min(int(np.ceil(np.log2(sp.boxsize / sp.rcut))), 10)
+    CAND = _next_pow2(W ** 3) if W ** 3 & (W ** 3 - 1) else W ** 3
+    T = ((_next_pow2(max(C, sub)) + sub - 1) // sub) * sub
+    return k, CAND, T
+
+
+def stencil_forces_slab(fields: dict, sp: ShortRangeParams,
+                        window_tables, ndev: int, gcap: int,
+                        tbc: int, pcaps: tuple, ncaps: tuple,
+                        axis_name: str = "dp", sub: int = 32,
+                        W: int = 7, engine: str = "xla",
+                        batch: int = 1024, cuts_in=None):
+    """Grid-stencil short-range gravity on a slab domain (the round-3
+    production engine, gravity/stencil.py, distributed).
+
+    No octree at all: ghosts within rcut arrive via the halo
+    exchange, then ONE fused device program (grid build + classify +
+    tier evals + scatter) runs per device with STATIC caps — no host
+    sync inside shard_map, which a grow-loop engine cannot avoid.
+    Cap sufficiency comes back as a pmax'd diag vector; the caller
+    (slab_sim._grow_from_diag) regrows and rebuilds on overflow, the
+    same protocol as the refined schedule.
+
+    Targets are the LOCAL alive rows (ghosts get no force — their
+    owners compute them); sources are local + ghosts.  Forces are
+    exact P2P inside rcut, so slab results match the single-device
+    stencil engine to f32 summation order.
+    """
+    from .domain import halo_exchange
+    from ..gravity.stencil import _stencil_fused, default_tbc
+
+    ipos_l = fields["ipos"]
+    C = ipos_l.shape[0]
+    width_fp = int(np.ceil(sp.rcut / sp.boxsize * 2 ** 32)) + (1 << 16)
+    ghosts, n_lost = halo_exchange(
+        {"ipos": fields["ipos"], "mass": fields["mass"]},
+        width_fp, ndev, gcap, axis_name, cuts_in=cuts_in)
+    ipos_all = jnp.concatenate([fields["ipos"], ghosts["ipos"]])
+    mass_all = jnp.concatenate([fields["mass"], ghosts["mass"]])
+    n = ipos_all.shape[0]
+    active = (jnp.arange(n) < C) & (mass_all > 0)
+
+    k, CAND, T = stencil_static_config(C, sub, W, sp)
+    TBC = tbc or default_tbc(T, sub)
+    acc, pot, ok, diag = _stencil_fused(
+        ipos_all, mass_all, active, window_tables, sp, k, sub, W,
+        CAND, T, True, TBC, tuple(pcaps), tuple(ncaps),
+        False, engine, batch)
+    info = {
+        "halo_lost": n_lost,
+        "walk_overflow": jax.lax.psum((~ok).astype(jnp.int32),
+                                      axis_name),
+        "st_diag": jax.lax.pmax(diag, axis_name),
+    }
+    return acc[:C], pot[:C], info
+
+
 def make_slab_step(mesh: Mesh, cfg_pm: PMConfig,
                    sp: ShortRangeParams, window_tables,
                    tree_nlevels: int = 6, tree_ncrit: int = 32,

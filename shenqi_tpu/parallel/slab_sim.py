@@ -106,10 +106,15 @@ class SlabCaps:
     pcaps: tuple = (256, 512, 1024, 2048)   # eval tier caps (quads)
     nb_mult: int = 1         # target-block count multiplier
     pm_kcap: int = 2048      # PM layout-exchange rows per pair
+    # stencil-schedule statics (engine="stencil"; 0 = resolve default)
+    st_tbc: int = 0          # stencil sub-block capacity
+    st_pcaps: tuple = (256, 512, 1024, 2048)  # stencil tier caps
+    st_ncaps: tuple = (16, 32, 64, 128)       # near-pass tier caps
 
     def key(self):
         return (self.kcap, self.gcap, self.maxl, self.fcap,
-                self.pcaps, self.nb_mult, self.pm_kcap)
+                self.pcaps, self.nb_mult, self.pm_kcap,
+                self.st_tbc, self.st_pcaps, self.st_ncaps)
 
 
 @dataclass
@@ -339,6 +344,15 @@ class SlabSimulation:
         wt = self.window_tables
         g = self.gravity
         maxi = g.maxi
+        use_stencil = g.engine == "stencil"
+        if use_stencil and caps.st_tbc == 0:
+            # resolve the default so key() reflects the value actually
+            # compiled in (host-reproducible, sharded.py)
+            from .sharded import stencil_static_config
+            from ..gravity.stencil import default_tbc
+            _, _, T = stencil_static_config(C, g.refine_sub, 7, sp)
+            caps.st_tbc = default_tbc(T, g.refine_sub)
+            key = (with_pm, first, caps.key())
 
         balance = self.balance_domains and ndev > 1
 
@@ -346,7 +360,8 @@ class SlabSimulation:
                       for name, a in self.fields.items()}
         info_specs = {"unsent": P(), "dropped": P(), "n_alive": P(),
                       "halo_lost": P(), "walk_overflow": P(),
-                      "grav_diag": P(), "pm_lost": P()}
+                      "pm_lost": P()}
+        info_specs["st_diag" if use_stencil else "grav_diag"] = P()
         out_specs = (field_specs, info_specs)
         if with_pm:
             out_specs = out_specs + ((P(), P(), P(), P()),)
@@ -363,14 +378,21 @@ class SlabSimulation:
                     halo=2, mask=alive, want_power=True,
                     cuts_in=cuts, route_kcap=caps.pm_kcap)
                 fields = dict(fields, gpm=gpm)
-            acc, _pot, tinfo = tree_forces_slab(
-                {"ipos": fields["ipos"], "mass": fields["mass"],
-                 "oldacc": fields["oldacc"]},
-                sp, wt, ndev, gcap, g.tree_nlevels, g.tree_ncrit,
-                maxi, caps.maxl, g.block, schedule="refined",
-                sub=g.refine_sub, pcaps=caps.pcaps, fcap=caps.fcap,
-                traversal="walk", engine="xla",
-                nb_mult=caps.nb_mult, cuts_in=cuts)
+            if use_stencil:
+                from .sharded import stencil_forces_slab
+                acc, _pot, tinfo = stencil_forces_slab(
+                    {"ipos": fields["ipos"], "mass": fields["mass"]},
+                    sp, wt, ndev, gcap, caps.st_tbc, caps.st_pcaps,
+                    caps.st_ncaps, sub=g.refine_sub, cuts_in=cuts)
+            else:
+                acc, _pot, tinfo = tree_forces_slab(
+                    {"ipos": fields["ipos"], "mass": fields["mass"],
+                     "oldacc": fields["oldacc"]},
+                    sp, wt, ndev, gcap, g.tree_nlevels, g.tree_ncrit,
+                    maxi, caps.maxl, g.block, schedule="refined",
+                    sub=g.refine_sub, pcaps=caps.pcaps,
+                    fcap=caps.fcap, traversal="walk", engine="xla",
+                    nb_mult=caps.nb_mult, cuts_in=cuts)
             fields = dict(fields, gacc=acc)
             info = dict(xinfo)
             info.update(tinfo)
@@ -420,6 +442,32 @@ class SlabSimulation:
                     f"ghost strip overflow at gcap={self.capacity}")
             caps.gcap = min(caps.gcap * 2, self.capacity)
             grew = True
+        if "st_diag" in info:
+            # stencil schedule: [c1..c4, n_cover, cn_max, tb_total,
+            # cn1..cn4] pmax'd over devices (gravity/stencil.py diag)
+            from ..gravity.stencil import grow_tier_caps, _round_tbc
+            d = np.asarray(info["st_diag"])
+            if int(d[4]) > 0:
+                # cell-anchored sub-blocks fit the W=7 window by
+                # construction (stencil.py:_stencil_count docstring);
+                # coverage overflow means a geometry bug, not a cap
+                raise RuntimeError(
+                    f"stencil coverage overflow on the slab path: "
+                    f"{int(d[4])} sub-blocks exceeded the W=7 window")
+            if int(d[6]) > caps.st_tbc:
+                caps.st_tbc = _round_tbc(int(d[6]) + 256)
+                grew = True
+            pc = grow_tier_caps(tuple(int(x) for x in d[0:4]),
+                                caps.st_pcaps, 16, 128)
+            if pc != caps.st_pcaps:
+                caps.st_pcaps = pc
+                grew = True
+            nc = grow_tier_caps(tuple(int(x) for x in d[7:11]),
+                                caps.st_ncaps, 8, 64)
+            if nc != caps.st_ncaps:
+                caps.st_ncaps = nc
+                grew = True
+            return grew
         d = np.asarray(info["grav_diag"])
         if d[0] > 0:                       # target-block count overflow
             caps.nb_mult = caps.nb_mult * 2

@@ -51,11 +51,11 @@ def _ics(n=4096, seed=0):
 
 
 def _mk_single(pos, vel, mass, ids, cp, timeline, atime):
-    # same engine as the slab path (refined) so the trajectory parity
+    # default engine (stencil) on both sides so the trajectory parity
     # compares identical force schedules
     return Simulation.from_arrays(
         pos, vel, mass, ids, cp, BOX, NMESH, timeline, atime,
-        tsp=TimestepParams(), gravity_kw={"engine": "refined"})
+        tsp=TimestepParams())
 
 
 def _mk_slab(pos, vel, mass, ids, cp, timeline, atime):
