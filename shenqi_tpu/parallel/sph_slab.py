@@ -227,9 +227,244 @@ def make_hydro_pass(mesh, par: HydroParams, width_fp: int,
     return jax.jit(one_pass)
 
 
+def make_stencil_density_pass(mesh, boxsize: float, width_fp: int,
+                              spec: KernelSpec, kst: int,
+                              TBC: int, pcaps: tuple, sub: int = 32,
+                              W: int = 7, gcap: int = None,
+                              with_cuts: bool = False):
+    """Jitted shard_map GRID-STENCIL density pass (production SPH
+    engine, sph/stencil_density.py, distributed).
+
+    One fused device program per call: halo exchange + pair-packed
+    grid build + cell-anchored classification + static-cap tier evals
+    + scatter — no host sync inside shard_map (the single-device
+    engine's TBC regrow loop cannot run under shard_map).  Cap
+    sufficiency returns as a pmax'd `st_diag` [c1..c4, n_cover,
+    tb_total]; the host driver regrows TBC/pcaps and falls back to
+    the octree walk pass when n_cover > 0 (void probes outgrowing the
+    W^3 window — the single-device cover->oracle protocol, whole-pass
+    here).
+    """
+    from ..sph.stencil_density import (build_grid_sph, _sph_count,
+                                       _sph_eval)
+    from ..gravity.shortrange_refined import _next_pow2, tier_bounds
+
+    ndev = mesh.devices.size
+    CAND = _next_pow2(W ** 3) if W ** 3 & (W ** 3 - 1) else W ** 3
+
+    field_specs = {"ipos": P("dp", None), "mass": P("dp"),
+                   "vel": P("dp", None), "entvar": P("dp")}
+    res_specs = DensityResult(*([P("dp")] * 6 + [P("dp", None)] * 2))
+    info_specs = {"halo_lost": P(), "width_exceeded": P(),
+                  "st_diag": P()}
+    d_in = (field_specs, P("dp")) + ((P(),) if with_cuts else ())
+
+    @partial(shard_map, mesh=mesh, in_specs=d_in,
+             out_specs=(res_specs, info_specs), check_vma=False)
+    def one_pass(fields, hsml, *cuts):
+        C = fields["ipos"].shape[0]
+        g = gcap if gcap is not None else C
+        ship = {k: fields[k] for k in ("ipos", "mass", "vel",
+                                       "entvar")}
+        ghosts, n_lost = halo_exchange(
+            ship, width_fp, ndev, g, "dp",
+            cuts_in=cuts[0] if cuts else None)
+        comb = {k: jnp.concatenate([fields[k], ghosts[k]])
+                for k in ship}
+        grid = build_grid_sph(comb["ipos"], comb["mass"],
+                              comb["vel"], comb["entvar"], kst)
+
+        box = float(boxsize)
+        T = ((C + sub - 1) // sub) * sub
+        tgt_hsml = jnp.where(fields["mass"] > 0, hsml, 0.0)
+        (tgt_idx, tgt_valid, pst, pcn, order_s, cover,
+         diag) = _sph_count(grid, fields["ipos"], tgt_hsml, box,
+                            kst, sub, W, CAND, T, TBC)
+
+        nbs = TBC
+        z = lambda *s: jnp.zeros((nbs, sub) + s, jnp.float32)
+        accs = [z(), z(), z(), z(), z(), z(), z(3), z(3)]
+        lo = 0
+        for b, pcap in zip(tier_bounds(nbs), pcaps):
+            nsel = b - lo
+            if nsel <= 0:
+                lo = b
+                continue
+            sel = jnp.sort(order_s[lo:b])
+            out = _sph_eval(grid[3], fields["ipos"], fields["vel"],
+                            tgt_hsml, tgt_idx, tgt_valid, pst, pcn,
+                            sel, box, spec, sub, pcap, nsel)
+            for i in range(8):
+                accs[i] = accs[i].at[sel].set(out[i])
+            lo = b
+
+        flat_idx = jnp.where(tgt_valid & ~cover[:, None], tgt_idx, C
+                             ).reshape(-1)
+        res = []
+        for a in accs:
+            if a.ndim == 2:
+                res.append(jnp.zeros((C + 1,), jnp.float32).at[
+                    flat_idx].set(a.reshape(-1))[:C])
+            else:
+                res.append(jnp.zeros((C + 1, 3), jnp.float32).at[
+                    flat_idx].set(a.reshape(-1, 3))[:C])
+
+        width_len = jnp.float32(width_fp / 2.0 ** 32 * boxsize)
+        info = {
+            "halo_lost": n_lost,
+            "width_exceeded": jax.lax.psum(jnp.sum(
+                ((fields["mass"] > 0) & (hsml > width_len))
+                .astype(jnp.int32)), "dp"),
+            "st_diag": jax.lax.pmax(diag, "dp"),
+        }
+        return DensityResult(*res), info
+
+    return jax.jit(one_pass)
+
+
 # pass-builder cache: rebuilding the shard_map closure per bisection
 # iteration would retrace every call
 _PASS_CACHE = {}
+
+
+def make_stencil_hydro_pass(mesh, par: HydroParams, width_fp: int,
+                            spec: KernelSpec, kst: int,
+                            TBC: int, pcaps: tuple, lcap: int,
+                            sub: int = 32, W: int = 7,
+                            gcap: int = None,
+                            with_cuts: bool = False):
+    """Jitted shard_map GRID-STENCIL hydro pass (production SPH
+    engine, sph/stencil_hydro.py, distributed).
+
+    Same fused protocol as make_stencil_density_pass: halo exchange +
+    single-row packed source grid + cell-anchored classification +
+    static-cap tier evals + the dense long-reach pass — one device
+    program, no host sync inside shard_map.  Cap sufficiency returns
+    as a pmax'd `st_diag` [c1..c4, n_cover, tb_total, n_long]; the
+    host driver (hydro_slab) regrows TBC/pcaps/lcap and falls back to
+    the octree pass for cover overflow.  dt_entropy is returned RAW
+    (make_hydro_pass convention) — the caller applies the
+    GAMMA_MINUS1/(hubble a^2 rho^gm1) conversion.
+    """
+    from ..sph.stencil_hydro import (build_grid_hydro, _hydro_count,
+                                     _hydro_eval, _hydro_long_eval)
+    from ..sph.hydro import _hydro_extra
+    from ..gravity.shortrange_refined import _next_pow2, tier_bounds
+
+    ndev = mesh.devices.size
+    CAND = _next_pow2(W ** 3) if W ** 3 & (W ** 3 - 1) else W ** 3
+    boxsize = float(par.boxsize)
+    cell = boxsize / (1 << kst)
+    hcut = 2.0 * cell
+    par_static = par.static_key()
+
+    ghost_names = ("ipos", "mass", "vel", "hsml", "density",
+                   "eomdensity", "entvar", "pressure", "divvel",
+                   "curlvel", "dhsml_egy", "dloga", "decoupled")
+    field_specs = {k: P("dp", None) if k in ("ipos", "vel")
+                   else P("dp") for k in ghost_names}
+    for k in ("f1", "egyrho", "dhsml"):
+        field_specs[k] = P("dp")
+    tf_specs = {k: P() for k in ("fac_mu", "fac_vsic_fix",
+                                 "hubble_a2")}
+    out_specs = (P("dp", None), P("dp"), P("dp"))
+    info_specs = {"halo_lost": P(), "width_exceeded": P(),
+                  "st_diag": P()}
+    h_in = (field_specs, tf_specs) + ((P(),) if with_cuts else ())
+
+    @partial(shard_map, mesh=mesh, in_specs=h_in,
+             out_specs=(out_specs, info_specs), check_vma=False)
+    def one_pass(fields, tf, *cuts):
+        C = fields["ipos"].shape[0]
+        g = gcap if gcap is not None else C
+        ship = {k: fields[k] for k in ghost_names}
+        ghosts, n_lost = halo_exchange(
+            ship, width_fp, ndev, g, "dp",
+            cuts_in=cuts[0] if cuts else None)
+        comb = {k: jnp.concatenate([fields[k], ghosts[k]])
+                for k in ship}
+        mass_src = jnp.where(
+            comb["decoupled"] | (comb["mass"] <= 0), 0.0,
+            comb["mass"])
+        src13 = jnp.stack(
+            [mass_src, comb["hsml"], comb["vel"][:, 0],
+             comb["vel"][:, 1], comb["vel"][:, 2], comb["density"],
+             comb["eomdensity"], comb["entvar"], comb["pressure"],
+             comb["divvel"], comb["curlvel"], comb["dhsml_egy"],
+             comb["dloga"]], axis=1).astype(jnp.float32)
+        stab, smeta, cellh, long_rows, n_long = build_grid_hydro(
+            comb["ipos"], src13, kst, hcut, lcap)
+
+        T = ((C + sub - 1) // sub) * sub
+        tvalid = (fields["mass"] > 0) & (fields["hsml"] > 0)
+        (tgt_idx, tgt_valid, sst, scn, order_s, cover,
+         diag) = _hydro_count(fields["ipos"], fields["hsml"],
+                              tvalid, smeta, cellh, boxsize, hcut,
+                              kst, sub, W, CAND, T, TBC)
+
+        targets = {
+            "ipos": fields["ipos"], "vel": fields["vel"],
+            "hsml": fields["hsml"], "mass": fields["mass"],
+            "density": fields["density"],
+            "egyrho": fields["egyrho"], "entvar": fields["entvar"],
+            "pressure": fields["pressure"], "f1": fields["f1"],
+            "dhsml": fields["dhsml"], "dloga": fields["dloga"],
+        }
+        extra = _hydro_extra(targets, par, C, tf)
+
+        nbs = TBC
+        acc_bs = jnp.zeros((nbs, sub, 3), jnp.float32)
+        dts_bs = jnp.zeros((nbs, sub), jnp.float32)
+        mv_bs = jnp.zeros((nbs, sub), jnp.float32)
+        lo = 0
+        for b, pcap in zip(tier_bounds(nbs), pcaps):
+            nsel = b - lo
+            if nsel <= 0:
+                lo = b
+                continue
+            sel = jnp.sort(order_s[lo:b])
+            a, d_, m_ = _hydro_eval(
+                stab, extra, fields["ipos"], tgt_idx, tgt_valid,
+                sst, scn, sel, boxsize, hcut, spec, par_static,
+                sub, pcap, nsel)
+            acc_bs = acc_bs.at[sel].set(a)
+            dts_bs = dts_bs.at[sel].set(d_)
+            mv_bs = mv_bs.at[sel].set(m_)
+            lo = b
+
+        flat_idx = jnp.where(tgt_valid & ~cover[:, None], tgt_idx, C
+                             ).reshape(-1)
+        acc = jnp.zeros((C + 1, 3), jnp.float32).at[flat_idx].set(
+            acc_bs.reshape(-1, 3))[:C]
+        dts = jnp.zeros(C + 1, jnp.float32).at[flat_idx].set(
+            dts_bs.reshape(-1))[:C]
+        mv = jnp.zeros(C + 1, jnp.float32).at[flat_idx].set(
+            mv_bs.reshape(-1))[:C]
+
+        # dense long-reach pass (static lcap; zero rows masked by
+        # n_long inside) — unconditional under jit
+        la, ld, lm = _hydro_long_eval(
+            long_rows, extra, fields["ipos"], tvalid, n_long,
+            boxsize, spec, par_static, lcap)
+        acc = acc + la
+        dts = dts + ld
+        mv = jnp.maximum(mv, lm)
+
+        width_len = jnp.float32(width_fp / 2.0 ** 32 * boxsize)
+        diag7 = jnp.concatenate(
+            [diag.astype(jnp.int32),
+             n_long.astype(jnp.int32)[None]])
+        info = {
+            "halo_lost": n_lost,
+            "width_exceeded": jax.lax.psum(jnp.sum(
+                ((fields["mass"] > 0)
+                 & (fields["hsml"] > width_len))
+                .astype(jnp.int32)), "dp"),
+            "st_diag": jax.lax.pmax(diag7, "dp"),
+        }
+        return (acc, dts, mv), info
+
+    return jax.jit(one_pass)
 
 
 def _cached_density_pass(mesh, boxsize, width, spec, nlv, ncrit,
@@ -256,6 +491,39 @@ def _cached_hydro_pass(mesh, par, width, spec, nlv, ncrit, maxl,
                              with_cuts=with_cuts)
         _PASS_CACHE[key] = fn
     return fn
+
+
+def _cached_stencil_density_pass(mesh, boxsize, width, spec, kst,
+                                 TBC, pcaps, with_cuts=False):
+    key = ("sdens", id(mesh), boxsize, width, spec, kst, TBC,
+           tuple(pcaps), with_cuts)
+    fn = _PASS_CACHE.get(key)
+    if fn is None:
+        fn = make_stencil_density_pass(mesh, boxsize, width, spec,
+                                       kst, TBC, tuple(pcaps),
+                                       with_cuts=with_cuts)
+        _PASS_CACHE[key] = fn
+    return fn
+
+
+def _cached_stencil_hydro_pass(mesh, par, width, spec, kst, TBC,
+                               pcaps, lcap, with_cuts=False):
+    key = ("shyd", id(mesh), par.static_key(), float(par.boxsize),
+           width, spec, kst, TBC, tuple(pcaps), lcap, with_cuts)
+    fn = _PASS_CACHE.get(key)
+    if fn is None:
+        fn = make_stencil_hydro_pass(mesh, par, width, spec, kst,
+                                     TBC, tuple(pcaps), lcap,
+                                     with_cuts=with_cuts)
+        _PASS_CACHE[key] = fn
+    return fn
+
+
+def _sph_engine(engine):
+    if engine is None:
+        import os
+        engine = os.environ.get("SHENQI_SPH_ENGINE", "stencil")
+    return engine
 
 
 def density_pass_slab(mesh, fields, hsml, boxsize,
@@ -299,11 +567,17 @@ def density_pass_slab(mesh, fields, hsml, boxsize,
 
 def hydro_slab(mesh, fields, par: HydroParams, tf,
                spec: KernelSpec = CUBIC, nlevels: int = 8,
-               ncrit: int = 32, caps: dict = None, cuts_in=None):
+               ncrit: int = 32, caps: dict = None, cuts_in=None,
+               engine: str = None):
     """Hydro force over slab-sharded gas with overflow-regrowing caps
     (the hydra2.cpp distributed stage; same retry protocol as
     density_slab.run).  fields: make_hydro_pass columns.  Returns
-    ((accel, dt_entropy_raw, maxvsig), info)."""
+    ((accel, dt_entropy_raw, maxvsig), info).
+
+    engine: None -> $SHENQI_SPH_ENGINE (default "stencil" —
+    make_stencil_hydro_pass); "walk" uses the octree pass.  Stencil
+    cover-overflow falls back to the walk pass whole-pass (the
+    single-device cover->oracle protocol)."""
     if caps is None:
         caps = {}
     boxsize = float(par.boxsize)
@@ -317,6 +591,52 @@ def hydro_slab(mesh, fields, par: HydroParams, tf,
     caps.setdefault("nlv", nlevels)
     if caps["width"] < w0:
         caps["width"] = ((w0 + step - 1) // step) * step
+
+    if _sph_engine(engine) == "stencil":
+        from ..gravity.stencil import grow_tier_caps, _round_tbc, \
+            default_tbc
+        from ..gravity.shortrange_refined import _next_pow2
+        n_alive = int(np.sum(np.asarray(fields["mass"]) > 0))
+        sep_src = boxsize / max(n_alive, 1) ** (1.0 / 3.0)
+        kst = int(np.clip(round(np.log2(boxsize / (2.4 * sep_src))),
+                          1, 10))
+        sub = 32
+        C = int(np.asarray(fields["mass"]).shape[0]) \
+            // mesh.devices.size
+        T = ((C + sub - 1) // sub) * sub
+        caps.setdefault("sh_tbc", default_tbc(T, sub))
+        caps.setdefault("sh_pcaps", (128, 256, 512, 1024))
+        caps.setdefault("sh_lcap", 256)
+        while True:
+            fn = _cached_stencil_hydro_pass(
+                mesh, par, caps["width"], spec, kst,
+                caps["sh_tbc"], caps["sh_pcaps"], caps["sh_lcap"],
+                with_cuts=cuts_in is not None)
+            args = (fields, tf) + ((cuts_in,)
+                                   if cuts_in is not None else ())
+            out, info = fn(*args)
+            d = np.asarray(info["st_diag"])
+            grew = False
+            if int(info["width_exceeded"]):
+                caps["width"] *= 2
+                grew = True
+            if int(d[5]) > caps["sh_tbc"]:
+                caps["sh_tbc"] = _round_tbc(int(d[5]) + 256)
+                grew = True
+            if int(d[6]) > caps["sh_lcap"]:
+                caps["sh_lcap"] = _next_pow2(int(d[6]) + 16)
+                grew = True
+            pc = grow_tier_caps(tuple(int(x) for x in d[0:4]),
+                                caps["sh_pcaps"], 8, 64)
+            if pc != caps["sh_pcaps"]:
+                caps["sh_pcaps"] = pc
+                grew = True
+            if grew:
+                continue
+            if int(d[4]) > 0:
+                break   # cover overflow: octree-pass fallback below
+            return out, info
+
     while True:
         fn = _cached_hydro_pass(mesh, par, caps["width"], spec,
                                 caps["nlv"], ncrit, caps["maxl"],
@@ -342,7 +662,7 @@ def density_slab(mesh, fields, hsml0, boxsize, spec: KernelSpec = CUBIC,
                  eta: float = 1.0, ngb_deviation: float = 2.0,
                  nlevels: int = 8, ncrit: int = 32,
                  maxiter: int = 60, caps: dict = None,
-                 cuts_in=None):
+                 cuts_in=None, engine: str = None):
     """Adaptive-hsml density loop over slab-sharded gas
     (do_hsml_loop over D devices).  fields: dict sharded over 'dp'
     with ipos/mass/vel/entvar.  Returns (DensityResult, hsml, info).
@@ -350,6 +670,12 @@ def density_slab(mesh, fields, hsml0, boxsize, spec: KernelSpec = CUBIC,
     caps: persistent grow-only {width, maxl, nlv} dict — pass the
     same dict across steps so regrows (each a distinct compiled
     shard_map program) happen once per run, not once per step.
+
+    engine: None -> $SHENQI_SPH_ENGINE (default "stencil", the
+    production grid engine — make_stencil_density_pass); "walk" uses
+    the octree pass.  The stencil path falls back to the walk pass
+    for any evaluation whose diag reports cover-overflow sub-blocks
+    (the single-device cover->oracle protocol, whole-pass here).
     """
     from ..sph.density import HsmlState, update_hsml
     from ..sph.kernels import desnumngb
@@ -386,8 +712,16 @@ def density_slab(mesh, fields, hsml0, boxsize, spec: KernelSpec = CUBIC,
 
     import os as _os
     _dbg = _os.environ.get("SHENQI_SPH_SLAB_DEBUG")
+    engine = _sph_engine(engine)
+    # stencil grid level from the global mean source separation
+    # (sph/density.py single-device convention) — derived from the
+    # global alive count, so every device compiles the same program
+    sep_src = boxsize / max(n_alive, 1) ** (1.0 / 3.0)
+    kst = int(np.clip(round(np.log2(boxsize / (2.4 * sep_src))),
+                      1, 10))
+    caps.setdefault("sd_pcaps", (128, 256, 512, 1024))
 
-    def run(hsml):
+    def run_walk(hsml):
         while True:
             fn = _cached_density_pass(
                 mesh, boxsize, caps["width"], spec, caps["nlv"],
@@ -415,6 +749,51 @@ def density_slab(mesh, fields, hsml0, boxsize, spec: KernelSpec = CUBIC,
             if not grew:
                 return res, info
 
+    def run_stencil(hsml):
+        from ..gravity.stencil import grow_tier_caps, _round_tbc, \
+            default_tbc
+        sub = 32
+        C = t // mesh.devices.size       # per-device rows
+        T = ((C + sub - 1) // sub) * sub
+        caps.setdefault("sd_tbc", default_tbc(T, sub))
+        while True:
+            fn = _cached_stencil_density_pass(
+                mesh, boxsize, caps["width"], spec, kst,
+                caps["sd_tbc"], caps["sd_pcaps"],
+                with_cuts=cuts_in is not None)
+            args = (fields, hsml) + ((cuts_in,)
+                                     if cuts_in is not None else ())
+            if _dbg:
+                print(f"# stencil density pass caps={caps}",
+                      flush=True)
+            res, info = fn(*args)
+            d = np.asarray(info["st_diag"])
+            if _dbg:
+                print(f"# stencil density done diag={d.tolist()} "
+                      f"wid={int(info['width_exceeded'])}",
+                      flush=True)
+            grew = False
+            if int(info["width_exceeded"]):
+                caps["width"] *= 2
+                grew = True
+            if int(d[5]) > caps["sd_tbc"]:
+                caps["sd_tbc"] = _round_tbc(int(d[5]) + 256)
+                grew = True
+            pc = grow_tier_caps(tuple(int(x) for x in d[0:4]),
+                                caps["sd_pcaps"], 8, 64)
+            if pc != caps["sd_pcaps"]:
+                caps["sd_pcaps"] = pc
+                grew = True
+            if grew:
+                continue
+            if int(d[4]) > 0:
+                # cover-overflow sub-blocks (void probes outgrew the
+                # W^3 window): whole-pass walk fallback — correct for
+                # every target (single-device cover->oracle protocol)
+                return run_walk(hsml)
+            return res, info
+
+    run = run_stencil if engine == "stencil" else run_walk
     res = info = None
     for _ in range(maxiter):
         res, info = run(state.hsml)

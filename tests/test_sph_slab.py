@@ -181,3 +181,84 @@ def test_slab_hydro_matches_single_device():
     np.testing.assert_allclose(back(mvs),
                                np.asarray(h1.max_signal_vel),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_slab_density_stencil_matches_walk():
+    """Stencil slab density (production engine) vs the octree walk
+    pass on the same 8-device slab state — the distributed analog of
+    tests/test_stencil_density.py's oracle cross-check."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from shenqi_tpu.parallel.sph_slab import hydro_slab
+    from shenqi_tpu.sph.hydro import (hydro_time_factors,
+                                      pressure_predict)
+    pos, vel = _gas()
+    n = len(pos)
+    ipos = np.asarray(float_to_ipos(pos, BOX))
+    hsml0 = BOX / n ** (1 / 3) * 2
+
+    mesh = make_mesh(8)
+    fields = {"ipos": ipos, "mass": np.ones(n, np.float32),
+              "vel": vel, "entvar": np.ones(n, np.float32),
+              "pid": np.arange(n, dtype=np.int32)}
+    sharded, C = distribute_slabs(mesh, fields, block=64)
+    hsml_init = jnp.where(jnp.asarray(sharded["mass"]) > 0,
+                          jnp.float32(hsml0), jnp.float32(0.0))
+    dfields = {k: sharded[k] for k in ("ipos", "mass", "vel",
+                                       "entvar")}
+    res_w, hsml_w, _ = density_slab(mesh, dict(dfields), hsml_init,
+                                    BOX, nlevels=9, engine="walk")
+    res_s, hsml_s, info_s = density_slab(mesh, dict(dfields),
+                                         hsml_init, BOX, nlevels=9,
+                                         engine="stencil")
+    assert int(info_s["halo_lost"]) == 0
+    alive = np.asarray(sharded["mass"]) > 0
+    for a, b, rt in [(hsml_w, hsml_s, 3e-5),
+                     (res_w.rho, res_s.rho, 3e-5),
+                     (res_w.egy_rho, res_s.egy_rho, 3e-5),
+                     (res_w.div, res_s.div, 2e-4),
+                     (res_w.rot, res_s.rot, 2e-4)]:
+        aa, bb = np.asarray(a)[alive], np.asarray(b)[alive]
+        scale = np.max(np.abs(aa)) + 1e-30
+        np.testing.assert_allclose(bb, aa, rtol=rt,
+                                   atol=1e-5 * scale)
+
+    # hydro on the converged walk state: stencil vs walk pass
+    from shenqi_tpu.utils.constants import GAMMA as G
+    atime, hubble = 0.5, 0.15
+    par = HydroParams(boxsize=BOX)
+    tf = hydro_time_factors(atime, hubble)
+    dens = jnp.asarray(res_w.rho)
+    egyr = jnp.maximum(jnp.asarray(res_w.egy_rho), 1e-35)
+    ent = jnp.asarray(sharded["entvar"])
+    press = pressure_predict(egyr, ent)
+    cs = jnp.sqrt(G * press / egyr)
+    divv = jnp.asarray(res_w.div) / jnp.maximum(dens, 1e-35)
+    curlv = jnp.linalg.norm(jnp.asarray(res_w.rot), axis=-1) \
+        / jnp.maximum(dens, 1e-35)
+    f1 = balsara_f1(divv, curlv, cs, hsml_w, tf["fac_mu"])
+    zero = jnp.zeros_like(dens)
+    hf = {"ipos": sharded["ipos"], "mass": sharded["mass"],
+          "vel": sharded["vel"], "hsml": hsml_w, "density": dens,
+          "eomdensity": egyr, "entvar": ent, "pressure": press,
+          "divvel": divv, "curlvel": curlv,
+          "dhsml_egy": res_w.dhsml_egy, "dloga": zero,
+          "decoupled": jnp.zeros(dens.shape, bool), "f1": f1,
+          "egyrho": egyr, "dhsml": res_w.dhsml_egy}
+    (acc_w, dts_w, mv_w), _ = hydro_slab(mesh, dict(hf), par, tf,
+                                         nlevels=9, engine="walk")
+    (acc_s, dts_s, mv_s), hi_s = hydro_slab(mesh, dict(hf), par, tf,
+                                            nlevels=9,
+                                            engine="stencil")
+    assert int(hi_s["halo_lost"]) == 0
+    scale = np.max(np.abs(np.asarray(acc_w)[alive]))
+    np.testing.assert_allclose(np.asarray(acc_s)[alive],
+                               np.asarray(acc_w)[alive],
+                               rtol=1e-4, atol=3e-5 * scale)
+    np.testing.assert_allclose(np.asarray(mv_s)[alive],
+                               np.asarray(mv_w)[alive],
+                               rtol=1e-5, atol=1e-6)
+    ds = np.max(np.abs(np.asarray(dts_w)[alive])) + 1e-30
+    np.testing.assert_allclose(np.asarray(dts_s)[alive],
+                               np.asarray(dts_w)[alive],
+                               rtol=2e-4, atol=1e-5 * ds)
