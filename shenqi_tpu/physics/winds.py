@@ -38,6 +38,26 @@ WIND_MODEL_VS08 = WIND_FIXED_EFFICIENCY
 WIND_MODEL_OFJT10 = WIND_USE_HALO | WIND_DECOUPLE_SPH
 
 
+def _mix32(a, b):
+    """Counter-based avalanche hash of two uint32 streams (the
+    get_random_number(ID + i) analog, system/rand.c): deterministic
+    in the particle ID, so draws are independent of device count and
+    row layout — a slab run reproduces the single-device stream."""
+    x = (a * jnp.uint32(0x9E3779B9)) ^ (b * jnp.uint32(0x85EBCA6B))
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    return x ^ (x >> 16)
+
+
+def idhash_uniform(salt, pid_u32, lane: int):
+    """Uniform [0,1) draw keyed by (per-step salt, particle id,
+    lane).  salt: uint32 scalar (e.g. jax.random.bits of the step
+    key); pid_u32: uint32 array."""
+    x = _mix32(pid_u32 + jnp.uint32(lane) * jnp.uint32(0x27D4EB2F),
+               jnp.uint32(salt))
+    return x.astype(jnp.float32) * jnp.float32(2.0 ** -32)
+
+
 @dataclass
 class WindParams:
     WindModel: int = 0
@@ -141,7 +161,8 @@ def winds_star_feedback(key, star_ipos, star_hsml, star_mass,
                         star_vdisp, gas_ipos, gas_mass, gas_vel,
                         gas_entropy, gas_density, gas_delay,
                         gas_alive, boxsize, atime, a3inv,
-                        wp: WindParams):
+                        wp: WindParams, gas_pids=None,
+                        star_pids=None, total_weight=None):
     """Non-subgrid winds: new stars kick neighbouring gas
     (sfr_wind_feedback_ngbiter, winds.cpp:514-566).
 
@@ -152,6 +173,14 @@ def winds_star_feedback(key, star_ipos, star_hsml, star_mass,
     stars takes the NEAREST one (the reference's post-walk kick
     arbitration).  Kicked gas gains an isotropic random velocity of
     magnitude v, thermal energy utherm, and a decoupling delay time.
+
+    gas_pids/star_pids (uint32, optional): when given, every random
+    draw is keyed by (step salt, particle id) via idhash_uniform —
+    the get_random_number(ID) scheme of winds.cpp:542, which makes
+    the draw stream independent of row layout (slab runs reproduce
+    the single-device stream exactly).  total_weight (optional):
+    externally supplied per-star eligible-mass sums (the distributed
+    caller psums these across devices); computed locally when None.
 
     Returns (vel, entropy, delay_time) updated arrays.
     """
@@ -168,16 +197,28 @@ def winds_star_feedback(key, star_ipos, star_hsml, star_mass,
     eligible = gas_alive & (gas_delay <= 0)
     inside = (r2 < (star_hsml[None, :]) ** 2) & eligible[:, None]
 
-    total_weight = jnp.sum(
-        jnp.where(inside, gas_mass[:, None], 0.0), axis=0)  # [Ns]
+    if total_weight is None:
+        total_weight = jnp.sum(
+            jnp.where(inside, gas_mass[:, None], 0.0), axis=0)  # [Ns]
     v, windeff, utherm = wind_params_for(star_vdisp, atime, wp)
 
     p = jnp.where(inside & (total_weight[None, :] > 0) & (v[None, :]
                                                           > 0),
                   windeff[None, :] * star_mass[None, :]
                   / jnp.maximum(total_weight[None, :], 1e-35), 0.0)
-    k1, k2, k3 = jax.random.split(key, 3)
-    hit = jax.random.uniform(k1, (ng, ns)) < p
+    if gas_pids is not None:
+        salt = jax.random.bits(key, (2,), "uint32")
+        mixed = _mix32(gas_pids.astype(jnp.uint32)[:, None],
+                       star_pids.astype(jnp.uint32)[None, :])
+        u_hit = idhash_uniform(salt[0], mixed, 0)
+        u_th = idhash_uniform(salt[1], gas_pids.astype(jnp.uint32), 1)
+        u_ph = idhash_uniform(salt[1], gas_pids.astype(jnp.uint32), 2)
+    else:
+        k1, k2, k3 = jax.random.split(key, 3)
+        u_hit = jax.random.uniform(k1, (ng, ns))
+        u_th = jax.random.uniform(k2, (ng,))
+        u_ph = jax.random.uniform(k3, (ng,))
+    hit = u_hit < p
     # nearest hitting star per gas particle
     r2m = jnp.where(hit, r2, jnp.inf)
     best = jnp.argmin(r2m, axis=1)
@@ -185,8 +226,8 @@ def winds_star_feedback(key, star_ipos, star_hsml, star_mass,
     vkick = v[best]
     ukick = utherm[best]
 
-    theta = jnp.arccos(2 * jax.random.uniform(k2, (ng,)) - 1)
-    phi = 2 * jnp.pi * jax.random.uniform(k3, (ng,))
+    theta = jnp.arccos(2 * u_th - 1)
+    phi = 2 * jnp.pi * u_ph
     direc = jnp.stack([jnp.sin(theta) * jnp.cos(phi),
                        jnp.sin(theta) * jnp.sin(phi),
                        jnp.cos(theta)], -1)
