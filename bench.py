@@ -236,7 +236,7 @@ def bench_treepm(npart_side, nsteps, box=50000.0):
             def megastep(ipos, vel, mass, oldacc, kick, drift):
                 accel_pm, _, _ = pm_forces(ipos, mass, cfg,
                                            want_potential=False)
-                acc_tree, _, ok = _stencil_fused(
+                acc_tree, _, ok, _diag = _stencil_fused(
                     ipos, mass, jnp.zeros(0, bool), wt, sp_rel,
                     c["k"], c["sub"], c["W"], c["CAND"], c["T"],
                     c["compact"], c["TBC"], c["pcaps"], c["ncaps"],
