@@ -129,6 +129,48 @@ def run_walk(tree: Octree, payload, target_ipos, target_radius,
                                 target_extra, carry0)
 
 
+@partial(jax.jit, static_argnames=("accumulate", "boxsize",
+                                   "src_chunk"))
+def run_walk_dense(payload, target_ipos, target_extra, carry0,
+                   accumulate, boxsize: float, src_chunk: int = 8192):
+    """Brute-force oracle: every target against every source, scanned
+    over STATIC source chunks — same accumulate protocol (and hence
+    identical physics: the radius cut is the accumulator's job).
+
+    Exists because the vmapped tree walk above batches its per-target
+    dynamic slices into gathers whose operands XLA stages as
+    [T, S, 3] with the 3 minor — TPU lane tiling T(8,128) pads 3->128,
+    a 42x blowup that OOMs at production sizes even for T=256 overflow
+    targets (measured: f32[256,262208,3] -> 34 GB).  Here the source
+    slice happens OUTSIDE the target vmap, so the largest materialized
+    buffer is [T, src_chunk].  Intended for the small overflow tails
+    the blocked/stencil engines flag (the reference re-queues exactly
+    such particles per-particle, treewalk2.h:307-362)."""
+    n = jax.tree_util.tree_leaves(payload)[0].shape[0]
+    nch = (n + src_chunk - 1) // src_chunk
+    payload_p = _pad_payload(payload, nch * src_chunk - n)
+    to_f = jnp.float32(boxsize / POS_SCALE)
+
+    def chunk_step(carry, c):
+        src = jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_slice_in_dim(
+                a, c * src_chunk, src_chunk, axis=0), payload_p)
+        live0 = (jnp.arange(src_chunk) + c * src_chunk) < n
+
+        def one_target(tipos, extra, cin):
+            tpos = tipos.astype(jnp.float32) * to_f
+            dist = (tipos[None, :] - src["ipos"]).astype(
+                jnp.int32).astype(jnp.float32) * to_f
+            r2 = jnp.sum(dist * dist, axis=-1)
+            return accumulate(cin, extra, tpos, src, dist, r2, live0)
+
+        carry = jax.vmap(one_target)(target_ipos, target_extra, carry)
+        return carry, None
+
+    carry, _ = jax.lax.scan(chunk_step, carry0, jnp.arange(nch))
+    return carry
+
+
 # ---------------------------------------------------------------------------
 # Blocked neighbor walk: same accumulate protocol, TPU-native schedule.
 #

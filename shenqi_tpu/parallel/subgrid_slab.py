@@ -97,6 +97,116 @@ def gather_rows(mesh, fields: dict, mask, cap: int):
 
 
 # ---------------------------------------------------------------
+# star spawns: generation splits into local dead rows
+# (slots_split_particle, slotsmanager.cpp:103 — distributed)
+# ---------------------------------------------------------------
+
+def make_spawn_pass(mesh, struct, cap: int):
+    """Jitted shard_map spawning up to `cap` star children per device.
+
+    A spawned child inherits the parent's position, so it belongs to
+    the parent's slab BY CONSTRUCTION — each device scatters its own
+    spawns into its own dead (mass==0) rows with zero communication;
+    only the overflow count is psum'd.  struct: ((name, ndim), ...)
+    of every per-row field (the whole sharded state moves together so
+    the child row is valid for the next exchange).
+
+    fn(fields, spawn_mask, mstar, atime) ->
+        (fields', n_spawned, n_overflow)."""
+
+    field_specs = {k: (P("dp", None) if nd == 2 else P("dp"))
+                   for k, nd in struct}
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(field_specs, P("dp"), P("dp"), P()),
+             out_specs=(field_specs, P(), P()), check_vma=False)
+    def spawn(fields, mask, mstar, atime):
+        C = mask.shape[0]
+        par = jnp.nonzero(mask, size=cap, fill_value=C)[0]
+        dead = fields["mass"] <= 0
+        free = jnp.nonzero(dead, size=cap, fill_value=C)[0]
+        ok = (par < C) & (free < C)
+        n_req = jnp.sum(mask.astype(jnp.int32))
+        n_ok = jnp.sum(ok.astype(jnp.int32))
+        psafe = jnp.minimum(par, C - 1)
+        fsafe = jnp.where(ok, free, C)          # C = dummy pad row
+
+        def scat(a, vals):
+            pad = jnp.zeros((1,) + a.shape[1:], a.dtype)
+            a2 = jnp.concatenate([a, pad], axis=0)
+            return a2.at[fsafe].set(vals)[:C]
+
+        f = dict(fields)
+        ms = jnp.where(ok, mstar[psafe], 0.0)
+        # child rows: kinematics + id + star bookkeeping
+        for k in ("ipos", "vel", "hsml", "tbin", "id_lo",
+                  "met", "vdsp", "ne"):
+            if k in f:
+                f[k] = scat(f[k], f[k][psafe])
+        # child id: base id + new generation in the top 8 bits, and
+        # the child carries the incremented generation
+        # (slotsmanager.cpp:110-115)
+        gen_child = f["gen"][psafe] + 1
+        f["id_hi"] = scat(f["id_hi"],
+                          (f["id_hi"][psafe]
+                           & jnp.uint32(0x00FFFFFF))
+                          + (gen_child.astype(jnp.uint32)
+                             << jnp.uint32(24)))
+        f["gen"] = scat(f["gen"], gen_child)
+        f["mass"] = scat(f["mass"], ms)
+        f["ptyp"] = scat(f["ptyp"], jnp.full(cap, 4, jnp.int32))
+        f["birtha"] = scat(f["birtha"],
+                           jnp.full(cap, atime, jnp.float32))
+        if "m0" in f:
+            f["m0"] = scat(f["m0"], ms)
+        if "smet" in f:
+            f["smet"] = scat(f["smet"], f["met"][psafe])
+        for k in ("enr", "tret", "sfr", "dtim", "grho", "entropy",
+                  "density", "egywt", "dhsml_egy", "divv", "curlv",
+                  "dts", "mvsig", "dth"):
+            if k in f:
+                f[k] = scat(f[k], jnp.zeros(cap, f[k].dtype))
+        if "gacc" in f:
+            f["gacc"] = scat(f["gacc"], f["gacc"][psafe])
+        if "gpm" in f:
+            f["gpm"] = scat(f["gpm"], f["gpm"][psafe])
+        if "hacc" in f:
+            f["hacc"] = scat(f["hacc"],
+                             jnp.zeros((cap, 3), jnp.float32))
+        if "oldacc" in f:
+            f["oldacc"] = scat(f["oldacc"], f["oldacc"][psafe])
+        # parent updates: lose the child's mass, bump the generation
+        applied = jnp.zeros(C + 1, bool).at[
+            jnp.where(ok, psafe, C)].set(True)[:C]
+        dm = jnp.zeros(C + 1, jnp.float32).at[
+            jnp.where(ok, psafe, C)].add(ms)[:C]
+        f["mass"] = jnp.where(applied, f["mass"] - dm, f["mass"])
+        f["gen"] = jnp.where(applied, f["gen"] + 1, f["gen"])
+        n_sp = jax.lax.psum(n_ok, "dp")
+        ovf = jax.lax.psum(n_req - n_ok, "dp")
+        return f, n_sp, ovf
+
+    return jax.jit(spawn)
+
+
+def spawn_stars_slab(mesh, fields: dict, spawn_mask, mstar, atime,
+                     cap: int = 256):
+    """Spawn star children for masked gas parents into local dead
+    rows.  Returns (fields', n_spawned, n_overflow) — the caller
+    grows capacity and retries when n_overflow > 0 (free-row
+    exhaustion; SlotsIncreaseFactor analog)."""
+    struct = tuple(sorted((k, fields[k].ndim) for k in fields))
+    key = ("spawn", id(mesh), struct,
+           tuple(str(fields[k].dtype) for k, _ in struct), cap)
+    fn = _PASS_CACHE.get(key)
+    if fn is None:
+        fn = make_spawn_pass(mesh, struct, cap)
+        _PASS_CACHE[key] = fn
+    f, n_sp, ovf = fn(fields, spawn_mask, mstar, jnp.float32(atime))
+    return f, int(n_sp), int(ovf)
+
+
+# ---------------------------------------------------------------
 # winds: gathered new stars kick local gas (sfr_wind_feedback)
 # ---------------------------------------------------------------
 

@@ -125,23 +125,39 @@ class WindResult(NamedTuple):
 
 def winds_subgrid_step(key, vel3, entropy, density, delay_time, mass,
                        sm, vdisp, atime, a3inv, wp: WindParams,
-                       eligible) -> WindResult:
+                       eligible, pids=None) -> WindResult:
     """Subgrid wind kicks after star formation (winds_make_after_sf).
 
     sm: stellar mass formed this step per particle; eligible: gas mask.
+    pids: optional uint32 particle ids — when given, all draws are
+    keyed by (step salt, id) like the reference's get_random_number(ID)
+    (winds.cpp:542), so the kick decisions are independent of row
+    layout and device count (slab runs reproduce the same stream).
     """
     if not wp.has(WIND_SUBGRID) or wp.WindModel == 1:  # nowind
         return WindResult(vel3, entropy, delay_time)
     kick_v, windeff, utherm = wind_params_for(vdisp, atime, wp)
     pw = windeff * sm / jnp.maximum(mass, 1e-35)
     prob = 1 - jnp.exp(-pw)
-    k1, k2 = jax.random.split(key)
-    do_kick = (jax.random.uniform(k1, mass.shape) < prob) & eligible \
-        & (kick_v > 0)
-    # random isotropic direction
-    dirs = jax.random.normal(k2, vel3.shape)
-    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1,
-                                              keepdims=True), 1e-20)
+    if pids is not None:
+        salt = jax.random.bits(key, dtype=jnp.uint32)
+        u_kick = idhash_uniform(salt, pids, 0)
+        # isotropic direction from two id-keyed uniforms
+        z = 2.0 * idhash_uniform(salt, pids, 1) - 1.0
+        phi = 2.0 * jnp.pi * idhash_uniform(salt, pids, 2)
+        s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+        dirs = jnp.stack([s * jnp.cos(phi), s * jnp.sin(phi), z],
+                         axis=-1)
+        do_kick = (u_kick < prob) & eligible & (kick_v > 0)
+    else:
+        k1, k2 = jax.random.split(key)
+        do_kick = (jax.random.uniform(k1, mass.shape) < prob) \
+            & eligible & (kick_v > 0)
+        # random isotropic direction
+        dirs = jax.random.normal(k2, vel3.shape)
+        dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1,
+                                                  keepdims=True),
+                                  1e-20)
     vel_new = vel3 + jnp.where(do_kick[:, None],
                                kick_v[:, None] * dirs, 0.0)
     enttou = (density * a3inv) ** GAMMA_MINUS1 / GAMMA_MINUS1

@@ -328,11 +328,12 @@ class GasPhysics:
             targets = {k: v[gidx] for k, v in targets.items()}
             tvalid_h = tvalid_h[gidx]
         t_len = int(targets["hsml"].shape[0])
-        from .sph.hydro import hydro_walk_blocked, hydro_walk
+        from .sph.hydro import hydro_walk_blocked, hydro_walk_dense
 
         def oracle_patch(hres, tovf):
-            """Re-do flagged targets with the per-particle walk
-            (sph/density._oracle_patch protocol)."""
+            """Re-do flagged targets with the dense all-sources walk
+            (sph/density._oracle_patch protocol; the vmapped tree
+            walk OOMs at production source counts)."""
             from .sph.hydro import HydroResult
             sel_all = np.nonzero(np.asarray(tovf))[0]
             acc, dts, mvs = (hres.accel, hres.dt_entropy,
@@ -348,8 +349,8 @@ class GasPhysics:
                 lane = jnp.asarray(np.arange(nbkt) < nov)
                 tsub = {k: v[gidxp] for k, v in targets.items()}
                 tsub["hsml"] = jnp.where(lane, tsub["hsml"], 0.0)
-                hs = hydro_walk(tree, payload_h, tsub, par,
-                                self.kernel, tf=tf)
+                hs = hydro_walk_dense(payload_h, tsub, par,
+                                      self.kernel, tf=tf)
                 acc = acc.at[seljp].set(hs.accel, mode="drop")
                 dts = dts.at[seljp].set(hs.dt_entropy, mode="drop")
                 mvs = mvs.at[seljp].set(hs.max_signal_vel,
@@ -580,7 +581,8 @@ class GasPhysics:
                         gas.entropy, gas.density, gas.delay_time,
                         sim.particles.mass[:ng], sm, gas.vdisp, atime,
                         a3inv, self.windpar,
-                        eligible=gas_alive & res.form_star)
+                        eligible=gas_alive & res.form_star,
+                        pids=sim.particles.id_lo[:ng])
                     vel3, ent, delay0 = (wres.vel, wres.entropy,
                                          wres.delay_time)
                 else:

@@ -118,6 +118,23 @@ def density_walk(tree: Octree, payload, target_ipos, target_vel,
     return DensityResult(*out)
 
 
+def density_walk_dense(payload, target_ipos, target_vel, hsml,
+                       boxsize, spec: KernelSpec = CUBIC):
+    """density_walk against EVERY source (run_walk_dense oracle):
+    identical physics — the accumulator masks by radius — with
+    HBM-bounded staging.  Used for the overflow tails the blocked and
+    stencil engines flag; the vmapped tree walk's batched gathers OOM
+    there (see ops/treewalk.run_walk_dense)."""
+    from ..ops.treewalk import run_walk_dense
+    t = target_ipos.shape[0]
+    z = lambda *s: jnp.zeros(s, jnp.float32)
+    carry0 = (z(t), z(t), z(t), z(t), z(t), z(t), z(t, 3), z(t, 3))
+    extra = {"hsml": hsml, "vel": target_vel}
+    out = run_walk_dense(payload, target_ipos, extra, carry0,
+                         _density_accum_cached(spec), boxsize)
+    return DensityResult(*out)
+
+
 def density_walk_blocked(tree: Octree, payload, target_ipos,
                          target_vel, hsml, boxsize,
                          spec: KernelSpec = CUBIC, ncrit: int = 32,
@@ -281,10 +298,10 @@ def density(tree: Octree, payload, target_ipos, target_vel,
             selj = jnp.asarray(sel_p)
             gidx = jnp.minimum(selj, tsub - 1)
             lane = jnp.asarray(np.arange(nbkt) < nov)
-            sub = density_walk(tree, payload, t_ipos[gidx],
-                               t_vel[gidx],
-                               jnp.where(lane, hsml[gidx], 0.0),
-                               boxsize, spec)
+            sub = density_walk_dense(payload, t_ipos[gidx],
+                                     t_vel[gidx],
+                                     jnp.where(lane, hsml[gidx], 0.0),
+                                     boxsize, spec)
             for k in range(len(out)):
                 out[k] = out[k].at[selj].set(sub[k], mode="drop")
         return DensityResult(*out)

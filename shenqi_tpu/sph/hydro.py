@@ -205,6 +205,28 @@ def hydro_walk(tree: Octree, payload, targets, par: HydroParams,
     return HydroResult(accel=acc, dt_entropy=dts, max_signal_vel=maxvsig)
 
 
+def hydro_walk_dense(payload, targets, par: HydroParams,
+                     spec: KernelSpec = CUBIC, tf=None) -> HydroResult:
+    """hydro_walk against EVERY source (run_walk_dense oracle):
+    identical physics — the accumulator applies the symmetric
+    max(H_i,H_j) radius cut itself — with HBM-bounded staging.  Used
+    for the overflow tails the blocked/stencil engines flag, where the
+    vmapped tree walk's batched gathers OOM (ops/treewalk.py)."""
+    from ..ops.treewalk import run_walk_dense
+    t = targets["ipos"].shape[0]
+    carry0 = (jnp.zeros((t, 3), jnp.float32),
+              jnp.zeros(t, jnp.float32), jnp.zeros(t, jnp.float32))
+    extra = _hydro_extra(targets, par, t, tf)
+    out = run_walk_dense(payload, targets["ipos"], extra, carry0,
+                         _hydro_accum_cached(spec, par.static_key()),
+                         par.boxsize)
+    acc, dts, maxvsig = out
+    hub_a2 = (tf or {}).get("hubble_a2", par.hubble_a2)
+    dts = dts * GAMMA_MINUS1 / (hub_a2 * jnp.maximum(
+        targets["density"], 1e-35) ** GAMMA_MINUS1)
+    return HydroResult(accel=acc, dt_entropy=dts, max_signal_vel=maxvsig)
+
+
 _HYDRO_ACCUM_CACHE = {}
 
 

@@ -118,6 +118,44 @@ def test_density_brute_force():
                                atol=1e-8 * np.abs(div_bf).max())
 
 
+def test_density_walk_dense_matches_tree():
+    """The all-sources oracle (run_walk_dense) is physics-identical to
+    the vmapped tree walk — it exists only because the tree walk's
+    batched gathers OOM on TPU at production source counts."""
+    from shenqi_tpu.sph.density import (density_walk_dense,
+                                        _density_accum_cached)
+    pos, mass = _uniform_gas(6, jitter=0.4, seed=11)
+    n = len(pos)
+    hsml = np.full(n, 2.2 * BOX / 6, np.float32)
+    rng = np.random.RandomState(12)
+    vel = rng.normal(size=(n, 3)).astype(np.float32) * 10
+    entvar = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    ipos = jnp.asarray(float_to_ipos(pos, BOX))
+    tree = build_octree(ipos, jnp.asarray(mass), jnp.ones(n, bool),
+                        BOX, nlevels=5, ncrit=8)
+    payload = make_gas_payload(tree, jnp.asarray(vel),
+                               jnp.asarray(entvar))
+    ref = density_walk(tree, payload, ipos, jnp.asarray(vel),
+                       jnp.asarray(hsml), BOX, CUBIC)
+    # src_chunk > n exercises the padding path; a small chunk
+    # exercises the scan
+    from shenqi_tpu.ops import treewalk as tw
+    for chunk in (8192, 64):
+        dense = tw.run_walk_dense(
+            payload, ipos,
+            {"hsml": jnp.asarray(hsml), "vel": jnp.asarray(vel)},
+            tuple(jnp.zeros_like(x) for x in ref),
+            _density_accum_cached(CUBIC), BOX, src_chunk=chunk)
+        for a, b in zip(ref, dense):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-5, atol=1e-6)
+    # and through the public wrapper
+    dres = density_walk_dense(payload, ipos, jnp.asarray(vel),
+                              jnp.asarray(hsml), BOX, CUBIC)
+    np.testing.assert_allclose(np.asarray(dres.rho),
+                               np.asarray(ref.rho), rtol=1e-5)
+
+
 def test_hsml_adapts_to_clustering():
     """Clustered region gets smaller hsml than voids."""
     rng = np.random.RandomState(7)

@@ -126,6 +126,34 @@ def test_momentum_conservation():
     assert dts.min() > -1e-6 * max(dts.max(), 1e-30)
 
 
+def test_hydro_walk_dense_matches_tree():
+    """The all-sources oracle equals the tree walk (the symmetric
+    max(H_i,H_j) cut lives in the accumulator, so considering every
+    source changes nothing but the staging)."""
+    from shenqi_tpu.sph.hydro import hydro_walk_dense
+    ng = 8
+    pos = _lattice(ng, jitter=0.3, seed=5)
+    n = len(pos)
+    rng = np.random.RandomState(6)
+    mass = rng.uniform(0.8, 1.2, n).astype(np.float32)
+    vel = rng.normal(0, 20, (n, 3)).astype(np.float32)
+    entropy = rng.uniform(50, 150, n).astype(np.float32)
+    hsml0 = np.full(n, 2.0 * BOX / ng, np.float32)
+    tree, payload, targets, par, dout = _prepare(pos, mass, vel,
+                                                 entropy, hsml0)
+    ref = hydro_walk(tree, payload, targets, par, CUBIC)
+    dense = hydro_walk_dense(payload, targets, par, CUBIC)
+    np.testing.assert_allclose(np.asarray(dense.accel),
+                               np.asarray(ref.accel),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(dense.dt_entropy),
+                               np.asarray(ref.dt_entropy),
+                               rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(dense.max_signal_vel),
+                               np.asarray(ref.max_signal_vel),
+                               rtol=1e-5)
+
+
 def test_pressure_gradient_direction():
     """A central hot (high-entropy) region accelerates gas outward."""
     ng = 10

@@ -72,6 +72,78 @@ def test_gather_rows():
     np.testing.assert_array_equal(got, want)
 
 
+def test_spawn_stars_slab():
+    """Distributed star spawning (slots_split_particle analog):
+    children land in local dead rows with the parent's position, the
+    incremented generation in the id's top byte, and exact mass
+    conservation; overflow is counted, never dropped."""
+    from shenqi_tpu.parallel.subgrid_slab import spawn_stars_slab
+    mesh = _mesh_or_skip()
+    pos, vel = _state(1500, seed=9)
+    n = len(pos)
+    ipos = np.asarray(float_to_ipos(pos, BOX))
+    mass = np.full(n, 0.02, np.float32)
+    pid = np.arange(1, n + 1, dtype=np.uint64)
+    fields = {"ipos": ipos, "mass": mass,
+              "vel": vel.astype(np.float32),
+              "id_lo": (pid & np.uint64(0xFFFFFFFF)).astype(
+                  np.uint32),
+              "id_hi": (pid >> np.uint64(32)).astype(np.uint32),
+              "gen": np.zeros(n, np.int32),
+              "ptyp": np.zeros(n, np.int32),
+              "birtha": np.zeros(n, np.float32),
+              "tbin": np.full(n, 3, np.int32),
+              "hsml": np.full(n, 5.0, np.float32),
+              "met": np.full(n, 0.004, np.float32),
+              "sfr": np.ones(n, np.float32),
+              "entropy": np.full(n, 50.0, np.float32)}
+    sh = _dist(mesh, fields)
+    alive = np.asarray(sh["mass"]) > 0
+    spawn = alive & (np.asarray(sh["id_lo"]) % 11 == 0)
+    nreq = int(spawn.sum())
+    mstar = np.where(spawn, 0.005, 0.0).astype(np.float32)
+    f2, n_sp, ovf = spawn_stars_slab(
+        mesh, sh, jnp.asarray(spawn), jnp.asarray(mstar),
+        atime=0.31, cap=128)
+    assert ovf == 0 and n_sp == nreq
+    np.testing.assert_allclose(float(jnp.sum(f2["mass"])),
+                               float(mass.sum()), rtol=1e-6)
+    child = (~alive) & (np.asarray(f2["mass"]) > 0)
+    assert int(child.sum()) == nreq
+    assert np.all(np.asarray(f2["ptyp"])[child] == 4)
+    np.testing.assert_allclose(np.asarray(f2["mass"])[child], 0.005,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(f2["birtha"])[child], 0.31,
+                               rtol=1e-6)
+    assert np.all(np.asarray(f2["gen"])[child] == 1)
+    assert np.all((np.asarray(f2["id_hi"])[child] >> 24) == 1)
+    # every child's base id matches exactly one spawning parent, and
+    # the child inherits that parent's position (same slab by
+    # construction); star bookkeeping fields reset
+    base = np.asarray(f2["id_lo"])[child]
+    np.testing.assert_array_equal(
+        np.sort(base), np.sort(np.asarray(sh["id_lo"])[spawn]))
+    lookup = {int(p): i for i, p
+              in enumerate(np.asarray(sh["id_lo"]))}
+    ip0, ip2 = np.asarray(sh["ipos"]), np.asarray(f2["ipos"])
+    for row in np.nonzero(child)[0]:
+        np.testing.assert_array_equal(
+            ip2[row], ip0[lookup[int(np.asarray(f2["id_lo"])[row])]])
+    assert np.all(np.asarray(f2["sfr"])[child] == 0)
+    assert np.all(np.asarray(f2["entropy"])[child] == 0)
+    # parents: mass reduced, generation bumped, still gas
+    np.testing.assert_allclose(np.asarray(f2["mass"])[spawn], 0.015,
+                               rtol=1e-6)
+    assert np.all(np.asarray(f2["gen"])[spawn] == 1)
+    assert np.all(np.asarray(f2["ptyp"])[spawn] == 0)
+    assert np.all((np.asarray(f2["id_hi"])[spawn] >> 24) == 0)
+    # cap exhaustion: cap=1 per device satisfies at most 8 requests
+    f3, n_sp3, ovf3 = spawn_stars_slab(
+        mesh, sh, jnp.asarray(spawn), jnp.asarray(mstar),
+        atime=0.31, cap=1)
+    assert n_sp3 + ovf3 == nreq and ovf3 > 0
+
+
 def test_winds_slab_matches_single_device():
     from shenqi_tpu.physics.winds import (WindParams,
                                           WIND_MODEL_OFJT10,

@@ -76,6 +76,45 @@ def test_wind_kick_statistics():
     assert (np.asarray(d2) == 0).all()
 
 
+def test_wind_subgrid_idkeyed_layout_invariant():
+    """With pids given, subgrid-wind draws are keyed by (salt, id) —
+    get_random_number(ID) analog (winds.cpp:542) — so a row
+    permutation permutes the results exactly (slab runs reproduce the
+    single-device stream) and the kick statistics still hold."""
+    wp = WindParams(WindModel=WIND_MODEL_OFJT10 | WIND_SUBGRID,
+                    WindFreeTravelLength=20.0)
+    wp.init(0.1, 2.1e6, 1e-3, 3.08568e16)
+    n = 2048
+    rng = np.random.RandomState(8)
+    vel3 = jnp.zeros((n, 3), jnp.float32)
+    entropy = jnp.full(n, 100.0, jnp.float32)
+    density = jnp.full(n, 1.0, jnp.float32)
+    delay = jnp.zeros(n, jnp.float32)
+    mass = jnp.full(n, 1.0, jnp.float32)
+    sm = jnp.asarray(rng.uniform(0.2, 0.8, n), jnp.float32)
+    vdisp = jnp.full(n, 100.0, jnp.float32)
+    pids = jnp.asarray(rng.permutation(n).astype(np.uint32) + 1)
+    key = jax.random.PRNGKey(3)
+    res = winds_subgrid_step(key, vel3, entropy, density, delay,
+                             mass, sm, vdisp, atime=0.5, a3inv=8.0,
+                             wp=wp, eligible=jnp.ones(n, bool),
+                             pids=pids)
+    speeds = np.linalg.norm(np.asarray(res.vel), axis=1)
+    kicked = speeds > 0
+    assert 0.3 < kicked.mean() < 0.9
+    np.testing.assert_allclose(speeds[kicked], 370.0, rtol=1e-4)
+    # permute rows: same key, same ids -> identical per-id results
+    perm = np.random.RandomState(9).permutation(n)
+    res_p = winds_subgrid_step(
+        key, vel3[perm], entropy[perm], density[perm], delay[perm],
+        mass[perm], sm[perm], vdisp[perm], atime=0.5, a3inv=8.0,
+        wp=wp, eligible=jnp.ones(n, bool), pids=pids[perm])
+    np.testing.assert_array_equal(np.asarray(res_p.vel),
+                                  np.asarray(res.vel)[perm])
+    np.testing.assert_array_equal(np.asarray(res_p.delay_time),
+                                  np.asarray(res.delay_time)[perm])
+
+
 def test_bondi_and_eddington():
     par = BHParams(BlackHoleAccretionFactor=100,
                    BlackHoleEddingtonFactor=3.0)
