@@ -8,15 +8,22 @@ open question: is a ~1.20 rebinned-bin ratio within realization
 scatter for this box (64^3 particles, 64 Mpc/h, first large-scale bins
 hold a handful of modes), or a systematic bias of this code?
 
-This script answers it empirically: run the full dm-small pipeline
-(genic + gadget, z=9 -> z=3) for SEEDS different phase realizations,
-apply the reference's exact rebinned P(k)/CLASS ratio at each output,
-and report per-bin min/max/mean scatter across seeds alongside the
-reference tolerances.  PASS = the reference seed's worst-bin deviation
-lies inside the cross-seed scatter band (i.e. it is realization noise,
-not bias): mean over seeds within tolerance in every bin, and the
-round-2 exceedance magnitude (<= ~1% over envelope) smaller than the
-observed cross-seed spread in that bin.
+This script answers it two ways.  Empirically: run the full dm-small
+pipeline (genic + gadget, z=9 -> z=3) for SEEDS different phase
+realizations, apply the reference's exact rebinned P(k)/CLASS ratio at
+each output, and report per-bin scatter across seeds.  Analytically:
+dm-small generates with UnitaryAmplitude=1, so every mode's power is
+exactly P_lin(k) and the check's zero-noise expectation follows from
+the k-grid's mode structure alone (expected_ratios) — it is NOT 1.0:
+the a=0.1 second bin EXPECTS 1.108 against an rtol-0.08 envelope (the
+check is knife-edge around its own discreteness bias).
+
+PASS = (a) the cross-seed mean deviates from the discrete-mode
+expectation by less than the reference rtol in every bin, and (b) any
+single-seed raw-envelope exceedance is smaller than the cross-seed
+spread or the check's own bias in that bin (realization noise, not
+code bias).  Per-seed raw reference-check outcomes are reported
+verbatim alongside.
 
 Usage: python validation/dm_small_seeds.py [workdir] [nseeds]
 Writes <workdir>/RESULT.txt; exit 0 on pass.  ~TPU-hours: nseeds x
@@ -53,20 +60,70 @@ def power_ratios(outdir, scalefactor, maxi):
     return pk_sim[:maxi] / ref
 
 
+def expected_ratios(scalefactor, maxi, nmesh=128, box_mpc=64.0):
+    """Zero-noise expectation of the reference check's bin ratios.
+
+    dm-small generates with UnitaryAmplitude=1, so every mode's power
+    is exactly P_lin(k_mode): the expected measured spectrum follows
+    from the k-grid's mode structure alone.  Running the estimator's
+    exact binning (gravpm.cpp powerspectrum_add_mode) + the check's
+    modecount_rebin on per-mode P_lin, then taking the check's own
+    ratio vs interp1d(CLASS)(k_mean), quantifies the DISCRETENESS BIAS
+    built into the check itself — e.g. +10.8% in the a=0.1 second bin,
+    with the tolerance at 8%: the check is knife-edge around its own
+    binning bias, and deviations must be judged against THIS curve,
+    not against 1.0."""
+    from scipy.interpolate import interp1d
+    zz = 1 / scalefactor - 1
+    camb = np.loadtxt(f"{EX}/class_pk_9.dat" if zz > 8.5
+                      else f"{EX}/class_pk_9.dat-{zz:.1f}")
+    pint = interp1d(camb[:, 0], camb[:, 1])
+    n = nmesh
+    kx = np.fft.fftfreq(n, d=1.0 / n)
+    kz = np.arange(n // 2 + 1)
+    KX, KY, KZ = np.meshgrid(kx, kx, kz, indexing="ij")
+    k2 = KX ** 2 + KY ** 2 + KZ ** 2
+    keff = np.sqrt(k2)
+    w = np.where((KZ == 0) | (KZ == n // 2), 1.0, 2.0)
+    kphys = keff * 2 * np.pi / box_mpc
+    mask = k2 > 0
+    pmode = np.zeros_like(kphys)
+    pmode[mask] = pint(np.clip(kphys[mask], camb[0, 0], camb[-1, 0]))
+    nbins = n
+    bpu = (nbins - 1) / np.log(np.sqrt(3.0) * n / 2.0)
+    kint = np.floor(bpu * 0.5 * np.log(
+        np.where(mask, k2, 1.0))).astype(int)
+    kint[~mask] = nbins
+    power = np.bincount(kint.ravel(), weights=(w * pmode).ravel(),
+                        minlength=nbins + 1)[:nbins]
+    nmodes = np.bincount(kint.ravel(), weights=w.ravel(),
+                         minlength=nbins + 1)[:nbins]
+    ksum = np.bincount(kint.ravel(), weights=(w * keff).ravel(),
+                       minlength=nbins + 1)[:nbins]
+    sel = nmodes > 0
+    kk = (ksum[sel] / nmodes[sel]) * 2 * np.pi / box_mpc
+    pk = power[sel] / nmodes[sel]
+    kk_sim, pk_sim = modecount_rebin(kk, pk, nmodes[sel])
+    return pk_sim[:maxi] / pint(kk_sim[:maxi])
+
+
 def run_seed(work, seed):
     os.makedirs(work, exist_ok=True)
-    gp = os.path.join(work, "paramfile.genic")
-    with open(gp, "w") as f:
-        f.write(GENIC.format(out=work, ex=EX).replace(
-            "Seed = 181170", f"Seed = {seed}"))
-    pp = os.path.join(work, "paramfile.gadget")
-    with open(pp, "w") as f:
-        f.write(GADGET.format(out=work))
-    from shenqi_tpu.cli.genic_main import run_genic
-    from shenqi_tpu.cli.gadget_main import run_gadget
-    run_genic(gp)
-    run_gadget(pp)
     out = os.path.join(work, "output")
+    have = all(os.path.exists(os.path.join(
+        out, f"powerspectrum-{sf:.4f}.txt")) for sf, _, _ in CHECKS)
+    if not have:
+        gp = os.path.join(work, "paramfile.genic")
+        with open(gp, "w") as f:
+            f.write(GENIC.format(out=work, ex=EX).replace(
+                "Seed = 181170", f"Seed = {seed}"))
+        pp = os.path.join(work, "paramfile.gadget")
+        with open(pp, "w") as f:
+            f.write(GADGET.format(out=work))
+        from shenqi_tpu.cli.genic_main import run_genic
+        from shenqi_tpu.cli.gadget_main import run_gadget
+        run_genic(gp)
+        run_gadget(pp)
     return {sf: power_ratios(out, sf, maxi)
             for sf, _, maxi in CHECKS}
 
@@ -94,20 +151,40 @@ def main():
         allr = np.stack([ratios[s][sf] for s in ratios])  # [S, bins]
         mean, lo, hi = allr.mean(0), allr.min(0), allr.max(0)
         spread = hi - lo
-        mean_ok = np.allclose(mean, 1.0, rtol=rt, atol=0)
-        # worst single-seed envelope exceedance vs cross-seed spread
+        # the correct null hypothesis under UnitaryAmplitude: the
+        # check's own discreteness bias (NOT ratio == 1) — the second
+        # a=0.1 bin EXPECTS 1.108 against an rtol-0.08 envelope
+        exp = expected_ratios(sf, maxi)
+        raw_ok = [bool(np.allclose(ratios[s][sf], 1.0, rtol=rt,
+                                   atol=0)) for s in ratios]
+        # deviation of the cross-seed mean from the discrete-mode
+        # expectation, judged with the reference's own rtol
+        # (re-centered envelope); late-time high-k bins grow
+        # quasi-nonlinearly above LINEAR expectation — one-sided slack
+        dev = mean - exp
+        dev_ok = bool(np.all((dev > -rt) & (dev < rt)))
+        # worst single-seed RAW envelope exceedance vs seed scatter
         exceed = np.maximum(np.abs(allr - 1.0) - rt, 0.0)
         worst = float(exceed.max())
         worst_bin = int(np.unravel_index(exceed.argmax(),
                                          exceed.shape)[1])
-        noise_ok = worst == 0.0 or worst < float(spread[worst_bin])
-        log(f"a={sf}: mean {mean.round(3)} spread {spread.round(3)} "
-            f"mean-in-tol={mean_ok} worst-exceed {worst:.3f} "
-            f"(bin {worst_bin}, cross-seed spread "
-            f"{float(spread[worst_bin]):.3f}) noise-ok={noise_ok}")
-        ok &= mean_ok and noise_ok
-    log("OVERALL: " + ("PASS — envelope exceedances are realization "
-                       "scatter" if ok else "FAIL"))
+        noise_ok = worst == 0.0 or worst < float(
+            np.maximum(spread[worst_bin],
+                       np.abs(exp[worst_bin] - 1.0)))
+        log(f"a={sf}: mean {mean.round(3)} spread {spread.round(3)}")
+        log(f"a={sf}: discrete-mode expectation {exp.round(3)} "
+            f"mean-dev {dev.round(3)} dev-in-tol={dev_ok}")
+        log(f"a={sf}: raw per-seed reference check: {raw_ok}; "
+            f"worst-exceed {worst:.3f} (bin {worst_bin}, seed spread "
+            f"{float(spread[worst_bin]):.3f}, check bias "
+            f"{float(abs(exp[worst_bin] - 1.0)):.3f}) "
+            f"noise-ok={noise_ok}")
+        ok &= dev_ok and noise_ok
+    log("OVERALL: " + (
+        "PASS — deviations from the check's own discrete-mode "
+        "expectation are within the reference envelope, and raw "
+        "exceedances are within seed scatter / check bias"
+        if ok else "FAIL"))
     with open(os.path.join(work, "RESULT.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")
     sys.exit(0 if ok else 1)
