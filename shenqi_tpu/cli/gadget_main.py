@@ -52,7 +52,7 @@ def load_cosmology(ps, hdr: SnapshotHeader, time_begin, units):
     return cp
 
 
-def _read_particles(snap_path):
+def _read_particles(snap_path, want_blocks: bool = False):
     hdr, blocks = read_snapshot(snap_path)
     pos_l, vel_l, ids_l, mass_l, type_l = [], [], [], [], []
     for t, props in sorted(blocks.items()):
@@ -69,9 +69,12 @@ def _read_particles(snap_path):
         else:
             mass_l.append(np.full(n, hdr.MassTable[t]))
         type_l.append(np.full(n, t, dtype=np.int8))
-    return hdr, (np.concatenate(pos_l), np.concatenate(vel_l),
-                 np.concatenate(ids_l), np.concatenate(mass_l),
-                 np.concatenate(type_l))
+    out = (np.concatenate(pos_l), np.concatenate(vel_l),
+           np.concatenate(ids_l), np.concatenate(mass_l),
+           np.concatenate(type_l))
+    if want_blocks:
+        return hdr, out, blocks
+    return hdr, out
 
 
 def _init_checks(pos, ids, mass, cp, boxsize):
@@ -94,6 +97,107 @@ def _init_checks(pos, ids, mass, cp, boxsize):
         print(f"WARNING: IC mass inconsistent with Omega0: particles "
               f"give Omega={omega:.4g}, expected {omega_exp:.4g} "
               f"(check_omega)")
+
+
+def _restore_gas_state(sim, blocks, ptype, atime, cp, min_egyspec):
+    """Restore gas/star/BH state from snapshot blocks on resume.
+
+    Mirrors the reference's petaio read-side converters
+    (petaio.cpp:858-865: Entropy = (g-1) u / (Density a^-3)^(g-1),
+    registered after Density so density is already read) and
+    check_density_entropy's fixups + MinEgySpec floor
+    (init.cpp:363-389).  Rows in `sim` are ordered by sorted ptype
+    with within-type order preserved, matching `blocks`."""
+    import dataclasses as _dc
+    import jax.numpy as jnp
+    from ..utils.constants import GAMMA_MINUS1
+    g = blocks[0]
+    ngas = int(sim.gas.ngas)
+    a3inv = 1.0 / atime ** 3
+    meanbar = cp.OmegaBaryon * cp.RhoCrit
+    dens = np.asarray(g["Density"], np.float64).copy()
+    bad = (dens <= 0) | ~np.isfinite(dens)
+    dens[bad] = meanbar
+    if bad.any():
+        print(f"Detected bad densities in {bad.sum()} particles "
+              "on disc")
+    egyw = np.asarray(g.get("EgyWtDensity", dens), np.float64).copy()
+    badw = (egyw <= 0) | ~np.isfinite(egyw)
+    egyw[badw] = dens[badw]
+    u = np.asarray(g["InternalEnergy"], np.float64)
+    with np.errstate(invalid="ignore"):
+        ent = GAMMA_MINUS1 * u / (dens * a3inv) ** GAMMA_MINUS1
+    minent = GAMMA_MINUS1 * min_egyspec \
+        / (dens * a3inv) ** GAMMA_MINUS1
+    ent = np.where(~np.isfinite(ent) | (ent < minent), minent, ent)
+    gas = sim.gas
+    rep = dict(entropy=jnp.asarray(ent.astype(np.float32)),
+               density=jnp.asarray(dens.astype(np.float32)),
+               egy_wt_density=jnp.asarray(egyw.astype(np.float32)))
+    for name, attr in (("ElectronAbundance", "ne"),
+                       ("StarFormationRate", "sfr"),
+                       ("Metallicity", "metallicity"),
+                       ("DelayTime", "delay_time")):
+        if name in g:
+            rep[attr] = jnp.asarray(
+                np.asarray(g[name], np.float32))
+    if "Generation" in g:
+        rep["generation"] = jnp.asarray(
+            np.asarray(g["Generation"], np.int32))
+    if "SmoothingLength" in g:
+        hs = np.array(sim.particles.hsml)
+        hs[:ngas] = np.asarray(g["SmoothingLength"], np.float32)
+        sim.particles = _dc.replace(sim.particles,
+                                    hsml=jnp.asarray(hs))
+    # star rows: formation time, birth metallicity, return budget
+    offs = {}
+    o = 0
+    for t in sorted(set(ptype.tolist())):
+        n_t = int((ptype == t).sum())
+        offs[t] = (o, o + n_t)
+        o += n_t
+    ntot = sim.particles.n
+    if 4 in blocks and 4 in offs:
+        s0, s1 = offs[4]
+        st = blocks[4]
+        if "StellarFormationTime" in st:
+            ba = np.zeros(ntot, np.float32)
+            ba[s0:s1] = np.asarray(st["StellarFormationTime"],
+                                   np.float32)
+            rep["birth_a"] = jnp.asarray(ba)
+        if "Metallicity" in st:
+            sm = np.array(gas.star_metallicity)
+            sm[s0:s1] = np.asarray(st["Metallicity"], np.float32)
+            rep["star_metallicity"] = jnp.asarray(sm)
+        if "LastEnrichmentMyr" in st:
+            le = np.array(gas.last_enrich_myr)
+            le[s0:s1] = np.asarray(st["LastEnrichmentMyr"],
+                                   np.float32)
+            rep["last_enrich_myr"] = jnp.asarray(le)
+        if "TotalMassReturned" in st:
+            tr = np.array(gas.total_returned)
+            trs = np.asarray(st["TotalMassReturned"], np.float32)
+            tr[s0:s1] = trs
+            rep["total_returned"] = jnp.asarray(tr)
+            # mass0 back-solved from the returned fraction
+            m0 = np.array(gas.mass0)
+            mnow = np.asarray(sim.particles.mass)[s0:s1]
+            m0[s0:s1] = mnow / np.maximum(1.0 - trs, 0.1)
+            rep["mass0"] = jnp.asarray(m0)
+    if 5 in blocks and 5 in offs:
+        b0, b1 = offs[5]
+        bh = blocks[5]
+        if "BlackholeMass" in bh:
+            bm = np.array(gas.bh_mass)
+            bm[b0:b1] = np.asarray(bh["BlackholeMass"], np.float32)
+            rep["bh_mass"] = jnp.asarray(bm)
+        if "BlackholeAccretionRate" in bh:
+            bd = np.array(gas.bh_mdot)
+            bd[b0:b1] = np.asarray(bh["BlackholeAccretionRate"],
+                                   np.float32)
+            rep["bh_mdot"] = jnp.asarray(bd)
+    sim.gas = _dc.replace(gas, **rep)
+    sim._gas_entropy_is_u = False
 
 
 def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
@@ -144,7 +248,10 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
         sim.coolunits = CoolingUnits.create(units, cp.HubbleParam)
         if sim.sfr_on:
             from ..physics.cooling_rates import UVBG
-            avg_bar = float(np.median(mass[ptype == 0]))
+            gas_m = np.concatenate([np.atleast_1d(sp_m)
+                                    for t, _, _, sp_m, _ in species
+                                    if t == 0])
+            avg_bar = float(np.median(gas_m))
             sim.sfrpar = SFRParams(
                 CritOverDensity=ps.get_double("CritOverDensity"),
                 CritPhysDensity=ps.get_double("CritPhysDensity"),
@@ -157,6 +264,55 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
                 MinGasTemp=ps.get_double("MinGasTemp"),
                 Criterion=ps.get_enum("StarformationCriterion"))
             sim.sfrpar.init(cp, units, avg_bar, UVBG(), sim.coolpar)
+            if ps.get_int("WindOn"):
+                from ..physics.winds import WindParams
+                sim.winds_on = True
+                sim.windpar = WindParams(
+                    WindModel=ps.get_enum("WindModel") | 1,  # subgrid
+                    WindEfficiency=ps.get_double("WindEfficiency"),
+                    WindEnergyFraction=ps.get_double(
+                        "WindEnergyFraction"),
+                    WindSigma0=ps.get_double("WindSigma0"),
+                    WindSpeedFactor=ps.get_double("WindSpeedFactor"),
+                    WindFreeTravelLength=ps.get_double(
+                        "WindFreeTravelLength"),
+                    WindFreeTravelDensFac=ps.get_double(
+                        "WindFreeTravelDensFac"),
+                    MinWindVelocity=ps.get_double("MinWindVelocity"),
+                    WindThermalFactor=ps.get_double(
+                        "WindThermalFactor"))
+                sim.windpar.init(sim.sfrpar.FactorSN,
+                                 sim.sfrpar.EgySpecSN,
+                                 sim.sfrpar.PhysDensThresh,
+                                 units.UnitTime_in_s)
+    if species is not None and ps.get_int("MetalReturnOn"):
+        from ..physics.metal_return import MetalReturn
+        ydir = ps.get_string("MetalYieldDir") or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), "data_yields")
+        sim.metal_return_on = True
+        sim.metals = MetalReturn.load(ydir)
+    if species is not None and ps.get_int("BlackHoleOn"):
+        from ..physics.blackhole import BHParams
+        sim.bh_on = True
+        sim.bhpar = BHParams(
+            BlackHoleAccretionFactor=ps.get_double(
+                "BlackHoleAccretionFactor"),
+            BlackHoleEddingtonFactor=ps.get_double(
+                "BlackHoleEddingtonFactor"),
+            BlackHoleFeedbackFactor=ps.get_double(
+                "BlackHoleFeedbackFactor"),
+            SeedBlackHoleMass=ps.get_double("SeedBlackHoleMass"),
+            SeedBHDynMass=ps.get_double("SeedBHDynMass"),
+            MinFoFMassForNewSeed=ps.get_double(
+                "MinFoFMassForNewSeed"),
+            MinMStarForNewSeed=ps.get_double("MinMStarForNewSeed"),
+            BlackHoleNgbFactor=ps.get_double("BlackHoleNgbFactor"),
+            BlackHoleMaxAccretionRadius=ps.get_double(
+                "BlackHoleMaxAccretionRadius"),
+            UnitTime_in_s=units.UnitTime_in_s,
+            UnitVelocity_in_cm_per_s=units.UnitVelocity_in_cm_per_s,
+            HubbleParam=cp.HubbleParam)
 
     base = ps.get_string("SnapshotFileBase")
     snapshot_with_fof = bool(ps.get_int("SnapshotWithFOF"))
@@ -242,6 +398,59 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
         wt.reset_step()
 
     sim.on_step = on_step
+
+    # seeding-cadence FOF searches on PM steps (run.cpp:364,637-660)
+    if sim.bh_on:
+        seed_factor = ps.get_double("TimeBetweenSeedingSearch")
+        next_seed_check = [atime]
+        min_len = ps.get_int("FOFHaloMinLength")
+
+        def on_pm_step(s):
+            a = s.atime()
+            if a < next_seed_check[0]:
+                return
+            next_seed_check[0] = a * seed_factor
+            from ..physics.blackhole import seed_black_holes
+            f = s.fields
+            balanced = s.balance_domains and s._cuts_dev is not None
+            if fof_fn[0] is None:
+                fof_fn[0] = make_fof_slab(
+                    s.mesh, b_link, boxsize,
+                    nlevels=s.gravity.tree_nlevels,
+                    with_cuts=balanced)
+            ffields = {"ipos": f["ipos"], "mass": f["mass"],
+                       "pid": f["id_lo"].astype(np.int32)}
+            if balanced:
+                glabel, _ = fof_fn[0](ffields, s._cuts_dev)
+            else:
+                glabel, _ = fof_fn[0](ffields)
+            groups, _pid = compile_groups_from_slab(
+                glabel, f, boxsize, min_length=min_len)
+            if not groups.ngroups:
+                return
+            to_seed = seed_black_holes(
+                groups, groups.mass_by_type[:, 4],
+                groups.length_by_type[:, 5], s.bhpar)
+            if not len(to_seed):
+                return
+            alive = np.asarray(f["mass"]) > 0
+            gid_alive = groups.group_id
+            dens = np.asarray(f["density"])[alive]
+            is_gas_a = np.asarray(f["ptyp"])[alive] == 0
+            rows_global = np.nonzero(alive)[0]
+            seeds = []
+            for gi in to_seed:
+                cand = np.nonzero((gid_alive == gi + 1)
+                                  & is_gas_a)[0]
+                if cand.size:
+                    seeds.append(int(
+                        rows_global[cand[np.argmax(dens[cand])]]))
+            if seeds:
+                s._seed_bh_rows(seeds)
+                print(f"Seeded {len(seeds)} black holes")
+
+        sim.on_pm_step = on_pm_step
+
     sim.run(max_steps=max_steps)
     fd_cpu.close()
     return sim
@@ -266,7 +475,8 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
         icfile = os.path.join(outdir, f"{ps.get_string('SnapshotFileBase')}"
                               f"_{snapnum:03d}")
 
-    hdr, (pos, vel, ids, mass, ptype) = _read_particles(icfile)
+    hdr, (pos, vel, ids, mass, ptype), snap_blocks = _read_particles(
+        icfile, want_blocks=True)
     units = get_unitsystem(hdr.UnitLength_in_cm, hdr.UnitMass_in_g,
                            hdr.UnitVelocity_in_cm_per_s)
     atime = hdr.Time
@@ -385,16 +595,9 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
     has_gas = bool((ptype == 0).any()) and ps.get_int("HydroOn")
 
     if mesh_devices:
-        # multi-chip slab run (--mesh N): TreePM + SPH + elementwise
-        # subgrid (cooling, whole-conversion SF) distributed;
-        # winds/BH/metal-return need neighbour passes or row spawns
-        # and stay single-device
-        if has_gas and (ps.get_int("WindOn")
-                        or ps.get_int("BlackHoleOn")
-                        or ps.get_int("MetalReturnOn")):
-            raise NotImplementedError(
-                "--mesh: winds/BH/metal-return run single-device; "
-                "distributed gas covers SPH + cooling + SF flips")
+        # multi-chip slab run (--mesh N): TreePM + SPH + cooling/SF
+        # (spawns into local dead rows) + winds + metal return + BH
+        # distributed
         if cp.MassiveNuLinRespOn or ps.get_int("LightconeOn"):
             raise NotImplementedError(
                 "--mesh supports TreePM(+SPH+cooling/SF) runs")
@@ -609,6 +812,18 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
             species, cp, boxsize, nmesh, timeline, atime, tsp=tsp,
             gravity_kw=gravity_kw, gas_u0=u0, gas_physics=gp,
             star_headroom=shr)
+        if 0 in snap_blocks and "InternalEnergy" in snap_blocks[0]:
+            # resuming from one of our snapshots (or a reference
+            # one): restore the gas/star/BH state instead of the
+            # InitGasTemp cold start.  Mirrors petaio's read-side
+            # converters (petaio.cpp:858-865 u -> entropy via
+            # Density) + check_density_entropy fixups
+            # (init.cpp:363-389)
+            minegy = gp.sfrpar.min_egyspec() \
+                if (gp is not None and gp.sfrpar is not None) else 0.0
+            _restore_gas_state(sim, snap_blocks, ptype, atime, cp,
+                               minegy)
+            print("Restored gas/star/BH state from snapshot")
     else:
         sim = Simulation.from_arrays(pos, vel, mass, ids, cp, boxsize,
                                      nmesh, timeline, atime, tsp=tsp,
@@ -709,6 +924,24 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
                 d["Metallicity"] = np.asarray(
                     s.gas.metallicity)[gsel]
                 d["DelayTime"] = np.asarray(s.gas.delay_time)[gsel]
+                d["Generation"] = np.asarray(
+                    s.gas.generation)[gsel].astype(np.uint8)
+            if t == 4 and s.gas is not None:
+                # star state needed for resume + metal return
+                # (petaio.cpp star-block registrations)
+                d["StellarFormationTime"] = np.asarray(
+                    s.gas.birth_a)[sel].astype(np.float32)
+                d["Metallicity"] = np.asarray(
+                    s.gas.star_metallicity)[sel].astype(np.float32)
+                d["TotalMassReturned"] = np.asarray(
+                    s.gas.total_returned)[sel].astype(np.float32)
+                d["LastEnrichmentMyr"] = np.asarray(
+                    s.gas.last_enrich_myr)[sel].astype(np.float32)
+            if t == 5 and s.gas is not None:
+                d["BlackholeMass"] = np.asarray(
+                    s.gas.bh_mass)[sel].astype(np.float32)
+                d["BlackholeAccretionRate"] = np.asarray(
+                    s.gas.bh_mdot)[sel].astype(np.float32)
             blocks[t] = d
         shdr = SnapshotHeader(
             TotNumPart=totnum,
@@ -940,8 +1173,8 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
         if fd_bh is not None and s.gas is not None:
             ng = s.gas.ngas
             p = s.particles
-            alive_bh = (np.asarray(p.mask[:ng])
-                        & (np.asarray(p.ptype[:ng]) == 5))
+            alive_bh = (np.asarray(p.mask)
+                        & (np.asarray(p.ptype) == 5))
             # reference emits nothing before the first BH is seeded
             # (blackhole.cpp:221-223 early return on totbh == 0)
             if alive_bh.any():
@@ -949,14 +1182,16 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
                                      s.gas.bh_mdot, alive_bh, units)
             if fd_bhdet is not None and alive_bh.any():
                 from ..core.particles import ipos_to_float
-                ids64 = ((np.asarray(p.id_hi[:ng]).astype(np.uint64)
+                ids64 = ((np.asarray(p.id_hi).astype(np.uint64)
                           << np.uint64(32))
-                         | np.asarray(p.id_lo[:ng]).astype(np.uint64))
+                         | np.asarray(p.id_lo).astype(np.uint64))
+                dens = np.zeros(p.mask.shape[0], np.float32)
+                dens[:ng] = np.asarray(s.gas.density)
                 bh_details(fd_bhdet, a, ids64, s.gas.bh_mass,
-                           s.gas.bh_mdot, s.gas.density,
-                           np.asarray(ipos_to_float(p.ipos[:ng],
+                           s.gas.bh_mdot, dens,
+                           np.asarray(ipos_to_float(p.ipos,
                                                     boxsize)),
-                           np.asarray(p.vel[:ng]), alive_bh)
+                           np.asarray(p.vel), alive_bh)
         wt.write_cpu_log(fd_cpu, a)
         wt.reset_step()
 

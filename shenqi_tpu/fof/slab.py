@@ -254,7 +254,12 @@ def compile_groups_from_slab(glabel, fields, boxsize: float,
     order = np.argsort(pid, kind="stable")
     rows = order[np.minimum(np.searchsorted(pid[order], lab),
                             len(pid) - 1)]
-    ptype = np.full(len(m), 1, np.int8)
+    # real per-row types when the state carries them (gas runs):
+    # per-type group masses/lengths feed BH seeding + PIG output
+    if "ptyp" in fields:
+        ptype = np.asarray(fields["ptyp"], np.int8)[alive]
+    else:
+        ptype = np.full(len(m), 1, np.int8)
     groups = compile_groups(rows, ipos, vel, m, ptype,
                             np.ones(len(m), bool), boxsize,
                             min_length=min_length)

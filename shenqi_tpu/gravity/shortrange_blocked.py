@@ -215,11 +215,13 @@ def _next_pow2(x: int) -> int:
 
 
 def _default_engine(window_tables, block, maxl, ncrit):
-    """Production engine choice.  The fused Pallas kernel is
-    correctness-verified on real TPU but not yet faster than the XLA
-    path at small/medium problem sizes, so XLA stays the default;
-    set SHENQI_ENGINE=pallas to flip (bench.py does for comparison).
-    """
+    """Engine choice for the (non-default) blocked walk.  Settled by
+    measurement in round 3: the production path is the grid-stencil
+    engine (gravity/stencil.py) where XLA beats the Pallas and MXU
+    variants on the v5e (499k vs 402k/497k pps at 128^3 clustered,
+    validation/RESULT_engine_timing_r3).  The Pallas evaluator here
+    stays correctness-verified and selectable (SHENQI_ENGINE=pallas)
+    as an oracle/alternative, not a performance claim."""
     import os
     from .shortrange import PolyWindow
     want = os.environ.get("SHENQI_ENGINE", "xla")

@@ -617,6 +617,12 @@ def stencilgrav(ipos, mass, params: ShortRangeParams,
 
     if engine is None:
         import os
+        # measured on the v5e chip (validation/RESULT_engine_timing_r3):
+        # 128^3 clustered fused megasteps — xla 499k pps, mxu 497k,
+        # pallas 402k.  XLA wins: the pair pass is already one fused
+        # HBM-resident kernel, and the Pallas/MXU variants pay
+        # layout/padding overheads they can't earn back.  Keep the
+        # engines selectable for future hardware; default by data.
         engine = os.environ.get("SHENQI_REFINED_ENGINE") or "xla"
 
     acc_bs = jnp.zeros((nbs, sub, 3), jnp.float32)

@@ -136,6 +136,7 @@ class SlabSimulation:
     caps: SlabCaps = field(default_factory=SlabCaps)
     on_snapshot: object = None     # callback(sim, atime)
     on_step: object = None
+    on_pm_step: object = None      # FOF-cadence physics (BH seeding)
     walltime: object = None
     balance_domains: bool = False  # cost-balanced slab cuts
     cuts_planes: object = None     # [D+1] mesh-plane cut indices
@@ -153,8 +154,9 @@ class SlabSimulation:
     _entropy_is_u: bool = False
     _sph_caps: dict = field(default_factory=dict)
     _hydro_caps: dict = field(default_factory=dict)
-    # distributed subgrid sources (elementwise; winds/BH/metal-return
-    # stay single-device — they need neighbour passes or row spawns)
+    # distributed subgrid sources: elementwise cooling/SF, star
+    # spawns into local dead rows (subgrid_slab.spawn_stars_slab),
+    # winds via the rare-source gather passes, PM-cadence veldisp
     cooling_on: bool = False
     sfr_on: bool = False
     coolpar: object = None
@@ -163,6 +165,17 @@ class SlabSimulation:
     coolunits: object = None
     rng_key: object = None
     star_count: int = 0
+    winds_on: bool = False
+    windpar: object = None
+    metal_return_on: bool = False
+    metals: object = None        # physics.metal_return.MetalReturn
+    min_enrich_window_myr: float = 1.0
+    bh_on: bool = False
+    bhpar: object = None         # physics.blackhole.BHParams
+    bh_dynfric_on: bool = False
+    _spawn_cap: int = 256
+    _veldisp_caps: dict = field(default_factory=dict)
+    _t_grid: object = None
 
     # ---------------- construction ----------------
     @classmethod
@@ -293,7 +306,12 @@ class SlabSimulation:
             # generation counter, SFR, |grad rho|, star birth time
             f["ne"] = jax.device_put(
                 np.where(is_gas, 1.0, 0.0).astype(np.float32), sh)
-            for name in ("met", "sfr", "grho", "birtha"):
+            # met/sfr/grho: gas subgrid; birtha/m0/smet/enr: star
+            # bookkeeping (birth time, initial mass, metallicity at
+            # birth, last enrichment age); delay/vdsp: wind state
+            for name in ("met", "sfr", "grho", "birtha", "m0",
+                         "smet", "enr", "tret", "delay", "vdsp",
+                         "bhm", "bhmd"):
                 f[name] = jax.device_put(zs.copy(), sh)
             f["gen"] = jax.device_put(
                 np.zeros(idsd.shape[0], np.int32), sh)
@@ -667,13 +685,22 @@ class SlabSimulation:
         f1 = balsara_f1(f["divv"], f["curlv"], cs, f["hsml"],
                         tf["fac_mu"])
         zs = jnp.zeros_like(press)
+        if self.winds_on and self.windpar and "delay" in f:
+            # wind particles are hydro-decoupled while delayed and
+            # below the recoupling density (winds.cpp winds_is_particle_decoupled)
+            from ..physics.winds import is_decoupled
+            a3inv = 1.0 / atime ** 3
+            decoupled = is_decoupled(f["delay"], f["density"], a3inv,
+                                     self.windpar) & is_gas
+        else:
+            decoupled = jnp.zeros(press.shape[0], bool)
         hfields = {
             "ipos": f["ipos"], "mass": mass_gas, "vel": vel_p,
             "hsml": f["hsml"], "density": f["density"],
             "eomdensity": eom, "entvar": entvar, "pressure": press,
             "divvel": f["divv"], "curlvel": f["curlv"],
             "dhsml_egy": f["dhsml_egy"], "dloga": zs,
-            "decoupled": jnp.zeros(press.shape[0], bool),
+            "decoupled": decoupled,
             "f1": f1, "egyrho": eom, "dhsml": f["dhsml_egy"],
         }
         (hacc, dts_raw, mvsig), hinfo = hydro_slab(
@@ -683,19 +710,25 @@ class SlabSimulation:
         dts = dts_raw * GAMMA_MINUS1 / (
             hub_a2 * jnp.maximum(f["density"], 1e-35)
             ** GAMMA_MINUS1)
-        f["hacc"] = jnp.where(is_gas[:, None], hacc, f["hacc"])
-        mg("dts", dts)
+        coupled = is_gas & ~decoupled
+        f["hacc"] = jnp.where(coupled[:, None], hacc,
+                              jnp.where(is_gas[:, None], 0.0,
+                                        f["hacc"]))
+        mg("dts", jnp.where(coupled, dts, 0.0))
         mg("mvsig", mvsig)
         self._wt("SPHHydro")
 
     def _gas_source_terms(self, dtime: float):
-        """Strang-split cooling + star formation on the sharded gas
-        (cooling_and_starformation, run.cpp:604-681 — ELEMENTWISE
-        per-particle work, so it shards with zero communication).
+        """Strang-split cooling + star formation + winds on the
+        sharded gas (cooling_and_starformation, run.cpp:604-681).
 
-        Star formation converts whole gas rows in place (ptype flip,
-        make_particle_star); generation-split SPAWNS need new rows and
-        are not supported multi-chip — require Generations == 1."""
+        Cooling/SF are ELEMENTWISE (zero communication).  Whole
+        conversions flip the gas row in place (make_particle_star);
+        generation SPLITS spawn children into LOCAL dead rows
+        (subgrid_slab.spawn_stars_slab, slots_split_particle analog) —
+        capacity grows host-side on free-row exhaustion.  Wind kicks
+        are id-keyed so the slab run reproduces the single-device
+        stream (winds.cpp:542 get_random_number(ID))."""
         if not self.has_gas or not (self.cooling_on or self.sfr_on):
             return
         from ..utils.constants import HYDROGEN_MASSFRAC
@@ -713,10 +746,6 @@ class SlabSimulation:
         mass_gas = jnp.where(is_gas, f["mass"], 0.0)
 
         if self.sfr_on:
-            if self.sfrpar.Generations != 1:
-                raise NotImplementedError(
-                    "--mesh star formation requires Generations=1 "
-                    "(whole-row conversions; splits spawn rows)")
             if self.rng_key is None:
                 self.rng_key = jax.random.PRNGKey(42)
             self.rng_key, sub = jax.random.split(self.rng_key)
@@ -725,17 +754,56 @@ class SlabSimulation:
                 mass_gas, f["ne"], f["met"], f["gen"], dtime, a3inv,
                 redshift, uvbg, self.sfrpar, self.coolpar,
                 self.coolunits, is_gas, gradrho_mag=f["grho"],
-                hsml=f["hsml"])
+                hsml=f["hsml"], pids=f["id_lo"])
             f["entropy"] = jnp.where(is_gas, res.entropy,
                                      f["entropy"])
             f["ne"] = jnp.where(is_gas, res.ne, f["ne"])
             f["met"] = jnp.where(is_gas, res.metallicity, f["met"])
             f["sfr"] = jnp.where(is_gas, res.sfr, f["sfr"])
-            conv = is_gas & res.form_star & res.convert_whole
+            form = is_gas & res.form_star
+            conv = form & res.convert_whole
             f["ptyp"] = jnp.where(conv, jnp.int32(4), f["ptyp"])
             f["birtha"] = jnp.where(conv, jnp.float32(atime),
                                     f["birtha"])
-            self.star_count += int(jnp.sum(conv.astype(jnp.int32)))
+            f["sfr"] = jnp.where(conv, 0.0, f["sfr"])
+            if "m0" in f:
+                f["m0"] = jnp.where(conv, f["mass"], f["m0"])
+                f["smet"] = jnp.where(conv, f["met"], f["smet"])
+                f["enr"] = jnp.where(conv, 0.0, f["enr"])
+            nstars = int(jnp.sum(conv.astype(jnp.int32)))
+            # generation splits: spawn children into local dead rows
+            split = form & ~res.convert_whole
+            n_split = int(jnp.sum(split.astype(jnp.int32)))
+            if n_split:
+                from .subgrid_slab import spawn_stars_slab
+                mstar = res.mass_of_star
+                while self._spawn_cap < n_split:
+                    self._spawn_cap *= 2
+                for _ in range(3):
+                    f2, n_sp, ovf = spawn_stars_slab(
+                        self.mesh, f, split, mstar, atime,
+                        cap=self._spawn_cap)
+                    if not ovf:
+                        break
+                    # free rows exhausted on some device: grow row
+                    # capacity in place (order-preserving pad — the
+                    # SlotsIncreaseFactor analog, slotsmanager.cpp:419)
+                    split, mstar = self._grow_rows(int(ovf),
+                                                   (split, mstar))
+                    f = self.fields
+                else:
+                    raise RuntimeError(
+                        f"star spawn overflow persists ({ovf}) after "
+                        "capacity growth; increase PartAllocFactor")
+                self.fields = f = f2
+                nstars += n_sp
+            self.star_count += nstars
+
+            # ---- winds after star formation (winds_make_after_sf /
+            # sfr_wind_feedback, distributed) ----
+            if self.winds_on and self.windpar:
+                self._slab_winds(f, res, form, is_gas, atime, a3inv,
+                                 dtime)
         elif self.cooling_on:
             from ..physics.cooling_rates import do_cooling
             cu = self.coolunits
@@ -758,6 +826,378 @@ class SlabSimulation:
                             f["entropy"])
             f["entropy"] = ent
             f["ne"] = jnp.where(is_gas, ne, f["ne"])
+
+    def _grow_rows(self, extra_per_dev: int, aux=()):
+        """Grow per-device row capacity by appending dead rows to the
+        END of each device's shard — order-preserving (no re-sort, no
+        ownership change), so masks computed against the old layout
+        remap by the same padding.  The slots capacity-growth analog
+        (slotsmanager.cpp:419 sfr_reserve_slots).  aux: extra
+        [N]-arrays to remap alongside; returns them remapped."""
+        D = self.mesh.devices.size
+        C = self.capacity
+        grow = (max(extra_per_dev, 64) + 63) // 64 * 64
+        C2 = C + grow
+
+        def pad(a):
+            h = np.asarray(a)
+            h = h.reshape((D, C) + h.shape[1:])
+            w = [(0, 0), (0, grow)] + [(0, 0)] * (h.ndim - 2)
+            h = np.pad(h, w).reshape((D * C2,) + h.shape[2:])
+            spec = P("dp") if h.ndim == 1 else P("dp", None)
+            return jax.device_put(h, NamedSharding(self.mesh, spec))
+
+        self.fields = {k: pad(v) for k, v in self.fields.items()}
+        self.capacity = C2
+        return tuple(pad(a) for a in aux)
+
+    def _slab_winds(self, f, res, form, is_gas, atime, a3inv, dtime):
+        """Wind kicks after star formation, distributed
+        (winds_make_after_sf / sfr_wind_feedback).  Sources are the
+        rows that formed stars this step (parent rows for splits, the
+        flipped rows for whole conversions — the reference's NewStars
+        list); draws are id-keyed, so any device count reproduces the
+        single-device stream."""
+        from ..physics.winds import (WIND_SUBGRID, winds_subgrid_step,
+                                     winds_decay)
+        wp = self.windpar
+        if wp.has(WIND_SUBGRID):
+            sm = res.sfr * dtime / jnp.maximum(
+                self.sfrpar.UnitSfr_in_solar_per_year, 1e-35)
+            self.rng_key, sub = jax.random.split(self.rng_key)
+            wres = winds_subgrid_step(
+                sub, f["vel"], f["entropy"], f["density"], f["delay"],
+                f["mass"], sm, f["vdsp"], atime, a3inv, wp,
+                eligible=form, pids=f["id_lo"])
+            vel, ent, delay0 = (wres.vel, wres.entropy,
+                                wres.delay_time)
+        else:
+            from .subgrid_slab import gather_rows, winds_slab
+            stars, valid, ovf = gather_rows(
+                self.mesh,
+                {"ipos": f["ipos"], "hsml": f["hsml"],
+                 "mass": f["mass"], "vdisp": f["vdsp"],
+                 "pid": f["id_lo"]},
+                form, cap=self._spawn_cap)
+            if ovf:
+                raise RuntimeError(
+                    f"wind source gather overflow ({ovf}); raise "
+                    "_spawn_cap")
+            stars = dict(stars)
+            stars["hsml"] = jnp.where(
+                valid, jnp.maximum(stars["hsml"], 1e-3), 0.0)
+            stars["mass"] = jnp.where(valid, stars["mass"], 0.0)
+            gas = {"ipos": f["ipos"], "mass": f["mass"],
+                   "vel": f["vel"], "entropy": f["entropy"],
+                   "density": f["density"], "delay": f["delay"],
+                   "eligible": is_gas & ~form, "pid": f["id_lo"]}
+            self.rng_key, sub = jax.random.split(self.rng_key)
+            vel, ent, delay0 = winds_slab(
+                self.mesh, sub, gas, stars, wp, self.boxsize, atime,
+                a3inv)
+        gas_rows = (f["ptyp"] == 0) & (f["mass"] > 0)
+        f["vel"] = jnp.where(gas_rows[:, None], vel, f["vel"])
+        f["entropy"] = jnp.where(gas_rows, ent, f["entropy"])
+        delay = winds_decay(delay0, f["density"], a3inv, dtime, wp)
+        f["delay"] = jnp.where(gas_rows, delay, f["delay"])
+
+    def _age_myr(self, a0, a1):
+        """Vectorized cosmic-time difference via a cached t(a) grid
+        (simulation_gas._age_myr protocol)."""
+        if self._t_grid is None:
+            a_lo = min(float(np.min(a0[a0 > 0])) if np.any(a0 > 0)
+                       else 0.01, 0.01)
+            ag = np.geomspace(a_lo, 1.0, 257)
+            tg = np.zeros_like(ag)
+            for i in range(1, len(ag)):
+                tg[i] = tg[i - 1] + self.CP.age_myr(ag[i - 1], ag[i])
+            self._t_grid = (ag, tg)
+        ag, tg = self._t_grid
+        t0 = np.interp(np.maximum(a0, ag[0]), ag, tg)
+        t1 = np.interp(np.maximum(a1, ag[0]), ag, tg)
+        return t1 - t0
+
+    def _slab_metal_return(self):
+        """Stellar ejecta mass+metals to neighbouring gas,
+        distributed (metal_return.cpp; the single-device
+        simulation_gas.metal_return protocol: host-orchestrated star
+        selection + per-star yield integrals — rare, scipy-based —
+        with the kernel environment and ejecta scatter passes
+        distributed over the slab mesh via subgrid_slab)."""
+        if not (self.metal_return_on and self.metals):
+            return
+        from .subgrid_slab import source_env_slab, metal_return_slab
+        f = self.fields
+        atime = self.atime()
+        alive_h = np.asarray(self._alive())
+        ptyp = np.asarray(f["ptyp"])
+        birth = np.asarray(f["birtha"])
+        star = alive_h & (ptyp == 4) & (birth > 0)
+        if not star.any():
+            return
+        last = np.array(np.asarray(f["enr"]), np.float64)
+        age_now = np.zeros(star.shape[0])
+        age_now[star] = self._age_myr(
+            birth[star], np.full(int(star.sum()), atime))
+        act = star & (age_now - last > self.min_enrich_window_myr)
+        if not act.any():
+            return
+        idx = np.nonzero(act)[0]
+        ns0 = len(idx)
+        nbkt = max(8, 1 << (ns0 - 1).bit_length())
+        idx = np.pad(idx, (0, nbkt - ns0))
+        lane = np.arange(nbkt) < ns0
+        ipos_h = np.asarray(f["ipos"])
+        hsml_h = np.asarray(f["hsml"])
+        s_ipos = jnp.asarray(ipos_h[idx])
+        s_hsml = jnp.asarray(np.where(
+            lane, np.maximum(hsml_h[idx], 1e-3), 0.0)
+            .astype(np.float32))
+        is_gas = (f["ptyp"] == 0) & self._alive()
+        mass_gas = jnp.where(is_gas, f["mass"], 0.0)
+        gasd = {"ipos": f["ipos"], "mass": mass_gas,
+                "entropy": f["entropy"], "vel": f["vel"]}
+        dens, sent, svel, fw = source_env_slab(
+            self.mesh, gasd, {"ipos": s_ipos, "hsml": s_hsml},
+            self.boxsize, self.kernel)
+        fwh = np.asarray(fw)
+        has_ngb = fwh > 1e-30
+
+        h = self.CP.HubbleParam
+        zmet = np.asarray(f["smet"])
+        m0 = np.asarray(f["m0"])
+        totret = np.array(np.asarray(f["tret"]), np.float64)
+        mret = np.zeros(len(idx), np.float32)
+        zret = np.zeros(len(idx), np.float32)
+        for j, i in enumerate(idx):
+            if j >= ns0 or not has_ngb[j]:
+                continue
+            mfrac, zfrac, _ = self.metals.star_return(
+                float(zmet[i]), float(last[i]), float(age_now[i]), h)
+            # never return more than 90% of the birth mass in total
+            mfrac = min(mfrac, max(0.9 - totret[i], 0.0))
+            mret[j] = mfrac * m0[i]
+            zret[j] = min(zfrac, mfrac) * m0[i]
+            totret[i] += mfrac
+            last[i] = age_now[i]
+        sh = NamedSharding(self.mesh, P("dp"))
+        f["enr"] = jax.device_put(last.astype(np.float32), sh)
+        f["tret"] = jax.device_put(totret.astype(np.float32), sh)
+        if mret.sum() <= 0:
+            return
+        dm, dz = metal_return_slab(
+            self.mesh, {"ipos": f["ipos"], "mass": mass_gas},
+            {"ipos": s_ipos, "hsml": s_hsml,
+             "mret": jnp.asarray(mret), "zret": jnp.asarray(zret),
+             "fw": fw},
+            self.boxsize, self.kernel)
+        old_gmass = jnp.maximum(mass_gas, 1e-35)
+        f["met"] = jnp.where(
+            is_gas, (f["met"] * mass_gas + dz) / (old_gmass + dm),
+            f["met"])
+        new_mass = f["mass"] + jnp.where(is_gas, dm, 0.0)
+        mass_after = np.array(np.asarray(new_mass))
+        for j, i in enumerate(idx):
+            if j >= ns0:
+                continue
+            mass_after[i] = max(mass_after[i] - mret[j],
+                                0.1 * m0[i])
+        f["mass"] = jax.device_put(mass_after, sh)
+
+    def _seed_bh_rows(self, rows):
+        """Convert the given (global) gas rows to black holes
+        (fof_seed conversion: the gas particle becomes the BH, keeps
+        its dynamic mass, subgrid mass starts at the seed —
+        simulation_gas.seed_bh protocol on the sharded layout)."""
+        rows = np.atleast_1d(np.asarray(rows, dtype=np.int64))
+        if rows.size == 0:
+            return
+        f = self.fields
+        sh = NamedSharding(self.mesh, P("dp"))
+        ptyp = np.array(np.asarray(f["ptyp"]))
+        ptyp[rows] = 5
+        f["ptyp"] = jax.device_put(ptyp, sh)
+        bhm = np.array(np.asarray(f["bhm"]))
+        bhm[rows] = self.bhpar.SeedBlackHoleMass
+        f["bhm"] = jax.device_put(bhm, sh)
+
+    def _slab_blackhole_step(self, dtime: float):
+        """Accretion, feedback, swallowing, mergers, dyn. friction on
+        the slab layout (blackhole.cpp; the single-device
+        simulation_gas.blackhole_step protocol).  BHs are rare: the
+        pack is replicated in 64-BIT-ID ORDER (device-count-invariant
+        arbitration), the per-gas passes are distributed
+        (subgrid_slab.bh_feedback_slab / bh_swallow_slab), and
+        mergers run host-side on the unpadded pack."""
+        if not (self.bh_on and self.bhpar):
+            return
+        from ..physics.blackhole import (BHEnv, bh_accretion,
+                                         bh_mergers, bh_soundspeed,
+                                         dynamical_friction)
+        from ..utils.constants import LIGHTCGS
+        from ..core.particles import ipos_to_float
+        from .subgrid_slab import (source_env_slab, bh_feedback_slab,
+                                   bh_swallow_slab)
+        f = self.fields
+        alive_h = np.asarray(self._alive())
+        ptyp = np.asarray(f["ptyp"])
+        bh_rows = alive_h & (ptyp == 5)
+        if not bh_rows.any():
+            return
+        atime = self.atime()
+        a3inv = 1.0 / atime ** 3
+        idl = np.asarray(f["id_lo"])
+        ids64 = (np.asarray(f["id_hi"]).astype(np.uint64)
+                 << np.uint64(32)) | idl.astype(np.uint64)
+        idx = np.nonzero(bh_rows)[0]
+        idx = idx[np.argsort(ids64[idx])]
+        ns0 = len(idx)
+        nbkt = max(8, 1 << (ns0 - 1).bit_length())
+        idxp = np.pad(idx, (0, nbkt - ns0))
+        lane = np.arange(nbkt) < ns0
+
+        ipos_h = np.asarray(f["ipos"])
+        hsml_h = np.asarray(f["hsml"])
+        vel_h = np.asarray(f["vel"])
+        mass_h = np.array(np.asarray(f["mass"]))
+        hsml_bh = np.minimum(np.maximum(
+            hsml_h[idxp] * self.bhpar.BlackHoleNgbFactor, 1e-3),
+            self.bhpar.BlackHoleMaxAccretionRadius)
+        hsml_bh = np.where(lane, hsml_bh, 0.0).astype(np.float32)
+        s_ipos = jnp.asarray(ipos_h[idxp])
+        s_hsml = jnp.asarray(hsml_bh)
+
+        is_gas = (f["ptyp"] == 0) & self._alive()
+        mass_gas = jnp.where(is_gas, f["mass"], 0.0)
+        gasd = {"ipos": f["ipos"], "mass": mass_gas,
+                "entropy": f["entropy"], "vel": f["vel"]}
+        dens, sent, svel, fw = source_env_slab(
+            self.mesh, gasd, {"ipos": s_ipos, "hsml": s_hsml},
+            self.boxsize, self.kernel)
+        env = BHEnv(density=dens, entropy=sent, gas_vel=svel,
+                    feedback_weight=fw)
+
+        bhm = jnp.asarray(np.where(
+            lane, np.asarray(f["bhm"])[idxp], 0.0).astype(np.float32))
+        mdot = bh_accretion(bhm, jnp.asarray(vel_h[idxp]), env,
+                            atime, self.gravity.G, self.bhpar)
+        mdot = jnp.where(jnp.asarray(lane), mdot, 0.0)
+        bhm_new = bhm + mdot * dtime
+
+        # thermal feedback: E = eps_f * 0.1 Mdot c^2 dt (internal)
+        c_int = LIGHTCGS / self.bhpar.UnitVelocity_in_cm_per_s
+        energy = (self.bhpar.BlackHoleFeedbackFactor * 0.1 * mdot
+                  * dtime * c_int ** 2)
+        dent = bh_feedback_slab(
+            self.mesh,
+            {"ipos": f["ipos"], "mass": mass_gas,
+             "density": jnp.maximum(f["density"], 1e-35)},
+            {"ipos": s_ipos, "hsml": s_hsml, "energy": energy,
+             "fw": fw},
+            self.boxsize, a3inv, self.kernel)
+        f["entropy"] = jnp.where(is_gas, f["entropy"] + dent,
+                                 f["entropy"])
+
+        # stochastic swallowing closes the subgrid/dynamic mass gap
+        if self.rng_key is None:
+            self.rng_key = jax.random.PRNGKey(42)
+        self.rng_key, sub = jax.random.split(self.rng_key)
+        salt = int(jax.random.bits(sub, dtype=jnp.uint32))
+        deficit = jnp.maximum(
+            bhm_new - jnp.asarray(np.where(
+                lane, mass_h[idxp], 0.0).astype(np.float32)), 0.0)
+        swallowed_by, gain = bh_swallow_slab(
+            self.mesh, salt,
+            {"ipos": f["ipos"], "mass": mass_gas, "pid": f["id_lo"]},
+            {"ipos": s_ipos, "hsml": s_hsml, "deficit": deficit,
+             "rho": jnp.maximum(dens, 1e-35)},
+            self.boxsize, self.kernel)
+        sw = np.asarray(swallowed_by)
+        eaten_gas = np.nonzero(sw >= 0)[0]
+        if eaten_gas.size:
+            gain_h = np.asarray(gain)
+            mass_h[idx] += gain_h[:ns0]
+            mass_h[eaten_gas] = 0.0
+
+        # BH-BH mergers (host-side on the UNPADDED id-ordered pack)
+        bhm_np = np.asarray(bhm_new)
+        cs = np.asarray(bh_soundspeed(env.entropy, env.density,
+                                      atime))
+        eaten_by, msub2, mdyn2 = bh_mergers(
+            ipos_to_float(ipos_h[idx], self.boxsize), vel_h[idx],
+            hsml_bh[:ns0], bhm_np[:ns0], mass_h[idx], ids64[idx],
+            atime, cs[:ns0], self.boxsize)
+        bhm_h = np.array(np.asarray(f["bhm"]))
+        mdot_h = np.array(np.asarray(f["bhmd"]))
+        if (eaten_by >= 0).any():
+            bhm_h[idx] = msub2
+            mass_h[idx] = mdyn2
+            dead = idx[eaten_by >= 0]
+            mass_h[dead] = 0.0
+        else:
+            bhm_h[idx] = bhm_np[:ns0]
+        mdot_h[idx] = np.asarray(mdot)[:ns0]
+        sh = NamedSharding(self.mesh, P("dp"))
+        f["mass"] = jax.device_put(mass_h, sh)
+        f["bhm"] = jax.device_put(bhm_h, sh)
+        f["bhmd"] = jax.device_put(mdot_h, sh)
+
+        # dynamical friction from the collisionless background
+        if self.bh_dynfric_on:
+            from .subgrid_slab import veldisp_slab
+            alive2 = self._alive()
+            coll = alive2 & (f["ptyp"] != 0) & (f["ptyp"] != 5)
+            n_coll = int(jnp.sum(coll.astype(jnp.int32)))
+            if n_coll:
+                sep = self.boxsize / max(n_coll, 1) ** (1.0 / 3.0)
+                bh_mask = np.zeros(len(ptyp), bool)
+                bh_mask[idx] = mass_h[idx] > 0
+                radius0 = jnp.asarray(np.where(
+                    bh_mask, 2 * sep, 0.0).astype(np.float32))
+                sigma, _, rho, _ = veldisp_slab(
+                    self.mesh,
+                    {"ipos": f["ipos"],
+                     "mass": jnp.where(coll, f["mass"], 0.0),
+                     "vel": f["vel"]},
+                    radius0, self.boxsize, atime,
+                    nlevels=self.gravity.tree_nlevels,
+                    ncrit=self.gravity.tree_ncrit,
+                    caps=self._veldisp_caps,
+                    cuts_in=(self._cuts_dev if self.balance_domains
+                             else None))
+                adf = dynamical_friction(
+                    f["vel"], rho, sigma, f["bhm"], atime,
+                    self.gravity.G)
+                bh_m = jnp.asarray(bh_mask)
+                f["vel"] = jnp.where(
+                    bh_m[:, None],
+                    f["vel"] + adf * jnp.float32(dtime), f["vel"])
+
+    def _update_vdisp_slab(self):
+        """PM-cadence refresh of the per-gas DM velocity dispersion
+        for sigma-based wind models (run.cpp:662-663;
+        subgrid_slab.veldisp_slab over the slab ghost halos)."""
+        from ..physics.winds import WIND_FIXED_EFFICIENCY
+        if not (self.has_gas and self.winds_on and self.windpar) or \
+                self.windpar.has(WIND_FIXED_EFFICIENCY):
+            return
+        from .subgrid_slab import veldisp_slab
+        f = self.fields
+        alive = self._alive()
+        is_gas = (f["ptyp"] == 0) & alive
+        is_dm = (f["ptyp"] == 1) & alive
+        dm_mass = jnp.where(is_dm, f["mass"], 0.0)
+        radius0 = jnp.where(is_gas,
+                            jnp.maximum(f["hsml"] * 2, 1e-3), 0.0)
+        sigma, _, _, _ = veldisp_slab(
+            self.mesh,
+            {"ipos": f["ipos"], "mass": dm_mass, "vel": f["vel"]},
+            radius0, self.boxsize, self.atime(),
+            nlevels=self.gravity.tree_nlevels,
+            ncrit=self.gravity.tree_ncrit,
+            caps=self._veldisp_caps,
+            cuts_in=self._cuts_dev if self.balance_domains else None)
+        f["vdsp"] = jnp.where(is_gas, sigma, f["vdsp"])
 
     # ---------------- KDK pieces ----------------
     def _drift_all(self, ti_next: int):
@@ -784,7 +1224,16 @@ class SlabSimulation:
             bins = f["tbin"].astype(jnp.int32)
             hkf = jnp.where(is_gas, hk[bins], 0.0)
             dtef = jnp.where(is_gas, dte[bins], 0.0)
-            f["vel"] = f["vel"] + f["hacc"] * hkf[:, None]
+            vel = f["vel"] + f["hacc"] * hkf[:, None]
+            # hard gas velocity cap (do_hydro_kick,
+            # timestep.cpp:988-998 MaxGasVel)
+            atime = self.atime()
+            vv = jnp.linalg.norm(vel, axis=-1)
+            over = is_gas & (vv / atime > self.tsp.MaxGasVel) \
+                & (vv > 0)
+            scale = jnp.where(over, self.tsp.MaxGasVel * atime
+                              / jnp.maximum(vv, 1e-35), 1.0)
+            f["vel"] = vel * scale[:, None]
             f["entropy"] = f["entropy"] + dtef * f["dts"]
 
     def _apply_pm_half_kick(self):
@@ -911,14 +1360,29 @@ class SlabSimulation:
             if is_pm and not first:
                 self._apply_pm_half_kick()
 
+            # FOF-cadence physics on PM steps: BH seeding searches
+            # (run.cpp:637-660)
+            if is_pm and not first and self.on_pm_step is not None:
+                self.on_pm_step(self)
+
             # Strang-split sources after the kick (run.cpp:604-681)
             if self.has_gas and not first \
                     and (self.cooling_on or self.sfr_on):
+                if is_pm:
+                    # sigma-based winds refresh vdisp once per PM
+                    # step (run.cpp:662-663)
+                    self._update_vdisp_slab()
                 dloga_src = self.timeline.get_dloga_for_bin(
                     max(times.mintimebin, 1), times.ti_current)
                 hubble = float(self.CP.hubble_function(self.atime()))
                 self._gas_source_terms(dloga_src / hubble)
                 self._wt("Cooling")
+                # black holes: accretion/feedback/swallow/mergers
+                self._slab_blackhole_step(dloga_src / hubble)
+                self._wt("BH")
+                # stellar mass + metal return (metal_return.cpp)
+                self._slab_metal_return()
+                self._wt("MetalReturn")
 
             sp = self.timeline.find_current_sync_point(
                 times.ti_current)

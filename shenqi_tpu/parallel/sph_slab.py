@@ -469,7 +469,7 @@ def make_stencil_hydro_pass(mesh, par: HydroParams, width_fp: int,
 
 def _cached_density_pass(mesh, boxsize, width, spec, nlv, ncrit,
                          maxl, with_cuts=False):
-    key = ("dens", id(mesh), boxsize, width, spec, nlv, ncrit, maxl,
+    key = ("dens", mesh, boxsize, width, spec, nlv, ncrit, maxl,
            with_cuts)
     fn = _PASS_CACHE.get(key)
     if fn is None:
@@ -482,7 +482,7 @@ def _cached_density_pass(mesh, boxsize, width, spec, nlv, ncrit,
 
 def _cached_hydro_pass(mesh, par, width, spec, nlv, ncrit, maxl,
                        with_cuts=False):
-    key = ("hyd", id(mesh), par, width, spec, nlv, ncrit, maxl,
+    key = ("hyd", mesh, par, width, spec, nlv, ncrit, maxl,
            with_cuts)
     fn = _PASS_CACHE.get(key)
     if fn is None:
@@ -495,7 +495,7 @@ def _cached_hydro_pass(mesh, par, width, spec, nlv, ncrit, maxl,
 
 def _cached_stencil_density_pass(mesh, boxsize, width, spec, kst,
                                  TBC, pcaps, with_cuts=False):
-    key = ("sdens", id(mesh), boxsize, width, spec, kst, TBC,
+    key = ("sdens", mesh, boxsize, width, spec, kst, TBC,
            tuple(pcaps), with_cuts)
     fn = _PASS_CACHE.get(key)
     if fn is None:
@@ -508,7 +508,7 @@ def _cached_stencil_density_pass(mesh, boxsize, width, spec, kst,
 
 def _cached_stencil_hydro_pass(mesh, par, width, spec, kst, TBC,
                                pcaps, lcap, with_cuts=False):
-    key = ("shyd", id(mesh), par.static_key(), float(par.boxsize),
+    key = ("shyd", mesh, par.static_key(), float(par.boxsize),
            width, spec, kst, TBC, tuple(pcaps), lcap, with_cuts)
     fn = _PASS_CACHE.get(key)
     if fn is None:

@@ -86,7 +86,7 @@ def gather_rows(mesh, fields: dict, mask, cap: int):
     """Gather up to cap masked rows PER DEVICE into replicated global
     buffers [D*cap].  Returns (dict, valid, n_overflow int)."""
     struct = tuple(sorted((k, fields[k].ndim) for k in fields))
-    key = ("gather", id(mesh), struct,
+    key = ("gather", mesh, struct,
            tuple(str(fields[k].dtype) for k, _ in struct), cap)
     fn = _PASS_CACHE.get(key)
     if fn is None:
@@ -163,7 +163,7 @@ def make_spawn_pass(mesh, struct, cap: int):
             f["smet"] = scat(f["smet"], f["met"][psafe])
         for k in ("enr", "tret", "sfr", "dtim", "grho", "entropy",
                   "density", "egywt", "dhsml_egy", "divv", "curlv",
-                  "dts", "mvsig", "dth"):
+                  "dts", "mvsig", "dth", "delay", "bhm", "bhmd"):
             if k in f:
                 f[k] = scat(f[k], jnp.zeros(cap, f[k].dtype))
         if "gacc" in f:
@@ -196,7 +196,7 @@ def spawn_stars_slab(mesh, fields: dict, spawn_mask, mstar, atime,
     grows capacity and retries when n_overflow > 0 (free-row
     exhaustion; SlotsIncreaseFactor analog)."""
     struct = tuple(sorted((k, fields[k].ndim) for k in fields))
-    key = ("spawn", id(mesh), struct,
+    key = ("spawn", mesh, struct,
            tuple(str(fields[k].dtype) for k, _ in struct), cap)
     fn = _PASS_CACHE.get(key)
     if fn is None:
@@ -260,7 +260,7 @@ def winds_slab(mesh, key, gas: dict, stars: dict, wp, boxsize,
     stars: replicated dict with ipos/hsml/mass/vdisp/pid ([S]; dead
     lanes mass=0, hsml=0).  Returns (vel, entropy, delay) sharded."""
     S = int(stars["hsml"].shape[0])
-    pkey = ("winds", id(mesh), tuple(sorted(vars(wp).items())),
+    pkey = ("winds", mesh, tuple(sorted(vars(wp).items())),
             float(boxsize), S)
     fn = _PASS_CACHE.get(pkey)
     if fn is None:
@@ -316,7 +316,7 @@ def source_env_slab(mesh, gas: dict, src: dict, boxsize,
     replicated [S].  gas: sharded ipos/mass/entropy/vel (mass 0 =
     dead/non-gas)."""
     S = int(src["hsml"].shape[0])
-    key = ("senv", id(mesh), float(boxsize), S, spec)
+    key = ("senv", mesh, float(boxsize), S, spec)
     fn = _PASS_CACHE.get(key)
     if fn is None:
         fn = make_source_env_pass(mesh, float(boxsize), S, spec)
@@ -358,12 +358,128 @@ def metal_return_slab(mesh, gas: dict, stars: dict, boxsize,
     ipos/hsml/mret/zret/fw (fw from source_env_slab).  Returns
     (dmass, dmetalmass) sharded over the local gas rows."""
     S = int(stars["hsml"].shape[0])
-    key = ("mret", id(mesh), float(boxsize), S, spec)
+    key = ("mret", mesh, float(boxsize), S, spec)
     fn = _PASS_CACHE.get(key)
     if fn is None:
         fn = make_metal_return_pass(mesh, float(boxsize), S, spec)
         _PASS_CACHE[key] = fn
     return fn(gas, stars)
+
+
+# ---------------------------------------------------------------
+# black holes: feedback scatter + stochastic swallowing
+# (blackhole.cpp feedback/accretion ngbiter, distributed — BHs are
+# rare sources replicated to every device; per-gas work is local)
+# ---------------------------------------------------------------
+
+def make_bh_feedback_pass(mesh, boxsize: float, S: int,
+                          spec: KernelSpec):
+    from ..utils.constants import GAMMA_MINUS1
+
+    gas_specs = {"ipos": P("dp", None), "mass": P("dp"),
+                 "density": P("dp")}
+    bh_specs = {k: P() for k in ("ipos", "hsml", "energy", "fw")}
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(gas_specs, bh_specs, P()),
+             out_specs=P("dp"), check_vma=False)
+    def one_pass(gas, bh, a3inv):
+        to_f = jnp.float32(boxsize / POS_SCALE)
+        dist = (gas["ipos"][:, None, :]
+                - bh["ipos"][None, :, :]).astype(
+            jnp.int32).astype(jnp.float32) * to_f
+        r2 = jnp.sum(dist * dist, axis=-1)            # [C, S]
+        H = bh["hsml"][None, :]
+        inside = (r2 < H * H) & (gas["mass"][:, None] > 0) \
+            & (bh["energy"][None, :] > 0)
+        u = jnp.minimum(jnp.sqrt(r2) / jnp.maximum(H, 1e-35), 1.0)
+        w = jnp.where(inside,
+                      kern_wk(spec, u, jnp.maximum(H, 1e-35)), 0.0)
+        # deltaU = wk m / FeedbackWeightSum * E / m_gas
+        share = (w * gas["mass"][:, None]
+                 / jnp.maximum(bh["fw"][None, :], 1e-35)
+                 * bh["energy"][None, :])
+        du = jnp.sum(share, axis=1) / jnp.maximum(gas["mass"],
+                                                  1e-35)
+        enttou = (gas["density"] * a3inv) ** GAMMA_MINUS1 \
+            / GAMMA_MINUS1
+        return du / jnp.maximum(enttou, 1e-35)
+
+    return jax.jit(one_pass)
+
+
+def bh_feedback_slab(mesh, gas: dict, bh: dict, boxsize, a3inv,
+                     spec: KernelSpec = CUBIC):
+    """Thermal feedback entropy increments to local gas
+    (bh_thermal_feedback distributed).  gas: sharded
+    ipos/mass/density (mass 0 = dead/non-gas); bh: replicated [S]
+    ipos/hsml/energy/fw.  Returns dent sharded [C]."""
+    S = int(bh["hsml"].shape[0])
+    key = ("bhfb", mesh, float(boxsize), S, spec)
+    fn = _PASS_CACHE.get(key)
+    if fn is None:
+        fn = make_bh_feedback_pass(mesh, float(boxsize), S, spec)
+        _PASS_CACHE[key] = fn
+    return fn(gas, bh, jnp.float32(a3inv))
+
+
+def make_bh_swallow_pass(mesh, boxsize: float, S: int,
+                         spec: KernelSpec):
+    from ..physics.winds import idhash_uniform
+
+    gas_specs = {"ipos": P("dp", None), "mass": P("dp"),
+                 "pid": P("dp")}
+    bh_specs = {k: P() for k in ("ipos", "hsml", "deficit", "rho")}
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(gas_specs, bh_specs, P()),
+             out_specs=(P("dp"), P()), check_vma=False)
+    def one_pass(gas, bh, salt):
+        to_f = jnp.float32(boxsize / POS_SCALE)
+        dist = (gas["ipos"][:, None, :]
+                - bh["ipos"][None, :, :]).astype(
+            jnp.int32).astype(jnp.float32) * to_f
+        r2 = jnp.sum(dist * dist, axis=-1)            # [C, S]
+        H = bh["hsml"][None, :]
+        inside = (r2 < H * H) & (gas["mass"][:, None] > 0)
+        u = jnp.minimum(jnp.sqrt(r2) / jnp.maximum(H, 1e-35), 1.0)
+        w = jnp.where(inside,
+                      kern_wk(spec, u, jnp.maximum(H, 1e-35)), 0.0)
+        prob = jnp.clip(bh["deficit"][None, :] * w
+                        / jnp.maximum(bh["rho"][None, :], 1e-35),
+                        0.0, 1.0)
+        # draws keyed by (salt + BH slot, gas id): layout- and
+        # device-count-invariant (get_random_number(ID) scheme)
+        draw = jax.vmap(
+            lambda s: idhash_uniform(salt + s, gas["pid"], 3),
+            out_axes=1)(jnp.arange(S, dtype=jnp.uint32))
+        hit = (draw < prob) & inside
+        any_hit = jnp.any(hit, axis=1)
+        first = jnp.argmax(hit, axis=1).astype(jnp.int32)
+        swallowed_by = jnp.where(any_hit, first, -1)
+        gain = jnp.zeros(S, jnp.float32).at[first].add(
+            jnp.where(any_hit, gas["mass"], 0.0))
+        return swallowed_by, jax.lax.psum(gain, "dp")
+
+    return jax.jit(one_pass)
+
+
+def bh_swallow_slab(mesh, salt, gas: dict, bh: dict, boxsize,
+                    spec: KernelSpec = CUBIC):
+    """Stochastic gas swallowing (bh_swallow_gas distributed): each
+    local gas neighbour is swallowed with p = deficit*wk/rho_bh,
+    claimed by the FIRST hit slot in the replicated (id-ordered) BH
+    pack.  gas: sharded ipos/mass/pid (mass 0 = dead/non-gas); bh:
+    replicated [S] ipos/hsml/deficit/rho.  Returns
+    (swallowed_by [C] int32 slot or -1 sharded,
+     dyn_mass_gain [S] replicated)."""
+    S = int(bh["hsml"].shape[0])
+    key = ("bhsw", mesh, float(boxsize), S, spec)
+    fn = _PASS_CACHE.get(key)
+    if fn is None:
+        fn = make_bh_swallow_pass(mesh, float(boxsize), S, spec)
+        _PASS_CACHE[key] = fn
+    return fn(gas, bh, jnp.uint32(salt))
 
 
 # ---------------------------------------------------------------
@@ -438,7 +554,7 @@ def make_veldisp_pass(mesh, boxsize: float, width_fp: int,
 
 def _cached_veldisp_pass(mesh, boxsize, width, nlv, ncrit, maxl,
                          with_cuts=False):
-    key = ("vdisp", id(mesh), boxsize, width, nlv, ncrit, maxl,
+    key = ("vdisp", mesh, boxsize, width, nlv, ncrit, maxl,
            with_cuts)
     fn = _PASS_CACHE.get(key)
     if fn is None:

@@ -227,7 +227,7 @@ def starformation_step(key, density, egywt_density, entropy, mass, ne,
                        metallicity, generation, dtime, a3inv, redshift,
                        uvbg: UVBG, sp: SFRParams, coolpar: CoolingParams,
                        cu: CoolingUnits, is_gas, gradrho_mag=None,
-                       hsml=None) -> SFResult:
+                       hsml=None, pids=None) -> SFResult:
     """One SF + cooling source step for all gas (vectorized).
 
     Implements cooling_and_starformation's per-particle work
@@ -281,8 +281,20 @@ def starformation_step(key, density, egywt_density, entropy, mass, ne,
     ne_new = jnp.where(is_gas, ne_new, ne)
 
     # --- metal enrichment from unresolved SN (sfr_eff.cpp:741) ---
+    # with pids: draws keyed by (step salt, id) — the reference's
+    # get_random_number(P[i].ID) / (ID + 1) scheme (sfr_eff.cpp:739,
+    # 750) — so SF decisions are independent of row layout and device
+    # count (slab runs reproduce the single-device stream)
     k1, k2, k3 = jax.random.split(key, 3)
-    w = jax.random.uniform(k1, mass.shape)
+    if pids is not None:
+        from .winds import idhash_uniform
+        salt = jax.random.bits(k1, dtype=jnp.uint32)
+        w = idhash_uniform(salt, pids.astype(jnp.uint32), 0)
+        u_form = idhash_uniform(salt,
+                                pids.astype(jnp.uint32) + 1, 0)
+    else:
+        w = jax.random.uniform(k1, mass.shape)
+        u_form = jax.random.uniform(k2, mass.shape)
     metallicity_new = metallicity + jnp.where(
         on, w * METAL_YIELD * frac / sp.Generations, 0.0)
 
@@ -293,7 +305,7 @@ def starformation_step(key, density, egywt_density, entropy, mass, ne,
         (generation > sp.Generations)
     mass_of_star = jnp.where(whole, mass, mass_of_star)
     prob = dM / jnp.maximum(mass_of_star, 1e-30)
-    form = (jax.random.uniform(k2, mass.shape) < prob) & on
+    form = (u_form < prob) & on
     # remainder metals for particles that did not convert entirely
     keeps_gas = (~form) | (~whole)
     metallicity_new = metallicity_new + jnp.where(

@@ -619,6 +619,16 @@ class Simulation:
             dtef = jnp.where(is_gas, dte[bins], 0.0)
             vel = vel.at[:ng].add(self.gas.hydro_accel
                                   * hkf[:, None])
+            # hard gas velocity cap (do_hydro_kick,
+            # timestep.cpp:988-998 MaxGasVel): rarely hit, but
+            # uncapped it lets a single sick pair run away
+            atime = self.atime()
+            vv = jnp.linalg.norm(vel[:ng], axis=-1)
+            over = is_gas & (vv / atime > self.tsp.MaxGasVel) \
+                & (vv > 0)
+            scale = jnp.where(over, self.tsp.MaxGasVel * atime
+                              / jnp.maximum(vv, 1e-35), 1.0)
+            vel = vel.at[:ng].multiply(scale[:, None])
             ent = self.gas.entropy + dtef * self.gas.dt_entropy
             self.gas = dataclasses.replace(self.gas, entropy=ent)
         self.particles = dataclasses.replace(p, vel=vel)
@@ -722,7 +732,10 @@ class Simulation:
                 # density/hydro queue ONLY the active-bin gas
                 # (run.cpp:488-505 ActiveParticles); first step and
                 # PM-sync steps naturally activate everyone
-                act = None if first else np.asarray(
+                import os as _os
+                all_sph = _os.environ.get("SHENQI_ACTIVE_SPH",
+                                          "1") == "0"
+                act = None if (first or all_sph) else np.asarray(
                     self._active_mask())
                 self.gas = self.gas_physics.density_hydro(
                     self, self.gas, active=act)

@@ -66,7 +66,9 @@ class GasState:
     last_enrich_myr: jax.Array  # stellar age already enriched, Myr
     mass0: jax.Array            # stellar mass at formation
     total_returned: jax.Array   # cumulative returned mass fraction
-    # black hole rows (gas rows flipped to ptype BH keep their row):
+    # black hole rows, FULL-length [ntot] (usually gas rows flipped
+    # to ptype BH in place, but resumed snapshots place type-5 rows
+    # beyond the gas prefix):
     bh_mass: jax.Array          # subgrid BH mass (0 = not BH)
     bh_mdot: jax.Array          # last accretion rate
     # helium reionization flag (cooling_qso_lightup)
@@ -98,7 +100,7 @@ class GasState:
             delay_time=z(), generation=jnp.zeros(ngas, jnp.int32),
             vdisp=jnp.full(ngas, 100.0, jnp.float32),
             birth_a=zt(), last_enrich_myr=zt(), mass0=zt(),
-            total_returned=zt(), bh_mass=z(), bh_mdot=z(),
+            total_returned=zt(), bh_mass=zt(), bh_mdot=zt(),
             heiii=jnp.zeros(ngas, bool), star_metallicity=zt(),
             local_j21=z(),
             zreion_p=jnp.full(ngas, -1.0, jnp.float32),
@@ -547,7 +549,8 @@ class GasPhysics:
                 gas.entropy, p.mass[:ng], gas.ne, gas.metallicity,
                 gas.generation, dtime, a3inv, redshift, uvbg,
                 self.sfrpar, self.coolpar, self.coolunits, gas_alive,
-                gradrho_mag=gas.gradrho_mag, hsml=p.hsml[:ng])
+                gradrho_mag=gas.gradrho_mag, hsml=p.hsml[:ng],
+                pids=p.id_lo[:ng])
             gas = dataclasses.replace(
                 gas, entropy=res.entropy, ne=res.ne,
                 metallicity=res.metallicity, sfr=res.sfr)
@@ -857,8 +860,7 @@ class GasPhysics:
             return gas
         p = sim.particles
         ng = gas.ngas
-        bh_rows = (np.asarray(p.mask[:ng])
-                   & (np.asarray(p.ptype[:ng]) == BH))
+        bh_rows = np.asarray(p.mask) & (np.asarray(p.ptype) == BH)
         if not bh_rows.any():
             return gas
         idx = np.nonzero(bh_rows)[0]

@@ -27,6 +27,230 @@ from tests.test_slab_sim import _cosmo, BOX, NMESH
 TREECOOL = "/root/reference/examples/TREECOOL_ep_2018p"
 
 
+def test_slab_sf_winds_device_count_invariant():
+    """SF + generation-split star spawning + subgrid winds in the
+    slab source step are DEVICE-COUNT INVARIANT: all stochastic draws
+    are keyed by (step salt, particle id) — the reference's
+    get_random_number(ID) scheme (sfr_eff.cpp:739,750,
+    winds.cpp:542) — so a 1-device and an 8-device run produce
+    identical particles, aligned by 64-bit id."""
+    import jax
+    from shenqi_tpu.physics.cooling_rates import CoolingParams
+    from shenqi_tpu.physics.sfr import SFRParams
+    from shenqi_tpu.physics.winds import WindParams, WIND_MODEL_SH03
+    from shenqi_tpu.physics.cooling_rates import UVBG
+    from shenqi_tpu.utils.constants import GAMMA_MINUS1
+
+    cp = _cosmo()
+    units = get_unitsystem(3.085678e21, 1.989e43, 1e5)
+    a0 = 0.25
+    (pg, vg, ig), (pd, vd, idd), n = _gas_dm_ics(ng=8, seed=11)
+    m_g, m_d = 1e-3, 4e-3
+
+    coolpar = CoolingParams(fBar=cp.OmegaBaryon
+                            / max(cp.Omega0 - cp.OmegaBaryon, 1e-10))
+    cu = CoolingUnits.create(units, cp.HubbleParam)
+    sp = SFRParams(Generations=4)
+    sp.init(cp, units, avg_baryon_mass=m_g, uvbg0=UVBG(),
+            coolpar=coolpar)
+    wp = WindParams(WindModel=WIND_MODEL_SH03,
+                    WindFreeTravelLength=20.0)
+    wp.init(sp.FactorSN, sp.EgySpecSN, sp.PhysDensThresh,
+            units.UnitTime_in_s)
+
+    a3inv = 1.0 / a0 ** 3
+
+    def build(ndev):
+        tl = Timeline.setup([0.26], a0, 0.26)
+        sim = SlabSimulation.from_species(
+            make_mesh(ndev), [(0, pg, vg, m_g, ig),
+                              (1, pd, vd, m_d, idd)],
+            cp, BOX, NMESH, tl, a0, gas_u0=100.0,
+            tsp=TimestepParams())
+        sim.sfr_on = True
+        sim.cooling_on = True
+        sim.coolpar = coolpar
+        sim.coolunits = cu
+        sim.sfrpar = sp
+        sim.winds_on = True
+        sim.windpar = wp
+        sim.rng_key = jax.random.PRNGKey(7)
+        # force a known gas state KEYED BY ID (the two layouts
+        # differ): half the gas SF-dense, 1e4 K
+        f = sim.fields
+        is_gas = (f["ptyp"] == 0) & (f["mass"] > 0)
+        dens = jnp.where(f["id_lo"] % 2 == 0, 20.0, 0.01) \
+            * sp.PhysDensThresh / a3inv
+        dens = jnp.where(is_gas, dens, 0.0)
+        u0 = sp.temp_to_u * 1e4
+        ent = u0 * GAMMA_MINUS1 / jnp.maximum(
+            dens * a3inv, 1e-35) ** GAMMA_MINUS1
+        f["density"] = dens
+        f["egywt"] = dens
+        f["entropy"] = jnp.where(is_gas, ent, f["entropy"])
+        f["hsml"] = jnp.where(is_gas, 50.0, f["hsml"])
+        return sim
+
+    out = {}
+    for ndev in (1, 8):
+        sim = build(ndev)
+        sim._gas_source_terms(dtime=1e-2)
+        sim._gas_source_terms(dtime=1e-2)   # second step: re-spawns
+        g = sim.gather_alive()
+        o = np.argsort(g["id"])
+        out[ndev] = {k: v[o] for k, v in g.items()}
+        assert sim.star_count > 0, "no stars formed; test is vacuous"
+
+    a, b = out[1], out[8]
+    np.testing.assert_array_equal(a["id"], b["id"])
+    np.testing.assert_array_equal(a["ptyp"], b["ptyp"])
+    np.testing.assert_array_equal(a["gen"], b["gen"])
+    assert (a["ptyp"] == 4).sum() > 0, "no star rows"
+    # split children exist (generation byte set in the id)
+    assert ((a["id"] >> np.uint64(56)) > 0).sum() > 0
+    for k in ("mass", "entropy", "met", "sfr", "ne", "delay",
+              "birtha", "m0", "smet"):
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-6, atol=1e-12,
+                                   err_msg=k)
+    np.testing.assert_allclose(a["vel"], b["vel"], rtol=1e-6,
+                               atol=1e-10)
+    # winds actually kicked something (delay set somewhere)
+    assert (a["delay"] > 0).any()
+    # mass conservation through spawns
+    np.testing.assert_allclose(a["mass"].sum(),
+                               n * m_g + n * m_d, rtol=1e-5)
+
+
+def test_slab_metal_return_device_count_invariant():
+    """Distributed metal return in the slab loop: deterministic
+    (yield integrals per star, kernel scatter to gas), so 1-device
+    and 8-device runs must agree exactly, with mass conserved."""
+    from shenqi_tpu.physics.metal_return import MetalReturn
+    import os
+    cp = _cosmo()
+    a0 = 0.3
+    (pg, vg, ig), (pd, vd, idd), n = _gas_dm_ics(ng=8, seed=13)
+    m_g, m_d = 1e-3, 4e-3
+    ydir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data_yields")
+    metals = MetalReturn.load(ydir)
+
+    def build(ndev):
+        tl = Timeline.setup([0.31], a0, 0.31)
+        sim = SlabSimulation.from_species(
+            make_mesh(ndev), [(0, pg, vg, m_g, ig),
+                              (1, pd, vd, m_d, idd)],
+            cp, BOX, NMESH, tl, a0, gas_u0=100.0,
+            tsp=TimestepParams())
+        sim.metal_return_on = True
+        sim.metals = metals
+        # convert every 16th gas row (by id) into an old star
+        f = sim.fields
+        is_gas = (f["ptyp"] == 0) & (f["mass"] > 0)
+        star = is_gas & (f["id_lo"] % 16 == 0)
+        f["ptyp"] = jnp.where(star, jnp.int32(4), f["ptyp"])
+        f["birtha"] = jnp.where(star, jnp.float32(0.1), f["birtha"])
+        f["m0"] = jnp.where(star, f["mass"], f["m0"])
+        f["smet"] = jnp.where(star, jnp.float32(0.01), f["smet"])
+        f["hsml"] = jnp.where(f["mass"] > 0, 120.0, f["hsml"])
+        return sim
+
+    out = {}
+    for ndev in (1, 8):
+        sim = build(ndev)
+        m_before = float(jnp.sum(sim.fields["mass"]))
+        sim._slab_metal_return()
+        m_after = float(jnp.sum(sim.fields["mass"]))
+        np.testing.assert_allclose(m_after, m_before, rtol=1e-5)
+        g = sim.gather_alive()
+        o = np.argsort(g["id"])
+        out[ndev] = {k: v[o] for k, v in g.items()}
+        # ejecta actually moved: stars lost mass, gas gained metals
+        stars = out[ndev]["ptyp"] == 4
+        assert (out[ndev]["tret"][stars] > 0).any()
+        assert (out[ndev]["met"][~stars] > 0).any()
+
+    a, b = out[1], out[8]
+    np.testing.assert_array_equal(a["id"], b["id"])
+    for k in ("mass", "met", "tret", "enr"):
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-5,
+                                   atol=1e-12, err_msg=k)
+
+
+def test_slab_blackhole_device_count_invariant():
+    """Distributed BH step (environment -> accretion -> feedback ->
+    id-keyed stochastic swallowing -> id-ordered mergers): 1-device
+    and 8-device runs agree, aligned by id.  Seeds with subgrid mass
+    far above dynamic mass force swallows; entropy rises from
+    feedback; total (dynamic) mass is conserved by the swallow
+    bookkeeping."""
+    import jax
+    from shenqi_tpu.physics.blackhole import BHParams
+    cp = _cosmo()
+    units = get_unitsystem(3.085678e21, 1.989e43, 1e5)
+    a0 = 0.3
+    (pg, vg, ig), (pd, vd, idd), n = _gas_dm_ics(ng=8, seed=17)
+    m_g, m_d = 1e-3, 4e-3
+    bhpar = BHParams(
+        SeedBlackHoleMass=5e-3, BlackHoleAccretionFactor=100.0,
+        BlackHoleNgbFactor=2.0, BlackHoleMaxAccretionRadius=200.0,
+        BlackHoleFeedbackFactor=0.05,
+        UnitVelocity_in_cm_per_s=1e5)
+
+    def build(ndev):
+        tl = Timeline.setup([0.31], a0, 0.31)
+        sim = SlabSimulation.from_species(
+            make_mesh(ndev), [(0, pg, vg, m_g, ig),
+                              (1, pd, vd, m_d, idd)],
+            cp, BOX, NMESH, tl, a0, gas_u0=100.0,
+            tsp=TimestepParams())
+        sim.bh_on = True
+        sim.bhpar = bhpar
+        sim.rng_key = jax.random.PRNGKey(5)
+        f = sim.fields
+        is_gas = (f["ptyp"] == 0) & (f["mass"] > 0)
+        f["density"] = jnp.where(is_gas, 1e-7, 0.0)
+        f["entropy"] = jnp.where(is_gas, 50.0, f["entropy"])
+        f["hsml"] = jnp.where(is_gas, 80.0, f["hsml"])
+        # seed BHs on gas rows chosen BY ID (layouts differ)
+        rows = np.nonzero(np.asarray(is_gas)
+                          & (np.asarray(f["id_lo"]) % 64 == 0))[0]
+        sim._seed_bh_rows(rows)
+        return sim
+
+    out = {}
+    for ndev in (1, 8):
+        sim = build(ndev)
+        m_before = float(jnp.sum(sim.fields["mass"]))
+        e_before = float(jnp.sum(jnp.where(
+            (sim.fields["ptyp"] == 0) & (sim.fields["mass"] > 0),
+            sim.fields["entropy"], 0.0)))
+        sim._slab_blackhole_step(dtime=5.0)
+        # dynamic mass conserved (swallowed gas lands on the BH)
+        np.testing.assert_allclose(
+            float(jnp.sum(sim.fields["mass"])), m_before, rtol=1e-5)
+        g = sim.gather_alive()
+        o = np.argsort(g["id"])
+        out[ndev] = ({k: v[o] for k, v in g.items()}, e_before)
+
+    (a, ea), (b, eb) = out[1], out[8]
+    np.testing.assert_array_equal(a["id"], b["id"])
+    bh = a["ptyp"] == 5
+    assert bh.sum() > 0
+    # accretion happened and matches across device counts
+    assert (a["bhmd"][bh] > 0).any()
+    for k in ("mass", "bhm", "bhmd", "entropy", "ptyp"):
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-5,
+                                   atol=1e-12, err_msg=k)
+    # swallows occurred (a seeded deficit of ~5x gas mass): some gas
+    # died, its mass moved onto BHs
+    n_alive_now = a["mass"].shape[0]
+    assert n_alive_now < 2 * n
+    # feedback heated the gas
+    e_after = a["entropy"][a["ptyp"] == 0].sum()
+    assert e_after > ea * 0.99
+
+
 def test_slab_cooling_matches_single_device():
     cp = _cosmo()
     units = get_unitsystem(3.085678e21, 1.989e43, 1e5)
