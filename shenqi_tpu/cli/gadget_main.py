@@ -268,7 +268,7 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
                 from ..physics.winds import WindParams
                 sim.winds_on = True
                 sim.windpar = WindParams(
-                    WindModel=ps.get_enum("WindModel") | 1,  # subgrid
+                    WindModel=ps.get_enum("WindModel"),
                     WindEfficiency=ps.get_double("WindEfficiency"),
                     WindEnergyFraction=ps.get_double(
                         "WindEnergyFraction"),
@@ -665,7 +665,7 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
             sfrpar.init(cp, units, avg_bar, UVBG(), coolpar)
             if winds_on:
                 windpar = WindParams(
-                    WindModel=ps.get_enum("WindModel") | 1,  # subgrid
+                    WindModel=ps.get_enum("WindModel"),
                     WindEfficiency=ps.get_double("WindEfficiency"),
                     WindEnergyFraction=ps.get_double(
                         "WindEnergyFraction"),

@@ -42,6 +42,7 @@ pencil FFT) are wired by the CLI (cli/gadget_main.py --mesh N).
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Optional
@@ -614,6 +615,17 @@ class SlabSimulation:
         mg("dth", dth)
         mg("grho", jnp.linalg.norm(res.grad_rho, axis=-1))
 
+        if os.environ.get("SHENQI_DEBUG_INIT"):
+            def _dbg(tag, *arrs):
+                for i, a in enumerate(arrs):
+                    x = np.asarray(a)[np.asarray(is_gas)]
+                    print(f"[dbg:{tag}:{i}] finite={np.isfinite(x).all()}"
+                          f" min={x.min():.4g} max={x.max():.4g}",
+                          flush=True)
+        else:
+            _dbg = lambda *a: None
+        _dbg("density", rho, egy_rho, entvar, hsml, f["egywt"])
+
         if self._entropy_is_u and first:
             # init_gas_entropy: IC u -> entropy.  With
             # pressure-entropy SPH this is the same fixed point as
@@ -660,6 +672,8 @@ class SlabSimulation:
                     is_gas,
                     jnp.abs(new_egywt - egywt)
                     / jnp.maximum(new_egywt, 1e-35), 0.0)))
+                _dbg(f"fp{j}", entropy, entvar_i, res2.egy_rho,
+                     new_egywt)
                 egywt = new_egywt
                 if maxdiff < 1e-3:
                     stop = True
@@ -667,6 +681,7 @@ class SlabSimulation:
             mg("egywt", jnp.maximum(egywt, 1e-35))
             self._entropy_is_u = False
             entvar = jnp.maximum(f["entropy"], 1e-35) ** (1.0 / GAMMA)
+            _dbg("postfp", f["entropy"], f["egywt"], entvar)
 
         # ---- hydro force ----
         atime = self.atime()
@@ -685,6 +700,15 @@ class SlabSimulation:
         f1 = balsara_f1(f["divv"], f["curlv"], cs, f["hsml"],
                         tf["fac_mu"])
         zs = jnp.zeros_like(press)
+        # per-row timebin dloga for the viscosity limiter
+        # (hydratree2.hpp:334-343); bin 0 -> 0 = limiter off
+        from ..core.timeline import TIMEBINS
+        dl_bin = np.zeros(TIMEBINS + 1, np.float32)
+        for b in range(1, TIMEBINS + 1):
+            dl_bin[b] = self.timeline.get_dloga_for_bin(
+                b, self.times.ti_current)
+        dloga_bin = jnp.asarray(dl_bin)[
+            jnp.clip(f["tbin"].astype(jnp.int32), 0, TIMEBINS)]
         if self.winds_on and self.windpar and "delay" in f:
             # wind particles are hydro-decoupled while delayed and
             # below the recoupling density (winds.cpp winds_is_particle_decoupled)
@@ -699,7 +723,7 @@ class SlabSimulation:
             "hsml": f["hsml"], "density": f["density"],
             "eomdensity": eom, "entvar": entvar, "pressure": press,
             "divvel": f["divv"], "curlvel": f["curlv"],
-            "dhsml_egy": f["dhsml_egy"], "dloga": zs,
+            "dhsml_egy": f["dhsml_egy"], "dloga": dloga_bin,
             "decoupled": decoupled,
             "f1": f1, "egyrho": eom, "dhsml": f["dhsml_egy"],
         }
@@ -716,6 +740,7 @@ class SlabSimulation:
                                         f["hacc"]))
         mg("dts", jnp.where(coupled, dts, 0.0))
         mg("mvsig", mvsig)
+        _dbg("posthydro", press, cs, f1, hacc, dts_raw, mvsig)
         self._wt("SPHHydro")
 
     def _gas_source_terms(self, dtime: float):
@@ -865,10 +890,13 @@ class SlabSimulation:
             sm = res.sfr * dtime / jnp.maximum(
                 self.sfrpar.UnitSfr_in_solar_per_year, 1e-35)
             self.rng_key, sub = jax.random.split(self.rng_key)
+            # reference queues gas that formed mass but did NOT
+            # spawn/convert (sfr_eff.cpp:271 newstar<0 -> flag -2)
             wres = winds_subgrid_step(
                 sub, f["vel"], f["entropy"], f["density"], f["delay"],
                 f["mass"], sm, f["vdsp"], atime, a3inv, wp,
-                eligible=form, pids=f["id_lo"])
+                eligible=is_gas & (res.sfr > 0) & ~form,
+                pids=f["id_lo"])
             vel, ent, delay0 = (wres.vel, wres.entropy,
                                 wres.delay_time)
         else:

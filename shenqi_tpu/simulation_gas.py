@@ -306,7 +306,18 @@ class GasPhysics:
                             nlevels=nlv,
                             ncrit=sim.gravity.tree_ncrit, hsml=hsml)
         order = tree.order
-        dloga_tab = jnp.zeros(ng, jnp.float32)  # viscosity limiter off
+        # per-row timebin dloga feeds the viscosity limiter
+        # (hydratree2.hpp:334-343: dloga = 2*max(bin_i, bin_j); without
+        # it a cold close pair's viscous kick can overshoot in one
+        # step and ratchet u unboundedly — the star-small a=0.111
+        # blow-up).  Bin 0 (fresh rows) gives dloga=0 = limiter off,
+        # matching the reference's first-step semantics.
+        from .core.timeline import TIMEBINS
+        dl_bin = np.zeros(TIMEBINS + 1, np.float32)
+        for b in range(1, TIMEBINS + 1):
+            dl_bin[b] = sim.timeline.get_dloga_for_bin(
+                b, sim.times.ti_current)
+        dloga_tab = jnp.asarray(dl_bin)[jnp.clip(bins, 0, TIMEBINS)]
         payload_h = {
             "ipos": tree.ipos_s, "mass": tree.mass_s,
             "hsml": hsml[order], "vel": vel_g[order],
@@ -584,7 +595,12 @@ class GasPhysics:
                         gas.entropy, gas.density, gas.delay_time,
                         sim.particles.mass[:ng], sm, gas.vdisp, atime,
                         a3inv, self.windpar,
-                        eligible=gas_alive & res.form_star,
+                        # reference queues gas that formed mass but
+                        # did NOT convert (sfr_eff.cpp:271 newstar<0
+                        # -> flag -2); converting rows become stars
+                        # and must not be wind-kicked
+                        eligible=(gas_alive & (res.sfr > 0)
+                                  & ~res.form_star),
                         pids=sim.particles.id_lo[:ng])
                     vel3, ent, delay0 = (wres.vel, wres.entropy,
                                          wres.delay_time)
@@ -601,10 +617,16 @@ class GasPhysics:
                     smask = jnp.asarray(
                         np.arange(nbkt) < ns0)
                     p2 = sim.particles
+                    # split spawns carry mass_of_star, not the
+                    # parent's full mass (sfr_wind_copy uses the
+                    # star's mass)
+                    star_m = jnp.where(res.convert_whole,
+                                       p2.mass[:ng],
+                                       res.mass_of_star)
                     vel3, ent, delay0 = winds_star_feedback(
                         self.next_key(), p2.ipos[sidx],
                         jnp.maximum(p2.hsml[sidx], 1e-3),
-                        jnp.where(smask, p2.mass[sidx], 0.0),
+                        jnp.where(smask, star_m[sidx], 0.0),
                         gas.vdisp[sidx],
                         p2.ipos[:ng], p2.mass[:ng], p2.vel[:ng],
                         gas.entropy, gas.density, gas.delay_time,
