@@ -654,6 +654,22 @@ class SlabSimulation:
                     is_gas,
                     jnp.maximum(entropy, 1e-35) ** (1.0 / GAMMA),
                     0.0)
+                if j == 0 and os.environ.get(
+                        "SHENQI_DEBUG_INIT") == "dump":
+                    np.savez("/tmp/fp0_inputs.npz",
+                             ipos=np.asarray(f["ipos"]),
+                             mass=np.asarray(mass_gas),
+                             entvar=np.asarray(entvar_i),
+                             hsml=np.asarray(f["hsml"]),
+                             cuts=(np.asarray(cuts)
+                                   if cuts is not None
+                                   else np.zeros(0)),
+                             boxsize=self.boxsize,
+                             caps_width=self._sph_caps.get(
+                                 "width", 0),
+                             caps_maxl=self._sph_caps.get(
+                                 "maxl", 128),
+                             caps_nlv=self._sph_caps.get("nlv", 8))
                 res2, _ = density_pass_slab(
                     self.mesh,
                     {"ipos": f["ipos"], "mass": mass_gas,

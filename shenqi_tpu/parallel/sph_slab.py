@@ -468,29 +468,43 @@ def make_stencil_hydro_pass(mesh, par: HydroParams, width_fp: int,
 
 
 def _cached_density_pass(mesh, boxsize, width, spec, nlv, ncrit,
-                         maxl, with_cuts=False):
+                         maxl, with_cuts=False, nb=None):
     key = ("dens", mesh, boxsize, width, spec, nlv, ncrit, maxl,
-           with_cuts)
+           with_cuts, nb)
     fn = _PASS_CACHE.get(key)
     if fn is None:
         fn = make_density_pass(mesh, boxsize, width, spec,
                                nlevels=nlv, ncrit=ncrit, maxl=maxl,
-                               with_cuts=with_cuts)
+                               with_cuts=with_cuts, nb=nb)
         _PASS_CACHE[key] = fn
     return fn
 
 
 def _cached_hydro_pass(mesh, par, width, spec, nlv, ncrit, maxl,
-                       with_cuts=False):
+                       with_cuts=False, nb=None):
     key = ("hyd", mesh, par, width, spec, nlv, ncrit, maxl,
-           with_cuts)
+           with_cuts, nb)
     fn = _PASS_CACHE.get(key)
     if fn is None:
         fn = make_hydro_pass(mesh, par, width, spec, nlevels=nlv,
                              ncrit=ncrit, maxl=maxl,
-                             with_cuts=with_cuts)
+                             with_cuts=with_cuts, nb=nb)
         _PASS_CACHE[key] = fn
     return fn
+
+
+def _grow_nb(caps, mesh, nrows, block=64):
+    """Double the walk's neighbour-BLOCK list cap (treewalk.py `nb`)
+    after a block_overflow — overflow drops/garbles block visits and
+    the affected targets come back NaN, so the pass MUST be retried
+    (the single-device analog grows caps[('nb', nsub)],
+    sph/density.py:351-356)."""
+    C = nrows // mesh.devices.size
+    nb0 = caps.get("nb")
+    if nb0 is None:
+        nb0 = max(2 * ((C + block - 1) // block), 8)
+        nb0 = 1 << (nb0 - 1).bit_length()
+    caps["nb"] = nb0 * 2
 
 
 def _cached_stencil_density_pass(mesh, boxsize, width, spec, kst,
@@ -547,7 +561,8 @@ def density_pass_slab(mesh, fields, hsml, boxsize,
     while True:
         fn = _cached_density_pass(mesh, boxsize, caps["width"], spec,
                                   caps["nlv"], ncrit, caps["maxl"],
-                                  with_cuts=cuts_in is not None)
+                                  with_cuts=cuts_in is not None,
+                                  nb=caps.get("nb"))
         args = (fields, hsml) + ((cuts_in,)
                                  if cuts_in is not None else ())
         res, info = fn(*args)
@@ -560,6 +575,9 @@ def density_pass_slab(mesh, fields, hsml, boxsize,
             grew = True
         if int(info["width_exceeded"]):
             caps["width"] *= 2
+            grew = True
+        if int(info["block_overflow"]):
+            _grow_nb(caps, mesh, fields["ipos"].shape[0])
             grew = True
         if not grew:
             return res, info
@@ -640,7 +658,8 @@ def hydro_slab(mesh, fields, par: HydroParams, tf,
     while True:
         fn = _cached_hydro_pass(mesh, par, caps["width"], spec,
                                 caps["nlv"], ncrit, caps["maxl"],
-                                with_cuts=cuts_in is not None)
+                                with_cuts=cuts_in is not None,
+                                nb=caps.get("nb"))
         args = (fields, tf) + ((cuts_in,)
                                if cuts_in is not None else ())
         out, info = fn(*args)
@@ -653,6 +672,9 @@ def hydro_slab(mesh, fields, par: HydroParams, tf,
             grew = True
         if int(info["width_exceeded"]):
             caps["width"] *= 2
+            grew = True
+        if int(info["block_overflow"]):
+            _grow_nb(caps, mesh, fields["ipos"].shape[0])
             grew = True
         if not grew:
             return out, info
@@ -725,7 +747,8 @@ def density_slab(mesh, fields, hsml0, boxsize, spec: KernelSpec = CUBIC,
         while True:
             fn = _cached_density_pass(
                 mesh, boxsize, caps["width"], spec, caps["nlv"],
-                ncrit, caps["maxl"], with_cuts=cuts_in is not None)
+                ncrit, caps["maxl"], with_cuts=cuts_in is not None,
+                nb=caps.get("nb"))
             args = (fields, hsml) + ((cuts_in,)
                                      if cuts_in is not None else ())
             if _dbg:
@@ -745,6 +768,9 @@ def density_slab(mesh, fields, hsml0, boxsize, spec: KernelSpec = CUBIC,
                 grew = True
             if int(info["width_exceeded"]):
                 caps["width"] *= 2
+                grew = True
+            if int(info["block_overflow"]):
+                _grow_nb(caps, mesh, fields["ipos"].shape[0])
                 grew = True
             if not grew:
                 return res, info

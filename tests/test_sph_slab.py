@@ -262,3 +262,37 @@ def test_slab_density_stencil_matches_walk():
     np.testing.assert_allclose(np.asarray(dts_s)[alive],
                                np.asarray(dts_w)[alive],
                                rtol=2e-4, atol=1e-5 * ds)
+
+
+def test_density_pass_nb_regrow_no_nan():
+    """Regression: huge-hsml fixed-hsml pass (the pressure-entropy
+    init fixed point) overflowed the walk's neighbour-BLOCK list
+    (treewalk `nb`) and density_pass_slab returned the overflow
+    rows as NaN instead of regrowing — NaN entropy poisoned every
+    gas row of the slab cooling test at step 0 (round-3 slab-sim
+    failure).  The caps protocol must retry on block_overflow and
+    end finite, like sph/density.py:351-356 single-device."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    import os
+    from shenqi_tpu.parallel.sph_slab import density_pass_slab
+
+    d = np.load(os.path.join(os.path.dirname(__file__), "data",
+                             "fp0_slabcool.npz"))
+    fields = {"ipos": jnp.asarray(d["ipos"]),
+              "mass": jnp.asarray(d["mass"]),
+              "vel": jnp.zeros((d["ipos"].shape[0], 3), jnp.float32),
+              "entvar": jnp.asarray(d["entvar"])}
+    mesh = make_mesh(8)
+    caps = {"width": int(d["caps_width"]),
+            "maxl": int(d["caps_maxl"]), "nlv": int(d["caps_nlv"])}
+    res, info = density_pass_slab(
+        mesh, fields, jnp.asarray(d["hsml"]), float(d["boxsize"]),
+        caps=caps, cuts_in=jnp.asarray(d["cuts"]))
+    assert int(info["block_overflow"]) == 0
+    assert caps.get("nb") is not None     # the regrow happened
+    g = np.asarray(d["mass"]) > 0
+    for nm in ("rho", "egy_rho", "dhsml_rho", "dhsml_egy"):
+        x = np.asarray(getattr(res, nm))[g]
+        assert np.isfinite(x).all(), nm
+    assert (np.asarray(res.rho)[g] > 0).all()
