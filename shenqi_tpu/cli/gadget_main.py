@@ -262,7 +262,8 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
                 MaxSfrTimescale=ps.get_double("MaxSfrTimescale"),
                 Generations=int(ps.get_double("Generations")),
                 MinGasTemp=ps.get_double("MinGasTemp"),
-                Criterion=ps.get_enum("StarformationCriterion"))
+                Criterion=ps.get_enum("StarformationCriterion"),
+                BHFeedbackUseTcool=ps.get_int("BHFeedbackUseTcool"))
             sim.sfrpar.init(cp, units, avg_bar, UVBG(), sim.coolpar)
             if ps.get_int("WindOn"):
                 from ..physics.winds import WindParams
@@ -660,7 +661,8 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
                 MaxSfrTimescale=ps.get_double("MaxSfrTimescale"),
                 Generations=int(ps.get_double("Generations")),
                 MinGasTemp=ps.get_double("MinGasTemp"),
-                Criterion=ps.get_enum("StarformationCriterion"))
+                Criterion=ps.get_enum("StarformationCriterion"),
+                BHFeedbackUseTcool=ps.get_int("BHFeedbackUseTcool"))
             from ..physics.cooling_rates import UVBG
             sfrpar.init(cp, units, avg_bar, UVBG(), coolpar)
             if winds_on:

@@ -115,6 +115,9 @@ def gadget_params() -> ParameterSet:
     e("StarformationCriterion", {"density": 1, "h2": 3},
       OPTIONAL, "density", "SF criterion")
     d("CritOverDensity", OPTIONAL, 57.7, "SF overdensity threshold")
+    i("BHFeedbackUseTcool", OPTIONAL, 1,
+      "Relax hot eEOS gas on the cooling time: 1 = BH-heated or "
+      "u>5e6, 3 = all eEOS gas (params.cpp:258)")
     d("CritPhysDensity", OPTIONAL, 0, "SF physical density (H/cm^3)")
     d("FactorSN", OPTIONAL, 0.1, "eEOS SN mass fraction beta")
     d("FactorEVP", OPTIONAL, 1000, "eEOS evaporation factor A0")

@@ -82,6 +82,12 @@ class SFRParams:
     # StarformationCriterion bits (sfr_eff.h:17-19): 1=density,
     # 3=density+h2 (Krumholz-Gnedin molecular fraction)
     Criterion: int = 1
+    # eEOS gas heated far above the EOS relaxes on the COOLING time
+    # instead of trelax (sfr_eff.cpp:641-662, params.cpp:258):
+    # 1 = BH-heated or u > 5e6 gas, 3 = all eEOS gas.  Without this
+    # a shock/viscous-heated star-forming particle stays hot for ~a
+    # relaxation time and the hot pair ratchets unboundedly.
+    BHFeedbackUseTcool: int = 1
     # derived (init())
     temp_to_u: float = 0.0
     EgySpecCold: float = 0.0
@@ -227,7 +233,8 @@ def starformation_step(key, density, egywt_density, entropy, mass, ne,
                        metallicity, generation, dtime, a3inv, redshift,
                        uvbg: UVBG, sp: SFRParams, coolpar: CoolingParams,
                        cu: CoolingUnits, is_gas, gradrho_mag=None,
-                       hsml=None, pids=None) -> SFResult:
+                       hsml=None, pids=None,
+                       bh_heated=None) -> SFResult:
     """One SF + cooling source step for all gas (vectorized).
 
     Implements cooling_and_starformation's per-particle work
@@ -258,12 +265,32 @@ def starformation_step(key, density, egywt_density, entropy, mass, ne,
                         rate) * sp.UnitSfr_in_solar_per_year
 
     # --- entropy update ---
-    densityfac = entropy_to_u(jnp.maximum(egywt_density, 1e-35), a3inv)
+    # PLAIN density for the entropy<->u conversion, like the
+    # reference (sfr_eff.cpp:637 entropy_to_u(SPHP(i).Density))
+    densityfac = entropy_to_u(jnp.maximum(density, 1e-35), a3inv)
     egycurrent = entropy * densityfac
     # relaxed cooling for eEOS gas
     egyeff = (sp.EgySpecCold * data.cloudfrac
               + (1 - data.cloudfrac) * data.egyhot)
-    relaxfac = jnp.exp(-dtime / jnp.maximum(data.trelax, 1e-30))
+    # gas heated far above the EOS relaxes on the cooling time
+    # (sfr_eff.cpp:641-667; in practice tcool << trelax, so a
+    # shock/viscous/BH-heated star-forming particle snaps back to
+    # the EOS instead of staying hot for ~a relaxation time)
+    trelax_eff = data.trelax
+    if sp.BHFeedbackUseTcool in (1, 3):
+        if sp.BHFeedbackUseTcool == 3:
+            gate = jnp.ones_like(on)
+        else:
+            heated = bh_heated if bh_heated is not None \
+                else jnp.zeros_like(on)
+            gate = heated | (egycurrent > 5e6)
+        tcool_cur, _ = get_cooling_time(
+            redshift, egycurrent, density * a3inv, uvbg, coolpar,
+            cu, ne_init=ne)
+        use = (on & gate & (egycurrent > egyeff)
+               & (tcool_cur > 0) & (tcool_cur < data.trelax))
+        trelax_eff = jnp.where(use, tcool_cur, data.trelax)
+    relaxfac = jnp.exp(-dtime / jnp.maximum(trelax_eff, 1e-30))
     egy_relaxed = egyeff + (egycurrent - egyeff) * relaxfac
     # direct radiative cooling for normal gas
     u_cgs = egycurrent * cu.uu_in_cgs

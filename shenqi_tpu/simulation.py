@@ -707,6 +707,52 @@ class Simulation:
             self.particles.mask))
 
     # ---------- the main loop ----------
+    def _trace_ids(self, tag: str):
+        """Diagnostic per-step trace of named particle IDs
+        (SHENQI_TRACE_IDS=441802,441738): prints timebin, velocity,
+        entropy, viscous heating rate, signal velocity, density —
+        the runaway-pair forensics channel.  Off unless the env var
+        is set; one host gather per step when on."""
+        import os
+        spec = os.environ.get("SHENQI_TRACE_IDS")
+        if not spec or self.gas is None:
+            return
+        want = [int(x) for x in spec.split(",") if x]
+        p = self.particles
+        ids = (np.asarray(p.id_hi).astype(np.uint64) << np.uint64(32)
+               | np.asarray(p.id_lo).astype(np.uint64))
+        g = self.gas
+        ng = g.ngas
+        ent = np.asarray(g.entropy)
+        dts = np.asarray(g.dt_entropy)
+        mvs = np.asarray(g.max_signal_vel)
+        rho = np.asarray(g.density)
+        sfr = np.asarray(g.sfr) if hasattr(g, "sfr") else None
+        vel = np.asarray(p.vel)
+        tb = np.asarray(p.timebin)
+        hs = np.asarray(p.hsml)
+        rows = []
+        for w in want:
+            hit = np.nonzero(ids[:ng] == np.uint64(w))[0]
+            if len(hit):
+                rows.append((w, int(hit[0])))
+        # always include the current worst-entropy gas row
+        alive_g = np.asarray(p.mask[:ng]) & (np.asarray(p.ptype[:ng])
+                                             == 0)
+        if alive_g.any():
+            iw = int(np.argmax(np.where(alive_g, ent[:ng], -np.inf)))
+            if all(r != iw for _, r in rows):
+                rows.append((int(ids[iw]), iw))
+        a = self.atime()
+        for w, r in rows:
+            print(f"[trace {tag} step={self.step_count} a={a:.6f}] "
+                  f"id={w} row={r} tbin={int(tb[r])} "
+                  f"|v|={np.linalg.norm(vel[r]):.4g} ent={ent[r]:.5g} "
+                  f"dts={dts[r]:.4g} mvsig={mvs[r]:.4g} "
+                  f"rho={rho[r]:.4g} h={hs[r]:.4g}"
+                  + (f" sfr={sfr[r]:.3g}" if sfr is not None else ""),
+                  flush=True)
+
     def run(self, max_steps: int = 10 ** 9):
         """Evolve until the last sync point (or max_steps)."""
         first = self.step_count == 0
@@ -815,12 +861,14 @@ class Simulation:
                     is None:
                 break
 
+            self._trace_ids("post-sph")
             if self.hierarchical:
                 bad = self._hier_first_half(first_step=first)
             else:
                 bad = self._find_timesteps(first_step=first)
             self._wt("Timeline")
             if bad:
+                self._trace_ids("bad-step")
                 # emergency dump before aborting (run.cpp:794-797:
                 # dump_snapshot("TIMESTEP-DUMP") then endrun)
                 if getattr(self, "on_bad_timestep", None):

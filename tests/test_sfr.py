@@ -138,3 +138,55 @@ def test_entropy_relaxes_to_eeqos(setup):
     # entropy decreased toward equilibrium and stabilized
     assert ent_hist[-1] < ent_hist[0]
     assert abs(ent_hist[-1] - ent_hist[-2]) < 0.05 * ent_hist[-1]
+
+
+def test_hot_eeqos_gas_snaps_back_on_tcool(setup, monkeypatch):
+    """Hot eEOS gas (u > 5e6) relaxes on min(trelax, tcool)
+    (sfr_eff.cpp:641-667, BHFeedbackUseTcool=1).  The tcool leg only
+    binds when tcool < trelax, so patch the cooling time to a tiny
+    value and assert the snap-back engages — and does NOT engage
+    with BHFeedbackUseTcool=0 (plain trelax decay)."""
+    cp, units, sp, coolpar, cu, uvbg = setup
+    import shenqi_tpu.physics.sfr as sfrmod
+    real_gct = sfrmod.get_cooling_time
+
+    def tiny_tcool(redshift, u_internal, rho_internal, uvbg, cp, cu,
+                   ne_init=None, helium=None):
+        t, ne = real_gct(redshift, u_internal, rho_internal, uvbg,
+                         cp, cu, ne_init=ne_init)
+        # only shorten for the HOT (runaway) call — get_sfr_eeqos's
+        # internal egyhot call must keep the real cooling time or the
+        # patch contaminates trelax itself
+        t = jnp.where(u_internal > 1e6, 1e-7, t)
+        return t, ne
+    monkeypatch.setattr(sfrmod, "get_cooling_time", tiny_tcool)
+
+    a3inv = 1.0 / 0.1108 ** 3
+    dens = jnp.asarray([1.2 * sp.PhysDensThresh / a3inv], jnp.float32)
+    u_hot = 1.5e8                       # the r3d runaway partner's u
+    entropy0 = jnp.asarray(
+        [u_hot * GAMMA_MINUS1 / float((dens[0] * a3inv)
+                                      ** GAMMA_MINUS1)], jnp.float32)
+    mass = jnp.asarray([4e-4], jnp.float32)
+    args = dict(dtime=2e-4, a3inv=a3inv, redshift=8.0, uvbg=uvbg,
+                sp=sp, coolpar=coolpar, cu=cu,
+                is_gas=jnp.ones(1, bool))
+    res = starformation_step(
+        jax.random.PRNGKey(3), dens, dens, entropy0, mass,
+        jnp.ones(1, jnp.float32), jnp.zeros(1, jnp.float32),
+        jnp.zeros(1, jnp.int32), **args)
+    u_after = float(res.entropy[0]) * float(
+        (dens[0] * a3inv) ** GAMMA_MINUS1) / GAMMA_MINUS1
+    # patched tcool << dtime: the step removes ~all the excess heat
+    assert u_after < 0.01 * u_hot, u_after
+    # with the tcool path off the same step only decays on trelax
+    import dataclasses
+    sp_off = dataclasses.replace(sp, BHFeedbackUseTcool=0)
+    res_off = starformation_step(
+        jax.random.PRNGKey(3), dens, dens, entropy0, mass,
+        jnp.ones(1, jnp.float32), jnp.zeros(1, jnp.float32),
+        jnp.zeros(1, jnp.int32),
+        **{**args, "sp": sp_off})
+    u_off = float(res_off.entropy[0]) * float(
+        (dens[0] * a3inv) ** GAMMA_MINUS1) / GAMMA_MINUS1
+    assert u_off > 0.5 * u_hot, u_off
