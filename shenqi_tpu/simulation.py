@@ -752,6 +752,31 @@ class Simulation:
                   f"rho={rho[r]:.4g} h={hs[r]:.4g}"
                   + (f" sfr={sfr[r]:.3g}" if sfr is not None else ""),
                   flush=True)
+        dump_step = os.environ.get("SHENQI_TRACE_DUMP_STEP")
+        if dump_step and self.step_count == int(dump_step) \
+                and tag == "post-sph":
+            out = {"ids": ids[:ng], "ipos": np.asarray(p.ipos[:ng]),
+                   "vel": vel[:ng], "mass": np.asarray(p.mass[:ng]),
+                   "ptype": np.asarray(p.ptype[:ng]),
+                   "mask": np.asarray(p.mask[:ng]),
+                   "tbin": tb[:ng], "hsml": hs[:ng],
+                   "entropy": ent, "dt_entropy": dts,
+                   "max_signal_vel": mvs, "density": rho,
+                   "egywt": np.asarray(g.egy_wt_density),
+                   "dhsml_egy": np.asarray(g.dhsml_egy_density),
+                   "dhsml": np.asarray(g.dhsml_density),
+                   "divv": np.asarray(g.div_vel),
+                   "curlv": np.asarray(g.curl_vel),
+                   "hacc": np.asarray(g.hydro_accel),
+                   "gacc": np.asarray(p.grav_accel[:ng]),
+                   "gpm": np.asarray(p.grav_pm[:ng]),
+                   "pvel": np.asarray(p.vel[:ng]),
+                   "atime": a, "boxsize": self.boxsize,
+                   "ti": self.times.ti_current}
+            np.savez(f"/tmp/trace_dump_step{self.step_count}.npz",
+                     **out)
+            print(f"[trace dump] wrote /tmp/trace_dump_step"
+                  f"{self.step_count}.npz", flush=True)
 
     def run(self, max_steps: int = 10 ** 9):
         """Evolve until the last sync point (or max_steps)."""
