@@ -862,11 +862,11 @@ class SlabSimulation:
                                  else 0.0),
                 ne_init=f["ne"], metallicity=f["met"])
             u_new = u_cgs / cu.uu_in_cgs
-            ent = jnp.where(is_gas & (dfac > 0),
-                            u_new / jnp.maximum(dfac, 1e-35),
+            upd = is_gas & (dfac > 0) & (dtime > 0)
+            ent = jnp.where(upd, u_new / jnp.maximum(dfac, 1e-35),
                             f["entropy"])
             f["entropy"] = ent
-            f["ne"] = jnp.where(is_gas, ne, f["ne"])
+            f["ne"] = jnp.where(upd, ne, f["ne"])
 
     def _grow_rows(self, extra_per_dev: int, aux=()):
         """Grow per-device row capacity by appending dead rows to the
@@ -1099,6 +1099,12 @@ class SlabSimulation:
         nbkt = max(8, 1 << (ns0 - 1).bit_length())
         idxp = np.pad(idx, (0, nbkt - ns0))
         lane = np.arange(nbkt) < ns0
+        # per-BH dtime: own-bin dloga when active, else 0
+        if jnp.ndim(dtime):
+            dt_bh = jnp.asarray(np.where(
+                lane, np.asarray(dtime)[idxp], 0.0).astype(np.float32))
+        else:
+            dt_bh = jnp.float32(dtime)
 
         ipos_h = np.asarray(f["ipos"])
         hsml_h = np.asarray(f["hsml"])
@@ -1126,12 +1132,12 @@ class SlabSimulation:
         mdot = bh_accretion(bhm, jnp.asarray(vel_h[idxp]), env,
                             atime, self.gravity.G, self.bhpar)
         mdot = jnp.where(jnp.asarray(lane), mdot, 0.0)
-        bhm_new = bhm + mdot * dtime
+        bhm_new = bhm + mdot * dt_bh
 
         # thermal feedback: E = eps_f * 0.1 Mdot c^2 dt (internal)
         c_int = LIGHTCGS / self.bhpar.UnitVelocity_in_cm_per_s
         energy = (self.bhpar.BlackHoleFeedbackFactor * 0.1 * mdot
-                  * dtime * c_int ** 2)
+                  * dt_bh * c_int ** 2)
         dent = bh_feedback_slab(
             self.mesh,
             {"ipos": f["ipos"], "mass": mass_gas,
@@ -1213,9 +1219,11 @@ class SlabSimulation:
                     f["vel"], rho, sigma, f["bhm"], atime,
                     self.gravity.G)
                 bh_m = jnp.asarray(bh_mask)
+                dt_rows = (dtime[:, None] if jnp.ndim(dtime)
+                           else jnp.float32(dtime))
                 f["vel"] = jnp.where(
                     bh_m[:, None],
-                    f["vel"] + adf * jnp.float32(dtime), f["vel"])
+                    f["vel"] + adf * dt_rows, f["vel"])
 
     def _update_vdisp_slab(self):
         """PM-cadence refresh of the per-gas DM velocity dispersion
@@ -1416,13 +1424,24 @@ class SlabSimulation:
                     # sigma-based winds refresh vdisp once per PM
                     # step (run.cpp:662-663)
                     self._update_vdisp_slab()
-                dloga_src = self.timeline.get_dloga_for_bin(
-                    max(times.mintimebin, 1), times.ti_current)
+                # per-row dtime: the particle's OWN bin dloga when the
+                # bin is at a kick boundary, else 0 (sfr_eff.cpp
+                # cooling_and_starformation get_dloga_for_bin — the
+                # global min-bin dloga under-applies the eEOS
+                # relaxation and lets shock-heated SF gas run away)
                 hubble = float(self.CP.hubble_function(self.atime()))
-                self._gas_source_terms(dloga_src / hubble)
+                dt_tab = np.array(
+                    [self.timeline.get_dloga_for_bin(
+                        b, times.ti_current) / hubble
+                     for b in range(TIMEBINS + 1)], np.float32)
+                dt_tab *= active_bins_mask(times.ti_current)
+                dt_rows = jnp.asarray(dt_tab)[jnp.clip(
+                    self.fields["tbin"].astype(jnp.int32), 1,
+                    TIMEBINS)]
+                self._gas_source_terms(dt_rows)
                 self._wt("Cooling")
                 # black holes: accretion/feedback/swallow/mergers
-                self._slab_blackhole_step(dloga_src / hubble)
+                self._slab_blackhole_step(dt_rows)
                 self._wt("BH")
                 # stellar mass + metal return (metal_return.cpp)
                 self._slab_metal_return()

@@ -305,7 +305,9 @@ def starformation_step(key, density, egywt_density, entropy, mass, ne,
     entropy_new = jnp.where(is_gas & (dtime > 0),
                             egy_new / densityfac, entropy)
     ne_new = jnp.where(on, data.ne, ne_cool)
-    ne_new = jnp.where(is_gas, ne_new, ne)
+    # inactive rows (dtime 0 — not at their bin's kick boundary) keep
+    # their state; the reference only touches active particles
+    ne_new = jnp.where(is_gas & (dtime > 0), ne_new, ne)
 
     # --- metal enrichment from unresolved SN (sfr_eff.cpp:741) ---
     # with pids: draws keyed by (step salt, id) — the reference's

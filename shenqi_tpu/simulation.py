@@ -855,10 +855,27 @@ class Simulation:
                             self.gas_physics, "excursion", None):
                         self.gas = self.gas_physics.excursion_step(
                             self, self.gas, hm)
-                dloga = self.timeline.get_dloga_for_bin(
-                    max(times.mintimebin, 1), times.ti_current)
+                # Reference semantics: sources act on ACTIVE rows with
+                # their OWN bin's dloga (sfr_eff.cpp
+                # cooling_and_starformation: get_dloga_for_bin(
+                # TimeBinHydro)).  Using the global min-bin dloga for
+                # everyone under-applies the eEOS relaxation
+                # exp(-dtime/trelax) by dti(bin)/dti(minbin) — with
+                # trelax << dtime_bin the thermostat that pins
+                # viscously shock-heated SF gas back to the effective
+                # EOS never engages, and a heated pair runs away
+                # (star-small a=0.111 fireball).
                 hubble = float(self.CP.hubble_function(self.atime()))
-                dtime = dloga / hubble
+                dt_tab = np.array(
+                    [self.timeline.get_dloga_for_bin(
+                        b, times.ti_current) / hubble
+                     for b in range(TIMEBINS + 1)], np.float32)
+                dt_tab *= active_bins_mask(times.ti_current)
+                ngg = self.gas.ngas
+                sbins = jnp.clip(
+                    self.particles.timebin[:ngg].astype(jnp.int32),
+                    1, TIMEBINS)
+                dtime = jnp.asarray(dt_tab)[sbins]
                 self.gas, nstars = self.gas_physics.source_terms(
                     self, self.gas, dtime)
                 self._wt("Cooling")

@@ -513,13 +513,21 @@ class GasPhysics:
                                    egy_wt_density=egywt)
 
     # ---------- source terms (Strang split) ----------
-    def source_terms(self, sim, gas: GasState, dtime: float):
-        """Cooling + star formation + winds after the kick."""
+    def source_terms(self, sim, gas: GasState, dtime):
+        """Cooling + star formation + winds after the kick.
+
+        dtime is per-row (the particle's own timebin dloga/hubble,
+        zero when the row's bin is not at a kick boundary — the
+        reference applies sources to ACTIVE particles only,
+        sfr_eff.cpp cooling_and_starformation) or a scalar.
+        """
         if not (self.cooling_on or self.sfr_on):
             return gas, 0
         p = sim.particles
         ng = gas.ngas
         gas_alive = (p.mask & (p.ptype == GAS))[:ng]
+        dtime = jnp.broadcast_to(
+            jnp.asarray(dtime, jnp.float32), gas.entropy.shape)
         atime = sim.atime()
         a3inv = 1.0 / atime ** 3
         redshift = 1.0 / atime - 1.0
@@ -573,15 +581,19 @@ class GasPhysics:
                                               0.0)))
             unit_sfr = max(self.sfrpar.UnitSfr_in_solar_per_year,
                            1e-35)
-            total_sm = sfr_sum * dtime / unit_sfr
+            total_sm = float(jnp.sum(jnp.where(
+                gas_alive, res.sfr * dtime, 0.0))) / unit_sfr
             spawned = float(jnp.sum(jnp.where(
                 gas_alive & res.form_star, res.mass_of_star, 0.0)))
             n_sf = int(jnp.sum(gas_alive & (res.sfr > 0)))
+            n_act = int(jnp.sum(gas_alive & (dtime > 0)))
+            avg_dt = float(jnp.sum(jnp.where(gas_alive, dtime, 0.0))
+                           ) / max(n_act, 1)
             self.last_sfr_stats = {
                 "total_sm": total_sm, "totsfrrate": sfr_sum,
                 "rate_in_msunperyear": sfr_sum,
                 "total_sum_mass_stars": spawned,
-                "avg_dtime": dtime, "total_sum_part": n_sf,
+                "avg_dtime": avg_dt, "total_sum_part": n_sf,
                 "tot_newstars": nstars}
 
             if self.winds_on and self.windpar:
@@ -661,9 +673,10 @@ class GasPhysics:
             dfac = entropy_to_u(jnp.maximum(
                 gas.egy_wt_density if self.density_independent_sph
                 else gas.density, 1e-35), a3inv)
-            ent = jnp.where(gas_alive & (dfac > 0),
-                            u_new / jnp.maximum(dfac, 1e-35),
+            upd = gas_alive & (dfac > 0) & (dtime > 0)
+            ent = jnp.where(upd, u_new / jnp.maximum(dfac, 1e-35),
                             gas.entropy)
+            ne = jnp.where(upd, ne, gas.ne)
             return dataclasses.replace(gas, entropy=ent, ne=ne), 0
         return gas, 0
 
@@ -866,7 +879,7 @@ class GasPhysics:
         bhm[rows] = self.bhpar.SeedBlackHoleMass
         return dataclasses.replace(gas, bh_mass=jnp.asarray(bhm))
 
-    def blackhole_step(self, sim, gas: GasState, dtime: float):
+    def blackhole_step(self, sim, gas: GasState, dtime):
         """Accretion, feedback, swallowing, mergers, dyn. friction.
 
         BH rows live in the gas prefix (gas flipped to ptype BH via
@@ -886,6 +899,10 @@ class GasPhysics:
         if not bh_rows.any():
             return gas
         idx = np.nonzero(bh_rows)[0]
+        # per-BH dtime: the BH's own bin dloga when active, else 0
+        # (blackhole.cpp integrates Mdot over get_dloga_for_bin)
+        dtime = jnp.broadcast_to(jnp.asarray(dtime, jnp.float32),
+                                 gas.entropy.shape)[idx]
         atime = sim.atime()
         a3inv = 1.0 / atime ** 3
         gas_alive = (p.mask & (p.ptype == GAS))[:ng]
@@ -969,7 +986,7 @@ class GasPhysics:
                 adf = dynamical_friction(pall.vel[idx], rho, sigma,
                                          gas.bh_mass[idx], atime,
                                          sim.gravity.G)
-                vel = pall.vel.at[idx].add(adf * jnp.float32(dtime))
+                vel = pall.vel.at[idx].add(adf * dtime[:, None])
                 sim.particles = dataclasses.replace(pall, vel=vel)
 
         return dataclasses.replace(gas, entropy=entropy,
