@@ -190,3 +190,44 @@ def test_hot_eeqos_gas_snaps_back_on_tcool(setup, monkeypatch):
     u_off = float(res_off.entropy[0]) * float(
         (dens[0] * a3inv) ** GAMMA_MINUS1) / GAMMA_MINUS1
     assert u_off > 0.5 * u_hot, u_off
+
+
+def test_per_row_dtime_thermostat(setup):
+    """Array dtime: active rows relax on their OWN bin dloga, rows
+    with dtime=0 (not at a kick boundary) are untouched.
+
+    Regression for the star-small a=0.111 fireball: the eEOS
+    relaxation exp(-dtime/trelax) applied with the global MIN-bin
+    dloga removes only ~dtime/trelax of an impulsive viscous heat
+    injection, while the hydro kick that injected it used the
+    particle's FULL bin dloga (sfr_eff.cpp cooling_and_starformation
+    uses get_dloga_for_bin(TimeBinHydro) per particle)."""
+    cp, units, sp, coolpar, cu, uvbg = setup
+    a3inv = 1.0 / 0.111 ** 3
+    dens = jnp.full((3,), 1.5 * sp.PhysDensThresh / a3inv, jnp.float32)
+    # viscously heated on-EOS gas (the traced runaway state scale)
+    dfac = float((dens[0] * a3inv) ** GAMMA_MINUS1) / GAMMA_MINUS1
+    ent_hot = 3.3e6
+    entropy0 = jnp.full((3,), ent_hot, jnp.float32)
+    mass = jnp.full((3,), 4e-4, jnp.float32)
+    # row 0: own-bin dloga (big); row 1: global-min dloga (100x
+    # smaller); row 2: inactive (dtime 0)
+    hubble = float(cp.hubble_function(0.111))
+    dtime = jnp.asarray([0.021 / hubble, 2.1e-4 / hubble, 0.0],
+                        jnp.float32)
+    res = starformation_step(
+        jax.random.PRNGKey(7), dens, dens, entropy0, mass,
+        jnp.ones(3, jnp.float32), jnp.zeros(3, jnp.float32),
+        jnp.zeros(3, jnp.int32), dtime, a3inv, 1 / 0.111 - 1, uvbg,
+        sp, coolpar, cu, jnp.ones(3, bool))
+    ent = np.asarray(res.entropy)
+    # own-bin dtime: the thermostat pins the row back toward egyeff
+    assert ent[0] < 0.05 * ent_hot, ent[0]
+    # min-bin dtime barely moves it (the bug this guards against)
+    assert ent[1] > 0.5 * ent_hot, ent[1]
+    # inactive rows keep entropy, ne, metallicity exactly
+    assert ent[2] == pytest.approx(ent_hot, rel=1e-6)
+    assert float(res.ne[2]) == pytest.approx(1.0, rel=1e-6)
+    assert float(res.metallicity[2]) == 0.0
+    # and cannot form stars this step
+    assert not bool(res.form_star[2])
