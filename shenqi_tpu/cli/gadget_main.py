@@ -99,6 +99,29 @@ def _init_checks(pos, ids, mass, cp, boxsize):
               f"(check_omega)")
 
 
+def _snap_index(ps, a, fallback):
+    """Snapshot number = position of `a` in the FULL OutputList.
+
+    Resume-invariant numbering (the reference derives snapshot numbers
+    from the OutputList syncpoint index, timebinmgr.cpp setup_sync_points
+    + checkpoint.cpp find_last_snapnum): a run resumed from PART_k keeps
+    writing PART_{k+1}... instead of restarting at PART_000.  Falls back
+    to the sequential counter when `a` is not an OutputList entry (e.g.
+    TimeMax-only snapshots in synthetic tests)."""
+    try:
+        times = sorted(set(build_output_list(
+            ps.get_string("OutputList"))))
+    except Exception:
+        return fallback
+    if not times:
+        return fallback
+    ls = np.log(times)
+    i = int(np.argmin(np.abs(ls - np.log(a))))
+    if abs(ls[i] - np.log(a)) < 1e-6:
+        return i
+    return fallback
+
+
 def _restore_gas_state(sim, blocks, ptype, atime, cp, min_egyspec):
     """Restore gas/star/BH state from snapshot blocks on resume.
 
@@ -324,6 +347,7 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
     fof_fn = [None]
 
     def on_snapshot(s, a):
+        snap_counter[0] = _snap_index(ps, a, snap_counter[0])
         path = os.path.join(outdir, f"{base}_{snap_counter[0]:03d}")
         shdr = SnapshotHeader(
             TotNumPart=np.zeros(6, np.uint64), MassTable=np.zeros(6),
@@ -887,6 +911,7 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
     base = ps.get_string("SnapshotFileBase")
 
     def on_snapshot(s, a):
+        snap_counter[0] = _snap_index(ps, a, snap_counter[0])
         path = os.path.join(outdir, f"{base}_{snap_counter[0]:03d}")
         p = s.particles
         maskv = np.asarray(p.mask)

@@ -1,23 +1,37 @@
 #!/bin/bash
-# star-small watchdog (round-3 session 4): wait for a healthy TPU
-# tunnel, run the validation from scratch, and retry ONLY on tunnel
-# death (UNAVAILABLE / worker crash).  A physics failure (bad
-# timestep) stops the loop so the TIMESTEP-DUMP can be analyzed.
+# star-small watchdog v3 (round-3 session 5).
+#
+# The axon TPU tunnel wedges SILENTLY under sustained load (r3e died
+# mid-trace at step 46, r3f froze at step 38 with the main thread in
+# futex_wait and the net thread in epoll for 25+ min) — no error ever
+# surfaces, so exit-code-driven retries are not enough.  This version:
+#   * runs the validation in ONE persistent workdir,
+#   * watches the log mtime and KILLS the run (by recorded PID — never
+#     by pattern) when it goes stale,
+#   * relaunches; validation/star_small.py auto-RESUMES from the last
+#     snapshot (dense OutputList = resume points every ~20-30 min).
+# A physics failure (bad timestep) stops the loop for analysis.
+#
 # Usage: setsid nohup bash validation/run_star_small_watchdog.sh \
-#          < /dev/null > /tmp/ss_watchdog.log 2>&1 &
+#          < /dev/null > /tmp/ss_watchdog3.log 2>&1 &
 set -u
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 export JAX_ENABLE_COMPILATION_CACHE=true
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
-# forensics: per-step trace of the known runaway pair + neighbour
 export SHENQI_TRACE_IDS=441802,441738,441737
+
+WORK=${WORK:-/tmp/star_small_r3g}
+STALE_S=1500          # kill after 25 min of log silence (cold step-0
+                      # compile is ~13 min; resumes hit the jax cache)
+MAX_ATTEMPTS=16
 
 stamp() { date -u '+%Y-%m-%d %H:%M:%S'; }
 
-for attempt in 1 2 3; do
+for attempt in $(seq 1 $MAX_ATTEMPTS); do
+  # ---- wait for a healthy tunnel ----
   ok=0
-  for i in $(seq 1 24); do           # wait up to ~2.4 h per attempt
+  for i in $(seq 1 24); do
     if timeout 300 python -c "
 import jax, jax.numpy as jnp
 assert jax.devices()[0].platform == 'tpu'
@@ -27,27 +41,42 @@ print('TPU OK')" 2>&1 | grep -q 'TPU OK'; then ok=1; break; fi
     sleep 60
   done
   if [ $ok -ne 1 ]; then
-    echo "[$(stamp)] giving up waiting for TPU (attempt $attempt)"
+    echo "[$(stamp)] no healthy TPU after 24 probes (attempt $attempt)"
     continue
   fi
-  work=/tmp/star_small_r3f_$attempt
-  rm -rf "$work"
-  echo "[$(stamp)] attempt $attempt: star-small -> $work"
-  timeout 28800 python validation/star_small.py "$work" \
-      > "$work.log" 2>&1
-  rc=$?
-  echo "[$(stamp)] attempt $attempt exit=$rc"
-  if [ -f "$work/RESULT.txt" ]; then
-    cp "$work/RESULT.txt" validation/RESULT_star_small_r3.txt
-    echo "[$(stamp)] RESULT copied to validation/ (exit=$rc)"
+
+  log=$WORK.attempt$attempt.log
+  echo "[$(stamp)] attempt $attempt: star-small -> $WORK (log $log)"
+  python validation/star_small.py "$WORK" > "$log" 2>&1 &
+  pid=$!
+  echo $pid > /tmp/ss_run.pid
+
+  # ---- monitor: done, died, or stale ----
+  while true; do
+    sleep 60
+    if ! kill -0 $pid 2>/dev/null; then break; fi
+    now=$(date +%s)
+    mt=$(stat -c %Y "$log" 2>/dev/null || echo $now)
+    if [ $((now - mt)) -gt $STALE_S ]; then
+      echo "[$(stamp)] log stale $((now - mt))s — killing wedged run"
+      kill $pid 2>/dev/null; sleep 10
+      kill -9 $pid 2>/dev/null
+      break
+    fi
+  done
+  wait $pid 2>/dev/null; rc=$?
+  echo "[$(stamp)] attempt $attempt ended rc=$rc"
+
+  if [ -f "$WORK/RESULT.txt" ]; then
+    cp "$WORK/RESULT.txt" validation/RESULT_star_small_r3.txt
+    echo "[$(stamp)] RESULT copied to validation/ (rc=$rc)"
     break
   fi
-  if ! grep -q 'UNAVAILABLE\|worker process crashed\|DEADLINE_EXCEEDED' \
-       "$work.log"; then
-    echo "[$(stamp)] non-tunnel failure; stopping for analysis"
-    tail -5 "$work.log"
+  if grep -q 'bad timesteps at step' "$log"; then
+    echo "[$(stamp)] physics failure; stopping for analysis"
+    tail -5 "$log"
     break
   fi
-  echo "[$(stamp)] tunnel death detected; will retry"
+  echo "[$(stamp)] tunnel wedge/death; will resume from last snapshot"
 done
 echo "[$(stamp)] watchdog done"
