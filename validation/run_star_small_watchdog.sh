@@ -21,7 +21,7 @@ export JAX_ENABLE_COMPILATION_CACHE=true
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
 export SHENQI_TRACE_IDS=441802,441738,441737
 
-WORK=${WORK:-/tmp/star_small_r3g}
+WORK=${WORK:-/root/repo/.work/star_small_r3g}
 STALE_S=1500          # kill after 25 min of log silence (cold step-0
                       # compile is ~13 min; resumes hit the jax cache)
 MAX_ATTEMPTS=16
