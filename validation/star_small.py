@@ -213,12 +213,18 @@ def main():
 
     outdir = os.path.join(work, "output")
     icdir = os.path.join(work, "IC", "IC")
-    if os.path.isdir(icdir):
+    # marker guards against a watchdog stale-kill landing mid-IC-write:
+    # a partial IC dir must NOT be accepted (genic is deterministic, so
+    # regenerating is always safe)
+    icdone = os.path.join(work, "IC", ".complete")
+    if os.path.isdir(icdir) and os.path.exists(icdone):
         log("ICs already present, skipping genic.")
     else:
         log("Generating star-small ICs (64^3 gas + 64^3 DM, "
             "5 Mpc/h)...")
         run_genic(os.path.join(work, "paramfile.genic"))
+        with open(icdone, "w") as f:
+            f.write("ok\n")
 
     lastsnap = os.path.join(outdir, "LastSnapNum.txt")
     if os.path.exists(lastsnap):
