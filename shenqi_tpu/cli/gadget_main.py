@@ -223,10 +223,45 @@ def _restore_gas_state(sim, blocks, ptype, atime, cp, min_egyspec):
     sim._gas_entropy_is_u = False
 
 
+def _build_nu_table(ps, cp, units, boxsize, nmesh, atime,
+                    restart_flag, snapnum, icfile):
+    """Massive-neutrino linear-response state (neutrinos_lra.cpp):
+    the delta_tot integral table, its IC ratio from the CLASS
+    transfer, and the resume restore.  Shared by the single-device
+    and slab drivers.  Returns None when MassiveNuLinRespOn=0."""
+    if not cp.MassiveNuLinRespOn:
+        return None
+    from ..physics.neutrinos_lra import DeltaTotTable
+    wavenum = (2 * np.pi / boxsize) * np.arange(1, nmesh // 2 + 1)
+    nt = DeltaTotTable.create(
+        cp, wavenum, time_transfer=atime,
+        unit_time_in_s=units.UnitTime_in_s,
+        unit_velocity=units.UnitVelocity_in_cm_per_s)
+    tfile = ps.get_string("FileWithTransferFunction")
+    if tfile and os.path.exists(tfile):
+        # IC ratio delta_nu/delta_cdm from the CLASS transfer
+        tr = np.loadtxt(tfile)
+        h = cp.HubbleParam
+        ktr = tr[:, 0] * h / (units.UnitLength_in_cm
+                              / 3.085678e24)   # h/Mpc -> internal
+        dnu = np.abs(tr[:, 5]) if tr.shape[1] > 5 \
+            else np.abs(tr[:, 3])
+        dcdm = np.abs(tr[:, 3])
+        nt.init_ratio = np.interp(
+            wavenum, ktr, dnu / np.maximum(dcdm, 1e-30))
+    # resuming: restore the delta_tot history saved with the
+    # snapshot (the reference endruns without it)
+    if restart_flag in (1, 2) and snapnum >= 0:
+        if nt.load(icfile):
+            print(f"Restored neutrino delta_tot history from "
+                  f"{icfile}")
+    return nt
+
+
 def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
               pos, vel, mass, ids, boxsize, nmesh, atime, outdir,
               mesh_devices: int, max_steps: int, species=None,
-              gas_u0=None):
+              gas_u0=None, nu_table=None):
     """Multi-chip run: the slab simulation loop (TreePM + adiabatic
     SPH when gas is present) with sharded snapshot/FOF/P(k) outputs
     (run.cpp:331-822 distributed; the product wiring for
@@ -248,6 +283,32 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
             mesh, pos, vel, mass, ids, cp, boxsize, nmesh, timeline,
             atime, tsp=tsp, gravity_kw=gravity_kw,
             headroom=ps.get_double("PartAllocFactor"))
+    sim.nu_table = nu_table
+
+    # lightcone crossings collected during drifts (lightcone.cpp),
+    # computed one device shard at a time (bounded host memory)
+    lightcone = None
+    if ps.get_int("LightconeOn"):
+        from ..physics.lightcone import Lightcone
+        lightcone = Lightcone(CP=cp, boxsize=boxsize,
+                              unit_velocity=(
+                                  units.UnitVelocity_in_cm_per_s))
+
+        def on_drift(s, a0, a1):
+            f = s.fields
+            shards = {k: f[k].addressable_shards
+                      for k in ("ipos", "vel", "mass",
+                                "id_lo", "id_hi")}
+            for d in range(len(shards["ipos"])):
+                ip = np.asarray(shards["ipos"][d].data)
+                vl = np.asarray(shards["vel"][d].data)
+                ms = np.asarray(shards["mass"][d].data)
+                ids64 = ((np.asarray(shards["id_hi"][d].data)
+                          .astype(np.uint64) << np.uint64(32))
+                         | np.asarray(shards["id_lo"][d].data)
+                         .astype(np.uint64))
+                lightcone.compute(a0, a1, ip, vl, ids64, ms > 0)
+        sim.on_drift = on_drift
 
     # distributed subgrid config (elementwise cooling + SF flips)
     if species is not None and (ps.get_int("CoolingOn")
@@ -309,6 +370,17 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
                                  sim.sfrpar.EgySpecSN,
                                  sim.sfrpar.PhysDensThresh,
                                  units.UnitTime_in_s)
+    if species is not None:
+        # fluctuating UVB tables (cooling_uvfluc.cpp)
+        uvf = ps.get_string("UVFluctuationFile")
+        if uvf:
+            from ..physics.uv_fluctuations import ZreionTable
+            sim.zreion_table = ZreionTable.load(
+                uvf, boxsize, units.UnitLength_in_cm)
+        mcf = ps.get_string("MetalCoolFile")
+        if mcf and ps.get_int("MetalCoolingOn"):
+            from ..physics.uv_fluctuations import MetalCoolingTable
+            sim.metal_cool = MetalCoolingTable.load(mcf)
     if species is not None and ps.get_int("MetalReturnOn"):
         from ..physics.metal_return import MetalReturn
         ydir = ps.get_string("MetalYieldDir") or os.path.join(
@@ -372,6 +444,9 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
                  "mass": f["mass"], "pid": f["id_lo"],
                  "pid_hi": f["id_hi"]},
                 s.mesh, boxsize, a, id_offset=0)
+        nt = getattr(s, "nu_table", None)
+        if nt is not None:
+            nt.save(path)      # delta_nu history rides the snapshot
         with open(os.path.join(outdir, "LastSnapNum.txt"), "w") as fh:
             fh.write(str(snap_counter[0]))
         if s.power_history:
@@ -478,6 +553,9 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
 
     sim.run(max_steps=max_steps)
     fd_cpu.close()
+    if lightcone is not None:
+        lc_path = lightcone.save(os.path.join(outdir, "LIGHTCONE"))
+        print(f"Lightcone -> {lc_path}")
     return sim
 
 
@@ -622,10 +700,17 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
     if mesh_devices:
         # multi-chip slab run (--mesh N): TreePM + SPH + cooling/SF
         # (spawns into local dead rows) + winds + metal return + BH
-        # distributed
-        if cp.MassiveNuLinRespOn or ps.get_int("LightconeOn"):
-            raise NotImplementedError(
-                "--mesh supports TreePM(+SPH+cooling/SF) runs")
+        # + neutrino LRA + lightcone, all distributed
+        for opt in ("QSOLightupOn", "HeliumReionizationOn",
+                    "ExcursionSetReionOn", "SplitGravityTimestepsOn",
+                    "HierarchicalGravity"):
+            if ps.get_int(opt):
+                print(f"WARNING: {opt} is not yet wired into the "
+                      "--mesh slab loop and will be IGNORED "
+                      "(single-device runs support it)")
+        nu_table = _build_nu_table(ps, cp, units, boxsize, nmesh,
+                                   atime, restart_flag, snapnum,
+                                   icfile)
         gas_u0 = None
         species = None
         if has_gas:
@@ -647,7 +732,8 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
         return _run_slab(ps, hdr, cp, units, timeline, tsp,
                          gravity_kw, pos, vel, mass, ids, boxsize,
                          nmesh, atime, outdir, mesh_devices,
-                         max_steps, species=species, gas_u0=gas_u0)
+                         max_steps, species=species, gas_u0=gas_u0,
+                         nu_table=nu_table)
 
     if has_gas:
         from ..simulation_gas import GasPhysics
@@ -863,31 +949,10 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
                               / max(nmesh, 1))
 
     # massive-neutrino linear response (neutrinos_lra.cpp)
-    if cp.MassiveNuLinRespOn:
-        from ..physics.neutrinos_lra import DeltaTotTable
-        wavenum = (2 * np.pi / boxsize) * np.arange(1, nmesh // 2 + 1)
-        sim.nu_table = DeltaTotTable.create(
-            cp, wavenum, time_transfer=atime,
-            unit_time_in_s=units.UnitTime_in_s,
-            unit_velocity=units.UnitVelocity_in_cm_per_s)
-        tfile = ps.get_string("FileWithTransferFunction")
-        if tfile and os.path.exists(tfile):
-            # IC ratio delta_nu/delta_cdm from the CLASS transfer
-            tr = np.loadtxt(tfile)
-            h = cp.HubbleParam
-            ktr = tr[:, 0] * h / (units.UnitLength_in_cm
-                                  / 3.085678e24)   # h/Mpc -> internal
-            dnu = np.abs(tr[:, 5]) if tr.shape[1] > 5 \
-                else np.abs(tr[:, 3])
-            dcdm = np.abs(tr[:, 3])
-            sim.nu_table.init_ratio = np.interp(
-                wavenum, ktr, dnu / np.maximum(dcdm, 1e-30))
-        # resuming: restore the delta_tot history saved with the
-        # snapshot (the reference endruns without it)
-        if restart_flag in (1, 2) and snapnum >= 0:
-            if sim.nu_table.load(icfile):
-                print(f"Restored neutrino delta_tot history from "
-                      f"{icfile}")
+    nt0 = _build_nu_table(ps, cp, units, boxsize, nmesh, atime,
+                          restart_flag, snapnum, icfile)
+    if nt0 is not None:
+        sim.nu_table = nt0
 
     # lightcone output collected during drifts (lightcone.cpp)
     lightcone = None

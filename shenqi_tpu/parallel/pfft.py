@@ -161,33 +161,16 @@ def measure_power_pencil(rho_k, cfg, axis_name: str = "dp"):
                          norm=norm)
 
 
-def pm_forces_slab(ipos_local, mass_local, cfg, ndev: int,
-                   axis_name: str = "dp", halo: int = 2,
-                   mask=None, want_power: bool = False,
-                   cuts_in=None, route_kcap: int = 0):
-    """Fully distributed PM forces: per-device memory O(N^3/D).
-
-    Requires the slab domain invariant (parallel.domain): this
-    device's particles lie in x-slab `me` up to CIC fuzz.  Deposit
-    goes into the local slab + `halo` boundary planes which are
-    ppermute'd to the ring neighbors (the petapm.cpp:79-87 region
-    exchange, reduced to a ring because domains ARE mesh slabs);
-    readout borrows `halo` planes back.  No full-mesh psum, no force
-    all_gather (replaces the round-1 pfft.py:104,137 hotspots).
-
-    Cost-balanced domains (cuts_in given): particles live in
-    VARIABLE x-slabs, so deposit rows are first routed to their
-    uniform FFT-slab owner with the round-trip layout exchange
-    (domain.route_rows — the full petapm region-exchange analog,
-    particle domain <-> FFT pencil domain) and the readout forces
-    travel back the same lanes.  route_kcap bounds routed rows per
-    device pair; overflow is counted in the returned pm_lost (the
-    caller regrows), never silently dropped.
-
-    Returns (accel, ps, pm_lost) with ps None unless want_power.
-    """
-    from ..ops.cic import cic_deposit_slab, cic_readout_slab
-    from .domain import route_rows, route_back
+def _deposit_slab_routed(ipos_local, mass_local, cfg, ndev: int,
+                         axis_name: str, halo: int, mask,
+                         cuts_in, route_kcap: int):
+    """Shared CIC deposit onto the uniform FFT slab (+ ring halo
+    reduction), with the cost-balanced-domain row routing.  Returns
+    (slab, ipos_dep, dep_mask, stay, route_state, pm_lost): the
+    deposit context pm_forces_slab's readout needs to route forces
+    back to the particle domain."""
+    from ..ops.cic import cic_deposit_slab
+    from .domain import route_rows
 
     n = cfg.nmesh
     if n % ndev:
@@ -200,6 +183,7 @@ def pm_forces_slab(ipos_local, mass_local, cfg, ndev: int,
 
     pm_lost = jnp.zeros((), jnp.int32)
     route_state = None
+    stay = None
     ipos_dep, mass_dep, dep_mask = ipos_local, mass_local, mask
     if cuts_in is not None and ndev > 1:
         l = int(np.log2(ndev))
@@ -231,8 +215,80 @@ def pm_forces_slab(ipos_local, mass_local, cfg, ndev: int,
         slab = buf[halo: halo + nloc]
         slab = slab.at[:halo].add(buf[nloc + halo:])
         slab = slab.at[nloc - halo:].add(buf[:halo])
+    return slab, ipos_dep, dep_mask, stay, route_state, pm_lost
+
+
+def measure_cdm_power_slab(ipos_local, mass_local, cfg, ndev: int,
+                           axis_name: str = "dp", halo: int = 2,
+                           mask=None, cuts_in=None,
+                           route_kcap: int = 0):
+    """Distributed deposit + one FFT + P(k) binning only: the CDM
+    (particle) power sourcing the neutrino linear response
+    (measure_power_spectrum, gravpm.cpp:360 — taken BEFORE the nu
+    factor multiplies the modes).  The slab analog of
+    gravity.pm.measure_cdm_power.  Returns (PowerSpectrum, pm_lost)
+    with both replicated across devices."""
+    slab, _, _, _, _, pm_lost = _deposit_slab_routed(
+        ipos_local, mass_local, cfg, ndev, axis_name, halo, mask,
+        cuts_in, route_kcap)
+    rho_k = pfft_r2c(slab, axis_name)
+    return measure_power_pencil(rho_k, cfg, axis_name), pm_lost
+
+
+def pm_forces_slab(ipos_local, mass_local, cfg, ndev: int,
+                   axis_name: str = "dp", halo: int = 2,
+                   mask=None, want_power: bool = False,
+                   cuts_in=None, route_kcap: int = 0,
+                   nu_k=None, nu_fac=None):
+    """Fully distributed PM forces: per-device memory O(N^3/D).
+
+    Requires the slab domain invariant (parallel.domain): this
+    device's particles lie in x-slab `me` up to CIC fuzz.  Deposit
+    goes into the local slab + `halo` boundary planes which are
+    ppermute'd to the ring neighbors (the petapm.cpp:79-87 region
+    exchange, reduced to a ring because domains ARE mesh slabs);
+    readout borrows `halo` planes back.  No full-mesh psum, no force
+    all_gather (replaces the round-1 pfft.py:104,137 hotspots).
+
+    Cost-balanced domains (cuts_in given): particles live in
+    VARIABLE x-slabs, so deposit rows are first routed to their
+    uniform FFT-slab owner with the round-trip layout exchange
+    (domain.route_rows — the full petapm region-exchange analog,
+    particle domain <-> FFT pencil domain) and the readout forces
+    travel back the same lanes.  route_kcap bounds routed rows per
+    device pair; overflow is counted in the returned pm_lost (the
+    caller regrows), never silently dropped.
+
+    nu_k/nu_fac (both [NK] f32, replicated): massive-neutrino linear
+    response — multiply the density modes by interp(|k|, nu_k,
+    nu_fac) = 1 + f_nu delta_nu/delta_cdm BEFORE the P(k) measurement
+    and the potential transfer, exactly like gravity.pm.pm_forces'
+    nu_factor mesh (gravpm.cpp:202-209 apply_neutrino_power).
+
+    Returns (accel, ps, pm_lost) with ps None unless want_power.
+    """
+    from ..ops.cic import cic_readout_slab
+    from .domain import route_back
+
+    n = cfg.nmesh
+    nloc = n // ndev
+    me = jax.lax.axis_index(axis_name)
+    x0 = (me * nloc).astype(jnp.int32)
+    to_left = [(i, (i - 1) % ndev) for i in range(ndev)]
+    to_right = [(i, (i + 1) % ndev) for i in range(ndev)]
+
+    slab, ipos_dep, dep_mask, stay, route_state, pm_lost = \
+        _deposit_slab_routed(ipos_local, mass_local, cfg, ndev,
+                             axis_name, halo, mask, cuts_in,
+                             route_kcap)
 
     rho_k = pfft_r2c(slab, axis_name)              # [N, N/D, K]
+    if nu_fac is not None:
+        kx, ky, kz = pencil_kvec(n, axis_name)
+        kmag = jnp.sqrt(kx * kx + ky * ky + kz * kz) \
+            * jnp.float32(2 * np.pi / cfg.boxsize)
+        fac = jnp.interp(kmag, nu_k, nu_fac)
+        rho_k = rho_k * fac
     ps = measure_power_pencil(rho_k, cfg, axis_name) if want_power \
         else None
     pot_k, (kx, ky, kz) = _pm_transfer_chain(rho_k, cfg, axis_name)

@@ -70,7 +70,7 @@ from ..gravity.pm import finalize_power
 from ..utils.constants import CM_PER_MPC
 from .domain import distribute_slabs, exchange, collect_alive
 from .sharded import tree_forces_slab
-from .pfft import pm_forces_slab
+from .pfft import pm_forces_slab, measure_cdm_power_slab
 
 
 # x-column granularity of the cost-balance histogram (the topleaf
@@ -138,6 +138,8 @@ class SlabSimulation:
     on_snapshot: object = None     # callback(sim, atime)
     on_step: object = None
     on_pm_step: object = None      # FOF-cadence physics (BH seeding)
+    on_drift: object = None        # callback(sim, a0, a1) after drift
+    nu_table: object = None        # neutrinos_lra.DeltaTotTable
     walltime: object = None
     balance_domains: bool = False  # cost-balanced slab cuts
     cuts_planes: object = None     # [D+1] mesh-plane cut indices
@@ -162,6 +164,8 @@ class SlabSimulation:
     sfr_on: bool = False
     coolpar: object = None
     treecool: object = None
+    zreion_table: object = None  # uv_fluctuations.ZreionTable
+    metal_cool: object = None    # uv_fluctuations.MetalCoolingTable
     sfrpar: object = None
     coolunits: object = None
     rng_key: object = None
@@ -345,7 +349,8 @@ class SlabSimulation:
     # ---------------- the force program ----------------
     def _force_program(self, with_pm: bool, first: bool):
         """Build (or fetch) the jitted shard_map force step."""
-        key = (with_pm, first, self.caps.key())
+        with_nu = with_pm and self.nu_table is not None
+        key = (with_pm, first, with_nu, self.caps.key())
         prog = self._programs.get(key)
         if prog is not None:
             return prog
@@ -371,7 +376,7 @@ class SlabSimulation:
             from ..gravity.stencil import default_tbc
             _, _, T = stencil_static_config(C, g.refine_sub, 7, sp)
             caps.st_tbc = default_tbc(T, g.refine_sub)
-            key = (with_pm, first, caps.key())
+            key = (with_pm, first, with_nu, caps.key())
 
         balance = self.balance_domains and ndev > 1
 
@@ -385,7 +390,7 @@ class SlabSimulation:
         if with_pm:
             out_specs = out_specs + ((P(), P(), P(), P()),)
 
-        def body(fields, cuts):
+        def body(fields, cuts, nu_k=None, nu_fac=None):
             fields, xinfo = exchange(fields, ndev, caps.kcap,
                                      cuts_in=cuts)
             alive = fields["mass"] > 0
@@ -395,7 +400,8 @@ class SlabSimulation:
                 gpm, ps, pm_lost = pm_forces_slab(
                     fields["ipos"], fields["mass"], cfg_pm, ndev,
                     halo=2, mask=alive, want_power=True,
-                    cuts_in=cuts, route_kcap=caps.pm_kcap)
+                    cuts_in=cuts, route_kcap=caps.pm_kcap,
+                    nu_k=nu_k, nu_fac=nu_fac)
                 fields = dict(fields, gpm=gpm)
             if use_stencil:
                 from .sharded import stencil_forces_slab
@@ -421,16 +427,17 @@ class SlabSimulation:
                 out = out + ((ps.k, ps.power, ps.nmodes, ps.norm),)
             return out
 
+        nu_specs = (P(), P()) if with_nu else ()
         if balance:
             run = partial(shard_map, mesh=mesh,
-                          in_specs=(field_specs, P()),
+                          in_specs=(field_specs, P()) + nu_specs,
                           out_specs=out_specs, check_vma=False)(
-                lambda fields, cuts: body(fields, cuts))
+                lambda fields, cuts, *nu: body(fields, cuts, *nu))
         else:
             run = partial(shard_map, mesh=mesh,
-                          in_specs=(field_specs,),
+                          in_specs=(field_specs,) + nu_specs,
                           out_specs=out_specs, check_vma=False)(
-                lambda fields: body(fields, None))
+                lambda fields, *nu: body(fields, None, *nu))
 
         prog = jax.jit(run)
         self._programs[key] = prog
@@ -508,14 +515,106 @@ class SlabSimulation:
             grew = True
         return grew
 
-    def _forces(self, with_pm: bool, first: bool = False):
-        """Run the force program, regrowing static caps on overflow."""
+    def _nu_cdm_power_program(self):
+        """Jitted shard_map: exchange + distributed deposit/FFT + P(k)
+        binning only — the pre-nu-factor CDM power the linear response
+        integrates (gravpm.cpp:360 measure_power_spectrum)."""
+        key = ("nupow", self.caps.key())
+        prog = self._programs.get(key)
+        if prog is not None:
+            return prog
+        mesh = self.mesh
+        ndev = mesh.devices.size
+        caps = self.caps
+        cfg_pm = self.gravity.pm()
+        balance = self.balance_domains and ndev > 1
+        field_specs = {name: P("dp", *([None] * (a.ndim - 1)))
+                       for name, a in self.fields.items()}
+        out_specs = ((P(), P(), P(), P()),
+                     {"unsent": P(), "dropped": P(), "pm_lost": P()})
+
+        def body(fields, cuts):
+            fields, xinfo = exchange(fields, ndev, caps.kcap,
+                                     cuts_in=cuts)
+            alive = fields["mass"] > 0
+            ps, pm_lost = measure_cdm_power_slab(
+                fields["ipos"], fields["mass"], cfg_pm, ndev,
+                halo=2, mask=alive, cuts_in=cuts,
+                route_kcap=caps.pm_kcap)
+            info = {"unsent": xinfo["unsent"],
+                    "dropped": xinfo["dropped"], "pm_lost": pm_lost}
+            return (ps.k, ps.power, ps.nmodes, ps.norm), info
+
+        if balance:
+            run = partial(shard_map, mesh=mesh,
+                          in_specs=(field_specs, P()),
+                          out_specs=out_specs, check_vma=False)(
+                lambda fields, cuts: body(fields, cuts))
+        else:
+            run = partial(shard_map, mesh=mesh,
+                          in_specs=(field_specs,),
+                          out_specs=out_specs, check_vma=False)(
+                lambda fields: body(fields, None))
+        prog = jax.jit(run)
+        self._programs[key] = prog
+        return prog
+
+    def _nu_factor_tables(self):
+        """Measure the CDM power, advance the delta_nu integral, and
+        return the (k, fac) interp tables for THIS PM solve — the
+        slab analog of simulation._compute_pm's nu branch
+        (compute_neutrino_power, gravpm.cpp:308)."""
         for _ in range(8):
-            prog = self._force_program(with_pm, first)
+            prog = self._nu_cdm_power_program()
             if self.balance_domains and self.mesh.devices.size > 1:
                 out = prog(self.fields, self._cuts_dev)
             else:
                 out = prog(self.fields)
+            info = out[1]
+            if int(info["dropped"]) > 0:
+                raise RuntimeError(
+                    f"slab capacity overflow in nu power measure: "
+                    f"{int(info['dropped'])} rows dropped at "
+                    f"capacity {self.capacity}")
+            grew = False
+            if int(info["unsent"]) > 0:
+                self.caps.kcap = self.caps.kcap * 2
+                grew = True
+            if int(info["pm_lost"]) > 0:
+                self.caps.pm_kcap = min(self.caps.pm_kcap * 2,
+                                        self.capacity)
+                grew = True
+            if not grew:
+                break
+        else:
+            raise RuntimeError("nu power-measure caps failed to "
+                               f"converge: {self.caps}")
+        k, power, nmodes, norm = out[0]
+        nt = self.nu_table
+        kk = np.asarray(k, np.float64) * (2 * np.pi / self.boxsize)
+        pw = np.asarray(power, np.float64)
+        nm = np.asarray(nmodes, np.float64)
+        sel = nm > 0
+        delta_meas = np.sqrt(pw[sel] / nm[sel]
+                             / max(float(norm), 1e-300))
+        delta_cdm = np.interp(nt.wavenum, kk[sel], delta_meas)
+        atime = self.atime()
+        nt.update(atime, delta_cdm)
+        fac1d = nt.potential_factor(atime, delta_cdm)
+        return (jnp.asarray(np.asarray(nt.wavenum, np.float32)),
+                jnp.asarray(np.asarray(fac1d, np.float32)))
+
+    def _forces(self, with_pm: bool, first: bool = False):
+        """Run the force program, regrowing static caps on overflow."""
+        nu_args = ()
+        if with_pm and self.nu_table is not None:
+            nu_args = self._nu_factor_tables()
+        for _ in range(8):
+            prog = self._force_program(with_pm, first)
+            if self.balance_domains and self.mesh.devices.size > 1:
+                out = prog(self.fields, self._cuts_dev, *nu_args)
+            else:
+                out = prog(self.fields, *nu_args)
             info = out[1]
             if not self._grow_from_diag(info):
                 self.fields = out[0]
@@ -784,6 +883,15 @@ class SlabSimulation:
         redshift = 1.0 / atime - 1.0
         uvbg = (self.treecool.uvbg(redshift, self.coolpar)
                 if self.treecool else UVBG())
+        if self.zreion_table is not None:
+            # fluctuating UVB: per-particle rates gated on z_reion
+            # (cooling_uvfluc.cpp) — elementwise on the sharded rows,
+            # zero communication (the zreion grid is replicated)
+            from ..core.particles import ipos_to_float
+            from ..physics.uv_fluctuations import local_uvbg
+            pos = ipos_to_float(f["ipos"], self.boxsize)
+            uvbg = local_uvbg(uvbg, self.zreion_table.zreion(pos),
+                              redshift)
         mass_gas = jnp.where(is_gas, f["mass"], 0.0)
 
         if self.sfr_on:
@@ -860,7 +968,8 @@ class SlabSimulation:
                 min_egyspec_cgs=(self.sfrpar.min_egyspec()
                                  * cu.uu_in_cgs if self.sfrpar
                                  else 0.0),
-                ne_init=f["ne"], metallicity=f["met"])
+                ne_init=f["ne"], metallicity=f["met"],
+                metal_cool=self.metal_cool)
             u_new = u_cgs / cu.uu_in_cgs
             upd = is_gas & (dfac > 0) & (dtime > 0)
             ent = jnp.where(upd, u_new / jnp.maximum(dfac, 1e-35),
@@ -1389,7 +1498,12 @@ class SlabSimulation:
                                          times.mintimebin)
                 ti_next = min(ti_next,
                               times.pm_start + times.pm_length)
+                a0 = self.atime()
                 self._drift_all(ti_next)
+                if self.on_drift is not None:
+                    # lightcone crossings etc. (lightcone.cpp rides
+                    # the drift exactly like the single-device loop)
+                    self.on_drift(self, a0, self.atime())
                 self._wt("Drift")
             is_pm = times.is_pm()
 
