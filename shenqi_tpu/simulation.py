@@ -753,8 +753,8 @@ class Simulation:
                   + (f" sfr={sfr[r]:.3g}" if sfr is not None else ""),
                   flush=True)
         dump_step = os.environ.get("SHENQI_TRACE_DUMP_STEP")
-        if dump_step and self.step_count == int(dump_step) \
-                and tag == "post-sph":
+        if dump_step and tag == "post-sph" and self.step_count in [
+                int(x) for x in dump_step.split(",") if x]:
             out = {"ids": ids[:ng], "ipos": np.asarray(p.ipos[:ng]),
                    "vel": vel[:ng], "mass": np.asarray(p.mass[:ng]),
                    "ptype": np.asarray(p.ptype[:ng]),
