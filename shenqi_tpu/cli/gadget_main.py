@@ -99,6 +99,17 @@ def _init_checks(pos, ids, mass, cp, boxsize):
               f"(check_omega)")
 
 
+def _resume_snap_counter(outdir):
+    """Fallback snapshot counter: one past the last snapshot on
+    record, so unplanned (HCI/off-OutputList) dumps never overwrite
+    an existing PART_* after a RestartFlag-1 resume."""
+    try:
+        with open(os.path.join(outdir, "LastSnapNum.txt")) as f:
+            return int(f.read().strip()) + 1
+    except (OSError, ValueError):
+        return 0
+
+
 def _snap_index(ps, a, fallback):
     """Snapshot number = position of `a` in the FULL OutputList.
 
@@ -261,7 +272,7 @@ def _build_nu_table(ps, cp, units, boxsize, nmesh, atime,
 def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
               pos, vel, mass, ids, boxsize, nmesh, atime, outdir,
               mesh_devices: int, max_steps: int, species=None,
-              gas_u0=None, nu_table=None):
+              gas_u0=None, nu_table=None, resumed=False):
     """Multi-chip run: the slab simulation loop (TreePM + adiabatic
     SPH when gas is present) with sharded snapshot/FOF/P(k) outputs
     (run.cpp:331-822 distributed; the product wiring for
@@ -284,6 +295,7 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
             atime, tsp=tsp, gravity_kw=gravity_kw,
             headroom=ps.get_double("PartAllocFactor"))
     sim.nu_table = nu_table
+    sim.resumed = resumed
 
     # lightcone crossings collected during drifts (lightcone.cpp),
     # computed one device shard at a time (bounded host memory)
@@ -412,14 +424,17 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
 
     base = ps.get_string("SnapshotFileBase")
     snapshot_with_fof = bool(ps.get_int("SnapshotWithFOF"))
-    snap_counter = [0]
+    snap_counter = [_resume_snap_counter(outdir)]
     npart_tot = len(pos)
     mean_sep = boxsize / np.cbrt(max(npart_tot, 1))
     b_link = ps.get_double("FOFHaloLinkingLength") * mean_sep
     fof_fn = [None]
 
     def on_snapshot(s, a):
-        snap_counter[0] = _snap_index(ps, a, snap_counter[0])
+        # max() keeps numbering monotone when an unplanned (HCI)
+        # dump has consumed an index below this OutputList position
+        snap_counter[0] = max(_snap_index(ps, a, snap_counter[0]),
+                              snap_counter[0])
         path = os.path.join(outdir, f"{base}_{snap_counter[0]:03d}")
         shdr = SnapshotHeader(
             TotNumPart=np.zeros(6, np.uint64), MassTable=np.zeros(6),
@@ -487,6 +502,15 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
         snap_counter[0] += 1
 
     sim.on_snapshot = on_snapshot
+    # HCI on the slab loop too: the query runs on the host driver
+    # (one per process here; rank-0 semantics of hci.cpp), checkpoint
+    # reuses the sharded snapshot writer at the next free index
+    from ..utils.hci import HCI
+    sim.hci = HCI(outdir,
+                  time_limit_cpu=ps.get_double("TimeLimitCPU"),
+                  auto_checkpoint_time=ps.get_double(
+                      "AutoSnapshotTime"))
+    sim.on_checkpoint = on_snapshot
 
     from ..utils.walltime import Walltime
     wt = Walltime()
@@ -733,7 +757,8 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
                          gravity_kw, pos, vel, mass, ids, boxsize,
                          nmesh, atime, outdir, mesh_devices,
                          max_steps, species=species, gas_u0=gas_u0,
-                         nu_table=nu_table)
+                         nu_table=nu_table,
+                         resumed=(restart_flag == 1))
 
     if has_gas:
         from ..simulation_gas import GasPhysics
@@ -941,6 +966,7 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
                                      nmesh, timeline, atime, tsp=tsp,
                                      gravity_kw=gravity_kw)
 
+    sim.resumed = (restart_flag == 1)
     sim.hierarchical = bool(ps.get_int("SplitGravityTimestepsOn")
                             or ps.get_int("HierarchicalGravity"))
     # anti-correlation box shift, a fraction of a PM cell
@@ -972,11 +998,14 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
                               np.asarray(p.mask))
         sim.on_drift = on_drift
 
-    snap_counter = [0]
+    snap_counter = [_resume_snap_counter(outdir)]
     base = ps.get_string("SnapshotFileBase")
 
     def on_snapshot(s, a):
-        snap_counter[0] = _snap_index(ps, a, snap_counter[0])
+        # max() keeps numbering monotone when an unplanned (HCI)
+        # dump has consumed an index below this OutputList position
+        snap_counter[0] = max(_snap_index(ps, a, snap_counter[0]),
+                              snap_counter[0])
         path = os.path.join(outdir, f"{base}_{snap_counter[0]:03d}")
         p = s.particles
         maskv = np.asarray(p.mask)
@@ -1196,10 +1225,44 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
             if os.path.isdir(src):
                 os.rename(src, dst)
             snap_counter[0] = snap_counter_save
+            # base_on_snapshot recorded 999 in LastSnapNum.txt, but
+            # PART_999 was just renamed away — restore the pointer
+            # (last real snapshot = counter-1) or the next resume
+            # aborts on a missing snapshot
+            lsn = os.path.join(outdir, "LastSnapNum.txt")
+            prev = None
+            if snap_counter_save > 0:
+                prev = snap_counter_save - 1
+            else:
+                # resumed run that has not written a snapshot yet:
+                # find the last real PART_* on disk
+                import re as _re
+                nums = [int(m.group(1)) for f in os.listdir(outdir)
+                        if (m := _re.fullmatch(
+                            f"{base}_(\\d{{3}})", f))]
+                if nums:
+                    prev = max(nums)
+            if prev is not None:
+                with open(lsn, "w") as fh:
+                    fh.write(str(prev))
+            elif os.path.exists(lsn):
+                os.remove(lsn)
             print(f"Bad timestep: emergency dump -> {dst}")
         except Exception as e:       # the dump must never mask the
             print(f"TIMESTEP-DUMP failed: {e}")   # original error
     sim.on_bad_timestep = on_bad_timestep
+
+    # human control interface: poll stop/checkpoint/terminate files
+    # + wall-clock timeout prediction on PM steps (hci.cpp:76-185,
+    # polled run.cpp:408).  HCI checkpoints reuse the full snapshot
+    # writer (with FOF when SnapshotWithFOF, like write_fof) at the
+    # next free snapshot index, so RestartFlag 1 resumes from them.
+    from ..utils.hci import HCI
+    sim.hci = HCI(outdir,
+                  time_limit_cpu=ps.get_double("TimeLimitCPU"),
+                  auto_checkpoint_time=ps.get_double(
+                      "AutoSnapshotTime"))
+    sim.on_checkpoint = on_snapshot_with_fof
 
     # per-step statistics: energy.txt, sfr.txt, cpu.txt
     from ..utils.walltime import Walltime

@@ -138,6 +138,13 @@ class SlabSimulation:
     on_snapshot: object = None     # callback(sim, atime)
     on_step: object = None
     on_pm_step: object = None      # FOF-cadence physics (BH seeding)
+    # human control interface (utils.hci.HCI), polled on PM steps
+    # like the reference (run.cpp:408); see simulation.py
+    hci: object = None
+    on_checkpoint: object = None   # callback(sim, atime)
+    hci_exit: str = ""
+    # RestartFlag-1 resume: skip re-writing the resume-point snapshot
+    resumed: bool = False
     on_drift: object = None        # callback(sim, a0, a1) after drift
     nu_table: object = None        # neutrinos_lra.DeltaTotTable
     walltime: object = None
@@ -1506,6 +1513,16 @@ class SlabSimulation:
                     self.on_drift(self, a0, self.atime())
                 self._wt("Drift")
             is_pm = times.is_pm()
+            hci_action = 0
+            if is_pm and self.hci is not None:
+                # query HCI requests only on PM steps (run.cpp:408);
+                # the query is host-side so every device sees the
+                # same verdict (hci.cpp broadcasts from rank 0)
+                from ..utils import hci as hcimod
+                hci_action = self.hci.query()
+                if hci_action == hcimod.HCI_TERMINATE:
+                    self.hci_exit = "terminate"
+                    break
 
             # forces (exchange + PM on PM steps + tree every step);
             # PM steps first re-cut the slab boundaries to the
@@ -1563,11 +1580,30 @@ class SlabSimulation:
 
             sp = self.timeline.find_current_sync_point(
                 times.ti_current)
-            if sp is not None and sp.write_snapshot:
+            if sp is not None and sp.write_snapshot \
+                    and not (first and self.resumed):
                 if self.on_snapshot:
                     self.on_snapshot(self, self.atime())
                 self.snapshots.append(self.atime())
                 self._wt("Snapshot")
+
+            # HCI-requested checkpoint/stop (run.cpp:700-761)
+            if hci_action:
+                from ..utils import hci as hcimod
+                planned = (sp is not None and sp.write_snapshot
+                           and not (first and self.resumed))
+                if hcimod.wants_checkpoint(hci_action) and not planned:
+                    cb = self.on_checkpoint or self.on_snapshot
+                    if cb:
+                        cb(self, self.atime())
+                    self.snapshots.append(self.atime())
+                    self._wt("Snapshot")
+                if hcimod.wants_break(hci_action):
+                    self.hci_exit = {
+                        hcimod.HCI_STOP: "stop",
+                        hcimod.HCI_TIMEOUT: "timeout",
+                    }.get(hci_action, "terminate")
+                    break
 
             if self.timeline.find_next_sync_point(times.ti_current) \
                     is None:

@@ -94,6 +94,18 @@ class Simulation:
     on_drift: object = None      # callback(sim, a0, a1) after drifts
     gas: object = None           # GasState (simulation_gas.py)
     gas_physics: object = None   # GasPhysics
+    # human control interface (utils.hci.HCI): polled on PM steps like
+    # the reference (run.cpp:408, hci.cpp:131-198).  `stop`/
+    # `checkpoint`/`terminate` files in the output dir + wall-clock
+    # timeout prediction.  hci_exit records why the loop ended.
+    hci: object = None
+    on_checkpoint: object = None  # callback(sim, atime): unplanned dump
+    hci_exit: str = ""
+    # RestartFlag-1 resume: the first loop iteration sits exactly on
+    # the sync point the run resumed from — do not re-write it (the
+    # reference resumes with SnapshotFileCount past it,
+    # checkpoint.cpp find_last_snapnum)
+    resumed: bool = False
     # persistent walk/tier caches: keep the device-blocked gravity's
     # static shapes monotone so steady-state steps hit the jit cache
     _tier_cache: dict = field(default_factory=dict)
@@ -792,6 +804,16 @@ class Simulation:
                 self._drift_all(ti_next)
                 self._wt("Drift")
             is_pm = times.is_pm()
+            hci_action = 0
+            if is_pm and self.hci is not None:
+                # query HCI requests only on PM steps, where kicks
+                # and drifts are synced (run.cpp:406-413)
+                from .utils import hci as hcimod
+                hci_action = self.hci.query()
+                if hci_action == hcimod.HCI_TERMINATE:
+                    # human triggered termination: no checkpoint
+                    self.hci_exit = "terminate"
+                    break
             if is_pm:
                 # reference redraws the box shift at each full domain
                 # decomposition, i.e. every PM step (run.cpp:426-428)
@@ -889,7 +911,8 @@ class Simulation:
 
             # sync point outputs
             sp = self.timeline.find_current_sync_point(times.ti_current)
-            if sp is not None and sp.write_snapshot:
+            if sp is not None and sp.write_snapshot \
+                    and not (first and self.resumed):
                 # reclaim dead rows before writing (run.cpp:704 runs
                 # slots_gc ahead of the snapshot)
                 if self.gas is not None and self.gas_physics is not None:
@@ -898,6 +921,29 @@ class Simulation:
                     self.on_snapshot(self, self.atime())
                 self.snapshots.append(self.atime())
                 self._wt("Snapshot")
+
+            # HCI-requested checkpoint (run.cpp:700 WriteSnapshot |=
+            # action->write_snapshot): write an unplanned dump unless
+            # this step's planned sync point just wrote one
+            if hci_action:
+                from .utils import hci as hcimod
+                planned = (sp is not None and sp.write_snapshot
+                           and not (first and self.resumed))
+                if hcimod.wants_checkpoint(hci_action) and not planned:
+                    if self.gas is not None \
+                            and self.gas_physics is not None:
+                        self.gas_physics.slots_gc(self, self.gas)
+                    cb = self.on_checkpoint or self.on_snapshot
+                    if cb:
+                        cb(self, self.atime())
+                    self.snapshots.append(self.atime())
+                    self._wt("Snapshot")
+                if hcimod.wants_break(hci_action):
+                    self.hci_exit = {
+                        hcimod.HCI_STOP: "stop",
+                        hcimod.HCI_TIMEOUT: "timeout",
+                    }.get(hci_action, "terminate")
+                    break
 
             if self.timeline.find_next_sync_point(times.ti_current) \
                     is None:

@@ -52,27 +52,46 @@ class HCI:
         return False
 
     def query(self) -> int:
-        """Call on PM steps; returns the requested action."""
+        """Call on PM steps; returns the requested action.
+
+        Priority order and semantics follow hci_query
+        (libgadget/hci.cpp:131-198): timeout first (stop +
+        checkpoint), then `checkpoint` (checkpoint and CONTINUE),
+        then `stop` (checkpoint and stop), then `terminate` (stop
+        without checkpoint), then the auto-checkpoint clock."""
         now = self._now()
         gap = now - self._t_last_query
         self._longest_gap = max(self._longest_gap, gap)
         self._t_last_query = now
 
-        if self._consume("terminate"):
-            return HCI_TERMINATE
-        if self._consume("stop"):
-            return HCI_STOP
+        # wall-clock timeout prediction (hci.cpp:95-115): will the
+        # next query likely overrun TimeLimitCPU?  0.95 is the
+        # reference's safety tolerance.
+        elapsed = now - self._t_begin
+        if (elapsed + self._longest_gap
+                >= self.time_limit_cpu * 0.95):
+            return HCI_TIMEOUT
         if self._consume("checkpoint"):
             self._t_last_checkpoint = now
             return HCI_CHECKPOINT
-        # wall-clock timeout prediction (hci.cpp:95-115): not enough
-        # time left for another (longest observed) PM step
-        elapsed = now - self._t_begin
-        if elapsed + self._longest_gap > self.time_limit_cpu:
-            return HCI_TIMEOUT
+        if self._consume("stop"):
+            return HCI_STOP
+        if self._consume("terminate"):
+            return HCI_TERMINATE
         if (self.auto_checkpoint_time > 0
                 and now - self._t_last_checkpoint
-                > self.auto_checkpoint_time):
+                >= self.auto_checkpoint_time):
             self._t_last_checkpoint = now
             return HCI_AUTO_CHECKPOINT
         return HCI_NO_ACTION
+
+
+def wants_checkpoint(action: int) -> bool:
+    """Does this action write a snapshot (hci.cpp write_snapshot)?"""
+    return action in (HCI_STOP, HCI_CHECKPOINT, HCI_TIMEOUT,
+                      HCI_AUTO_CHECKPOINT)
+
+
+def wants_break(action: int) -> bool:
+    """Does this action end the main loop (hci_query return 1)?"""
+    return action in (HCI_STOP, HCI_TIMEOUT, HCI_TERMINATE)
