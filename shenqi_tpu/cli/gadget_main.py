@@ -393,6 +393,22 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
         if mcf and ps.get_int("MetalCoolingOn"):
             from ..physics.uv_fluctuations import MetalCoolingTable
             sim.metal_cool = MetalCoolingTable.load(mcf)
+        # QSO helium reionization (cooling_qso_lightup.cpp), now on
+        # the slab loop: bubbles applied device-side at FOF cadence
+        if (ps.get_int("QSOLightupOn")
+                or ps.get_int("HeliumReionizationOn")):
+            rhf = ps.get_string("ReionHistFile")
+            if rhf:
+                from ..physics.helium_reion import (HeliumReion,
+                                                    QSOLightupParams)
+                sim.helium = HeliumReion.load(rhf, QSOLightupParams(
+                    qso_candidate_min_mass=ps.get_double(
+                        "QSOMinMass"),
+                    qso_candidate_max_mass=ps.get_double(
+                        "QSOMaxMass"),
+                    mean_bubble=ps.get_double("QSOMeanBubble"),
+                    var_bubble=max(ps.get_double("QSOVarBubble"),
+                                   1e-10)))
     if species is not None and ps.get_int("MetalReturnOn"):
         from ..physics.metal_return import MetalReturn
         ydir = ps.get_string("MetalYieldDir") or os.path.join(
@@ -523,18 +539,14 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
 
     sim.on_step = on_step
 
-    # seeding-cadence FOF searches on PM steps (run.cpp:364,637-660)
-    if sim.bh_on:
+    # FOF-cadence physics on PM steps (run.cpp:364,637-660): BH
+    # seeding searches + helium QSO bubbles share one FOF pass
+    if sim.bh_on or sim.helium is not None:
         seed_factor = ps.get_double("TimeBetweenSeedingSearch")
         next_seed_check = [atime]
         min_len = ps.get_int("FOFHaloMinLength")
 
-        def on_pm_step(s):
-            a = s.atime()
-            if a < next_seed_check[0]:
-                return
-            next_seed_check[0] = a * seed_factor
-            from ..physics.blackhole import seed_black_holes
+        def _slab_fof_groups(s):
             f = s.fields
             balanced = s.balance_domains and s._cuts_dev is not None
             if fof_fn[0] is None:
@@ -550,8 +562,11 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
                 glabel, _ = fof_fn[0](ffields)
             groups, _pid = compile_groups_from_slab(
                 glabel, f, boxsize, min_length=min_len)
-            if not groups.ngroups:
-                return
+            return groups
+
+        def _seed_from_groups(s, groups):
+            from ..physics.blackhole import seed_black_holes
+            f = s.fields
             to_seed = seed_black_holes(
                 groups, groups.mass_by_type[:, 4],
                 groups.length_by_type[:, 5], s.bhpar)
@@ -572,6 +587,26 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
             if seeds:
                 s._seed_bh_rows(seeds)
                 print(f"Seeded {len(seeds)} black holes")
+
+        def on_pm_step(s):
+            a = s.atime()
+            seed_due = sim.bh_on and a >= next_seed_check[0]
+            he_due = s.helium is not None and s.helium.during(
+                1.0 / a - 1.0)
+            if not (seed_due or he_due):
+                return
+            groups = _slab_fof_groups(s)
+            if seed_due:
+                next_seed_check[0] = a * seed_factor
+            if not groups.ngroups:
+                return
+            if seed_due:
+                _seed_from_groups(s, groups)
+            if he_due:
+                nion = s.helium_step(groups.masses, groups.cm)
+                if nion:
+                    print(f"HeIII QSO bubbles: {nion} ionized "
+                          f"at a={a:g}")
 
         sim.on_pm_step = on_pm_step
 
@@ -725,8 +760,7 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
         # multi-chip slab run (--mesh N): TreePM + SPH + cooling/SF
         # (spawns into local dead rows) + winds + metal return + BH
         # + neutrino LRA + lightcone, all distributed
-        for opt in ("QSOLightupOn", "HeliumReionizationOn",
-                    "ExcursionSetReionOn", "SplitGravityTimestepsOn",
+        for opt in ("ExcursionSetReionOn", "SplitGravityTimestepsOn",
                     "HierarchicalGravity"):
             if ps.get_int(opt):
                 print(f"WARNING: {opt} is not yet wired into the "

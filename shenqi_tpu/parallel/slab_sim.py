@@ -173,6 +173,7 @@ class SlabSimulation:
     treecool: object = None
     zreion_table: object = None  # uv_fluctuations.ZreionTable
     metal_cool: object = None    # uv_fluctuations.MetalCoolingTable
+    helium: object = None        # helium_reion.HeliumReion (QSO)
     sfrpar: object = None
     coolunits: object = None
     rng_key: object = None
@@ -325,6 +326,9 @@ class SlabSimulation:
                          "smet", "enr", "tret", "delay", "vdsp",
                          "bhm", "bhmd"):
                 f[name] = jax.device_put(zs.copy(), sh)
+            # HeIII ionization flag (QSO helium reionization)
+            f["heiii"] = jax.device_put(
+                np.zeros(idsd.shape[0], bool), sh)
             f["gen"] = jax.device_put(
                 np.zeros(idsd.shape[0], np.int32), sh)
             sim.has_gas = True
@@ -900,6 +904,18 @@ class SlabSimulation:
             uvbg = local_uvbg(uvbg, self.zreion_table.zreion(pos),
                               redshift)
         mass_gas = jnp.where(is_gas, f["mass"], 0.0)
+        # HeII long-mean-free-path heating for not-yet-ionized gas
+        # during QSO reionization (cooling_qso_lightup.cpp:46-50) —
+        # elementwise on the sharded rows, zero communication
+        extra_heat = 0.0
+        if self.helium is not None and self.helium.during(redshift):
+            from ..utils.constants import GRAVITY, HUBBLE
+            h0 = self.CP.HubbleParam * HUBBLE
+            rho_crit_b = (3 * h0 * h0 / (8 * np.pi * GRAVITY)
+                          * self.CP.OmegaBaryon)
+            lm = self.helium.lmfp_heating_per_gram(redshift,
+                                                   rho_crit_b)
+            extra_heat = jnp.where(f["heiii"], 0.0, jnp.float32(lm))
 
         if self.sfr_on:
             if self.rng_key is None:
@@ -910,7 +926,8 @@ class SlabSimulation:
                 mass_gas, f["ne"], f["met"], f["gen"], dtime, a3inv,
                 redshift, uvbg, self.sfrpar, self.coolpar,
                 self.coolunits, is_gas, gradrho_mag=f["grho"],
-                hsml=f["hsml"], pids=f["id_lo"])
+                hsml=f["hsml"], pids=f["id_lo"],
+                extra_heat=extra_heat)
             f["entropy"] = jnp.where(is_gas, res.entropy,
                                      f["entropy"])
             f["ne"] = jnp.where(is_gas, res.ne, f["ne"])
@@ -976,13 +993,95 @@ class SlabSimulation:
                                  * cu.uu_in_cgs if self.sfrpar
                                  else 0.0),
                 ne_init=f["ne"], metallicity=f["met"],
-                metal_cool=self.metal_cool)
+                metal_cool=self.metal_cool, extra_heat=extra_heat)
             u_new = u_cgs / cu.uu_in_cgs
             upd = is_gas & (dfac > 0) & (dtime > 0)
             ent = jnp.where(upd, u_new / jnp.maximum(dfac, 1e-35),
                             f["entropy"])
             f["entropy"] = ent
             f["ne"] = jnp.where(upd, ne, f["ne"])
+
+    def helium_step(self, group_masses, group_cm):
+        """QSO-bubble HeIII ionization at FOF cadence, distributed
+        (cooling_qso_lightup.cpp turn_on_quasars).
+
+        The QSO choice is inherently sequential (each bubble's ionized
+        fraction feeds the next pick), so the pick loop runs on the
+        host — rank-0 semantics, like the reference's choose_QSO_halo
+        + MPI_Bcast — while each bubble's application is ONE jitted
+        elementwise pass over the sharded rows plus a global fresh
+        count (the reference's MPI_Allreduce of N_ionized).  Draws are
+        seeded by the integer timeline so 1-device and N-device runs
+        ionize identically."""
+        if (self.helium is None or self.coolunits is None
+                or not self.has_gas):
+            return
+        atime = self.atime()
+        redshift = 1.0 / atime - 1.0
+        if not self.helium.during(redshift):
+            return
+        f = self.fields
+        is_gas = (f["ptyp"] == 0) & self._alive()
+        n_gas = max(int(jnp.sum(is_gas.astype(jnp.int32))), 1)
+        desired = self.helium.desired_ion_frac(atime)
+        a3inv = 1.0 / atime ** 3
+        uu = self.coolunits.uu_in_cgs
+        par = self.helium.par
+        from ..utils.constants import (HYDROGEN_MASSFRAC, PROTONMASS,
+                                       GAMMA_MINUS1)
+        from ..physics.helium_reion import HEMASS
+        nheperg = (1 - HYDROGEN_MASSFRAC) / (PROTONMASS * HEMASS)
+        deltau = jnp.float32(self.helium.inst_heating * nheperg / uu)
+
+        def apply_bubble(center_u32, r2cut):
+            """One bubble (or the whole box when r2cut<0): ionize
+            fresh gas inside, return the global fresh count."""
+            d = (f["ipos"] - center_u32[None, :]).astype(
+                jnp.int32).astype(jnp.float32) * jnp.float32(
+                    self.boxsize / 2 ** 32)
+            inside = (jnp.sum(d * d, axis=-1)
+                      < jnp.float32(r2cut)) if r2cut >= 0 \
+                else jnp.ones_like(is_gas)
+            fresh = inside & is_gas & ~f["heiii"]
+            etou = (jnp.maximum(f["density"], 1e-35)
+                    * a3inv) ** GAMMA_MINUS1 / GAMMA_MINUS1
+            f["entropy"] = jnp.where(
+                fresh, f["entropy"] + deltau / etou, f["entropy"])
+            f["heiii"] = f["heiii"] | fresh
+            return int(jnp.sum(fresh.astype(jnp.int32)))
+
+        total = 0
+        if desired > par.heIIIreion_finish_frac:
+            # flash finish: ionize everything left
+            total += apply_bubble(jnp.zeros(3, jnp.uint32), -1.0)
+            return total
+
+        cur = int(jnp.sum((f["heiii"] & is_gas).astype(
+            jnp.int32))) / n_gas
+        masses = np.asarray(group_masses)
+        cand = list(np.nonzero(
+            (masses > par.qso_candidate_min_mass)
+            & (masses < par.qso_candidate_max_mass))[0])
+        cm = np.asarray(group_cm)
+        rng = np.random.RandomState(
+            int(self.times.ti_current) & 0x7FFFFFFF)
+        it = 0
+        while cur < desired and cand and it < 10000:
+            it += 1
+            pick = cand.pop(rng.randint(len(cand)))
+            bubble = rng.normal(par.mean_bubble,
+                                np.sqrt(par.var_bubble))
+            if bubble <= 0:
+                continue
+            center = jnp.asarray(
+                (np.asarray(cm[pick]) / self.boxsize % 1.0
+                 * 2 ** 32).astype(np.int64).astype(np.uint32))
+            n = apply_bubble(center, bubble * bubble)
+            total += n
+            cur += n / n_gas
+            self.helium.events.append(
+                (atime, tuple(cm[pick]), cur, n))
+        return total
 
     def _grow_rows(self, extra_per_dev: int, aux=()):
         """Grow per-device row capacity by appending dead rows to the

@@ -234,7 +234,7 @@ def starformation_step(key, density, egywt_density, entropy, mass, ne,
                        uvbg: UVBG, sp: SFRParams, coolpar: CoolingParams,
                        cu: CoolingUnits, is_gas, gradrho_mag=None,
                        hsml=None, pids=None,
-                       bh_heated=None) -> SFResult:
+                       bh_heated=None, extra_heat=0.0) -> SFResult:
     """One SF + cooling source step for all gas (vectorized).
 
     Implements cooling_and_starformation's per-particle work
@@ -299,7 +299,7 @@ def starformation_step(key, density, egywt_density, entropy, mass, ne,
     u_cooled_cgs, ne_cool = do_cooling(
         u_cgs, rho_cgs, dtime * cu.tt_in_s, 1 - HYDROGEN_MASSFRAC,
         redshift, uvbg, coolpar, min_egyspec_cgs=min_egy_cgs,
-        ne_init=ne)
+        ne_init=ne, extra_heat=extra_heat)
     egy_cooled = u_cooled_cgs / cu.uu_in_cgs
     egy_new = jnp.where(on, egy_relaxed, egy_cooled)
     entropy_new = jnp.where(is_gas & (dtime > 0),

@@ -784,11 +784,22 @@ class Simulation:
                    "gpm": np.asarray(p.grav_pm[:ng]),
                    "pvel": np.asarray(p.vel[:ng]),
                    "atime": a, "boxsize": self.boxsize,
-                   "ti": self.times.ti_current}
-            np.savez(f"/tmp/trace_dump_step{self.step_count}.npz",
-                     **out)
-            print(f"[trace dump] wrote /tmp/trace_dump_step"
-                  f"{self.step_count}.npz", flush=True)
+                   "ti": self.times.ti_current,
+                   "ti_kick": np.asarray(self.times.ti_kick),
+                   "pm_kick": self.times.pm_kick,
+                   "pm_start": self.times.pm_start,
+                   "pm_length": self.times.pm_length,
+                   "mintimebin": self.times.mintimebin,
+                   "sfr_all": np.asarray(g.sfr),
+                   "ne": np.asarray(g.ne),
+                   "entvar_state": np.asarray(
+                       getattr(g, "entvar", np.zeros(0)))
+                   if hasattr(g, "entvar") else np.zeros(0)}
+            ddir = os.environ.get("SHENQI_TRACE_DUMP_DIR", "/tmp")
+            fn = os.path.join(
+                ddir, f"trace_dump_step{self.step_count}.npz")
+            np.savez(fn, **out)
+            print(f"[trace dump] wrote {fn}", flush=True)
 
     def run(self, max_steps: int = 10 ** 9):
         """Evolve until the last sync point (or max_steps)."""

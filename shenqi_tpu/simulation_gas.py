@@ -569,7 +569,7 @@ class GasPhysics:
                 gas.generation, dtime, a3inv, redshift, uvbg,
                 self.sfrpar, self.coolpar, self.coolunits, gas_alive,
                 gradrho_mag=gas.gradrho_mag, hsml=p.hsml[:ng],
-                pids=p.id_lo[:ng])
+                pids=p.id_lo[:ng], extra_heat=extra_heat)
             gas = dataclasses.replace(
                 gas, entropy=res.entropy, ne=res.ne,
                 metallicity=res.metallicity, sfr=res.sfr)

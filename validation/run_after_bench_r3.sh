@@ -15,9 +15,14 @@ export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
 stamp() { date -u '+%Y-%m-%d %H:%M:%S'; }
 
 echo "[$(stamp)] waiting for the after-ss bench queue to finish"
-while true; do
+deadline=$(( $(date +%s) + 21600 ))   # give up after 6 h: if the
+while true; do                        # upstream queue died (or a
   if grep -q "after-ss queue done" .work/after_ss.log 2>/dev/null; then
-    break
+    break                             # reboot wiped its log) don't
+  fi                                  # spin as a zombie poller
+  if [ "$(date +%s)" -gt "$deadline" ]; then
+    echo "[$(stamp)] after-ss queue never finished within 6h - abort"
+    exit 1
   fi
   sleep 120
 done
