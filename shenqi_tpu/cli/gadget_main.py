@@ -296,6 +296,10 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
             headroom=ps.get_double("PartAllocFactor"))
     sim.nu_table = nu_table
     sim.resumed = resumed
+    # anti-correlation box shift, a fraction of a PM cell
+    # (run.cpp:426-428), honored on --mesh too
+    sim.random_offset_frac = (ps.get_double("RandomParticleOffset")
+                              / max(nmesh, 1))
 
     # lightcone crossings collected during drifts (lightcone.cpp),
     # computed one device shard at a time (bounded host memory)
@@ -311,8 +315,10 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
             shards = {k: f[k].addressable_shards
                       for k in ("ipos", "vel", "mass",
                                 "id_lo", "id_hi")}
+            off = (s._offset_u32 if s._offset_u32 is not None
+                   else np.zeros(3, np.uint32))
             for d in range(len(shards["ipos"])):
-                ip = np.asarray(shards["ipos"][d].data)
+                ip = np.asarray(shards["ipos"][d].data) - off
                 vl = np.asarray(shards["vel"][d].data)
                 ms = np.asarray(shards["mass"][d].data)
                 ids64 = ((np.asarray(shards["id_hi"][d].data)
@@ -466,12 +472,13 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
             from ..io.sharded_io import save_snapshot_sharded_multi
             save_snapshot_sharded_multi(
                 path, shdr,
-                dict(f, pid=f["id_lo"], pid_hi=f["id_hi"]),
+                dict(f, ipos=s.output_ipos(), pid=f["id_lo"],
+                     pid_hi=f["id_hi"]),
                 s.mesh, boxsize, a, id_offset=0)
         else:
             save_snapshot_sharded(
                 path, shdr,
-                {"ipos": f["ipos"], "vel": f["vel"],
+                {"ipos": s.output_ipos(), "vel": f["vel"],
                  "mass": f["mass"], "pid": f["id_lo"],
                  "pid_hi": f["id_hi"]},
                 s.mesh, boxsize, a, id_offset=0)
@@ -508,7 +515,7 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
             else:
                 glabel, finfo = fof_fn[0](fof_fields)
             groups, _pid = compile_groups_from_slab(
-                glabel, f, boxsize,
+                glabel, dict(f, ipos=s.output_ipos()), boxsize,
                 min_length=ps.get_int("FOFHaloMinLength"))
             pig = os.path.join(
                 outdir, f"{ps.get_string('FOFFileBase')}"

@@ -149,6 +149,13 @@ class SlabSimulation:
     nu_table: object = None        # neutrinos_lra.DeltaTotTable
     walltime: object = None
     balance_domains: bool = False  # cost-balanced slab cuts
+    # anti-correlation random box shift (partmanager.h:79-82, redrawn
+    # each PM step run.cpp:426-428): fraction of the box; the uint32
+    # offset is EXACT so outputs subtract it losslessly.  The global
+    # shift changes slab ownership; the PM-step exchange re-homes rows
+    # like the reference's domain_decompose_full after the shift.
+    random_offset_frac: float = 0.0
+    _offset_u32: object = None
     cuts_planes: object = None     # [D+1] mesh-plane cut indices
     _cuts_dev: object = None       # [D-1] uint32 interior cuts
     _programs: dict = field(default_factory=dict)
@@ -344,6 +351,33 @@ class SlabSimulation:
 
     def _alive(self):
         return self.fields["mass"] > 0
+
+    def _apply_random_offset(self):
+        """Re-draw the internal particle offset (update_random_offset,
+        partmanager.c:45-62), seeded by the integer timeline exactly
+        like the single-device loop so the draws match across device
+        counts.  Elementwise on the sharded ipos; the subsequent
+        PM-step exchange re-homes rows to their new owner slabs."""
+        if not self.random_offset_frac:
+            return
+        rng = np.random.RandomState(
+            int(self.times.ti_current) & 0x7FFFFFFF)
+        rr = rng.uniform(0, 1, 3) * self.random_offset_frac
+        new_u = (rr * 2 ** 32).astype(np.int64).astype(np.uint32)
+        old_u = self._offset_u32 if self._offset_u32 is not None \
+            else np.zeros(3, np.uint32)
+        delta = (new_u - old_u).astype(np.uint32)
+        self.fields["ipos"] = (self.fields["ipos"]
+                               + jnp.asarray(delta)[None, :])
+        self._offset_u32 = new_u
+
+    def output_ipos(self):
+        """Sharded positions with the internal random shift removed
+        (petaio.cpp:678 convention) — exact uint32 subtraction."""
+        if self._offset_u32 is None:
+            return self.fields["ipos"]
+        return self.fields["ipos"] - jnp.asarray(
+            self._offset_u32)[None, :]
 
     def _wt(self, name: str):
         if self.walltime is not None:
@@ -1626,6 +1660,10 @@ class SlabSimulation:
             # forces (exchange + PM on PM steps + tree every step);
             # PM steps first re-cut the slab boundaries to the
             # drifted particle load
+            if is_pm:
+                # reference redraws the box shift at each full domain
+                # decomposition, i.e. every PM step (run.cpp:426-428)
+                self._apply_random_offset()
             if is_pm and self.balance_domains \
                     and self.mesh.devices.size > 1 and not first:
                 self._rebalance_cuts()

@@ -133,3 +133,44 @@ def test_slab_fof_matches_single_device_balanced_cuts():
     got[pid[alive]] = glabel[alive]
     assert (got != 0xFFFFFFFF).all()
     np.testing.assert_array_equal(got, ref)
+
+
+def test_slab_fof_invariant_under_random_offset():
+    """A global uint32 box shift (RandomParticleOffset semantics,
+    run.cpp:426-428) must not change FOF group membership: linking is
+    periodic, and the PM-step exchange re-homes shifted rows before
+    FOF runs.  Certifies the slab ghost machinery under the shift."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    pos = _config(seed=17)
+    n = len(pos)
+    ipos = np.asarray(float_to_ipos(pos, BOX))
+    mean_sep = BOX / np.cbrt(n)
+    b = 0.2 * mean_sep * 4
+    mesh = make_mesh(8)
+    run = make_fof_slab(mesh, b, BOX, nlevels=8, ncrit=32)
+
+    def labels(ip):
+        fields = {"ipos": ip, "mass": np.ones(n, np.float32),
+                  "pid": np.arange(n, dtype=np.int32)}
+        sharded, _ = distribute_slabs(mesh, fields, block=64)
+        glabel, info = run(sharded)
+        assert int(info["halo_lost"]) == 0
+        glabel = np.asarray(glabel)
+        pid = np.asarray(sharded["pid"])
+        alive = np.asarray(sharded["mass"]) > 0
+        got = np.full(n, -1, np.int64)
+        got[pid[alive]] = glabel[alive]
+        # canonicalize labels to the min member pid per group
+        out = np.full(n, -1, np.int64)
+        for root in np.unique(got):
+            sel = got == root
+            out[sel] = np.min(np.nonzero(sel)[0])
+        return out
+
+    base = labels(ipos)
+    # an awkward shift: straddles slab boundaries and wraps the box
+    off = (np.array([0.37, 0.81, 0.05]) * 2 ** 32).astype(
+        np.int64).astype(np.uint32)
+    shifted = (ipos.astype(np.uint32) + off[None, :])
+    np.testing.assert_array_equal(base, labels(shifted))

@@ -136,3 +136,50 @@ def test_slab_sim_pm_power_matches():
     assert np.allclose(kk1, kk2, rtol=1e-5)
     assert np.allclose(nm1, nm2)
     assert np.allclose(pk1, pk2, rtol=2e-4, atol=1e-12)
+
+
+def test_slab_random_offset_roundtrip():
+    """_apply_random_offset is exact in uint32: output_ipos inverts
+    the internal shift losslessly, redraws subtract the old shift
+    before adding the new, and draws are keyed by the integer
+    timeline (device-count and single/slab invariant)."""
+    import jax
+    from shenqi_tpu.core.integrate import TimestepParams
+    from shenqi_tpu.core.particles import float_to_ipos
+    from shenqi_tpu.parallel.slab_sim import SlabSimulation
+    from shenqi_tpu.parallel.sharded import make_mesh
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    cp = _cosmo()
+    rng = np.random.RandomState(3)
+    n = 512
+    pos = rng.uniform(0, BOX, (n, 3))
+    vel = np.zeros((n, 3), np.float32)
+    ids = np.arange(1, n + 1, dtype=np.uint64)
+    tl = Timeline.setup([0.52], 0.5, 0.52)
+    sims = {}
+    for ndev in (1, 8):
+        sim = SlabSimulation.from_arrays(
+            make_mesh(ndev), pos, vel, np.ones(n, np.float32), ids,
+            cp, BOX, NMESH, tl, 0.5, tsp=TimestepParams())
+        sim.random_offset_frac = 8.0 / NMESH
+        before = {int(i): p for i, p in zip(
+            np.asarray(sim.fields["id_lo"]),
+            np.asarray(sim.fields["ipos"]))}
+        sim._apply_random_offset()
+        assert sim._offset_u32 is not None and (
+            sim._offset_u32 != 0).any()
+        sim._apply_random_offset()       # idempotent at fixed ti
+        after = {int(i): p for i, p in zip(
+            np.asarray(sim.fields["id_lo"]),
+            np.asarray(sim.fields["output_ipos"]
+                       if "output_ipos" in sim.fields
+                       else sim.output_ipos()))}
+        for i, p in before.items():
+            if i == 0:
+                continue
+            np.testing.assert_array_equal(p, after[i])
+        sims[ndev] = sim
+    # draws keyed by ti: same offset on 1 and 8 devices
+    np.testing.assert_array_equal(sims[1]._offset_u32,
+                                  sims[8]._offset_u32)
