@@ -617,13 +617,23 @@ def stencilgrav(ipos, mass, params: ShortRangeParams,
 
     if engine is None:
         import os
-        # measured on the v5e chip (validation/RESULT_engine_timing_r3):
-        # 128^3 clustered fused megasteps — xla 499k pps, mxu 497k,
-        # pallas 402k.  XLA wins: the pair pass is already one fused
-        # HBM-resident kernel, and the Pallas/MXU variants pay
-        # layout/padding overheads they can't earn back.  Keep the
-        # engines selectable for future hardware; default by data.
+        # PRODUCTION ENGINE DECISION, measured on the v5e chip
+        # (validation/RESULT_engine_timing_r3): 128^3 clustered fused
+        # megasteps — xla 499k pps, mxu 497k, pallas 402k (1.24x
+        # slower).  XLA is the production default: the pair pass is
+        # already one fused HBM-resident kernel, and the Pallas
+        # variant pays layout/padding overheads it can't earn back.
+        # mxu stays selectable (parity, exercises a different unit);
+        # pallas is DEMOTED to a test-only reference — requesting it
+        # via the env var warns and runs xla instead (pass
+        # engine="pallas" explicitly in tests to exercise the
+        # kernel).
         engine = os.environ.get("SHENQI_REFINED_ENGINE") or "xla"
+        if engine == "pallas":
+            print("WARNING: pallas engine is non-production "
+                  "(1.24x slower than xla on v5e, "
+                  "RESULT_engine_timing_r3); using xla")
+            engine = "xla"
 
     acc_bs = jnp.zeros((nbs, sub, 3), jnp.float32)
     pot_bs = jnp.zeros((nbs, sub), jnp.float32)
@@ -812,6 +822,8 @@ def stencilgrav_fused(ipos, mass, params: ShortRangeParams,
     if engine is None:
         import os
         engine = os.environ.get("SHENQI_REFINED_ENGINE") or "xla"
+        if engine == "pallas":     # demoted: see stencilgrav
+            engine = "xla"
     n = ipos.shape[0]
     compact = active is not None
     cfg = stencil_fused_config(n, params, tier_cache,
