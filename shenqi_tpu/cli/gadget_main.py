@@ -415,6 +415,33 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
                     mean_bubble=ps.get_double("QSOMeanBubble"),
                     var_bubble=max(ps.get_double("QSOVarBubble"),
                                    1e-10)))
+        # excursion-set reionization (uvbg.cpp), distributed over
+        # the pencil FFT (parallel/excursion_slab)
+        if ps.get_int("ExcursionSetReionOn"):
+            from ..physics.excursion import ExcursionSetParams
+            from ..physics.uv_fluctuations import J21Coeffs
+            sim.excursion = ExcursionSetParams(
+                UVBGdim=ps.get_int("UVBGdim"),
+                ReionRBubbleMax=ps.get_double("ReionRBubbleMax"),
+                ReionRBubbleMin=ps.get_double("ReionRBubbleMin"),
+                ReionDeltaRFactor=ps.get_double("ReionDeltaRFactor"),
+                ReionFilterType=ps.get_int("ReionFilterType"),
+                RtoMFilterType=ps.get_int("RtoMFilterType"),
+                ReionNionPhotPerBary=ps.get_double(
+                    "ReionNionPhotPerBary"),
+                AlphaUV=ps.get_double("AlphaUV"),
+                EscapeFractionNorm=ps.get_double(
+                    "EscapeFractionNorm"),
+                EscapeFractionScaling=ps.get_double(
+                    "EscapeFractionScaling"),
+                ReionUseParticleSFR=ps.get_int("ReionUseParticleSFR"),
+                ReionSFRTimescale=ps.get_double(
+                    "ReionSFRTimescale"))
+            sim.excursion_zstop = ps.get_double("ExcursionSetZStop")
+            sim.units = units
+            jcf = ps.get_string("J21CoeffFile")
+            if jcf:
+                sim.j21_coeffs = J21Coeffs.load(jcf)
     if species is not None and ps.get_int("MetalReturnOn"):
         from ..physics.metal_return import MetalReturn
         ydir = ps.get_string("MetalYieldDir") or os.path.join(
@@ -547,8 +574,10 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
     sim.on_step = on_step
 
     # FOF-cadence physics on PM steps (run.cpp:364,637-660): BH
-    # seeding searches + helium QSO bubbles share one FOF pass
-    if sim.bh_on or sim.helium is not None:
+    # seeding searches, helium QSO bubbles, and the excursion set's
+    # halo-mass refresh share one FOF pass
+    if sim.bh_on or sim.helium is not None \
+            or sim.excursion is not None:
         seed_factor = ps.get_double("TimeBetweenSeedingSearch")
         next_seed_check = [atime]
         min_len = ps.get_int("FOFHaloMinLength")
@@ -600,11 +629,31 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
             seed_due = sim.bh_on and a >= next_seed_check[0]
             he_due = s.helium is not None and s.helium.during(
                 1.0 / a - 1.0)
-            if not (seed_due or he_due):
+            exc_due = (s.excursion is not None
+                       and 1.0 / a - 1.0 > s.excursion_zstop
+                       and a >= next_seed_check[0])
+            if not (seed_due or he_due or exc_due):
                 return
             groups = _slab_fof_groups(s)
-            if seed_due:
+            if seed_due or exc_due:
                 next_seed_check[0] = a * seed_factor
+            if s.excursion is not None:
+                # per-row FOF halo mass for escape fractions,
+                # aligned with the CURRENT row layout (rows migrate,
+                # so it lives in s.fields and rides exchanges).
+                # groups.group_id indexes the alive-compacted rows.
+                import jax
+                from jax.sharding import (NamedSharding,
+                                          PartitionSpec as _P)
+                alive_rows = np.nonzero(
+                    np.asarray(s.fields["mass"]) > 0)[0]
+                gid = groups.group_id
+                hm = np.zeros(s.fields["mass"].shape[0], np.float32)
+                ing = gid > 0
+                if groups.ngroups:
+                    hm[alive_rows[ing]] = groups.masses[gid[ing] - 1]
+                s.fields["hmass"] = jax.device_put(
+                    hm, NamedSharding(s.mesh, _P("dp")))
             if not groups.ngroups:
                 return
             if seed_due:
@@ -767,7 +816,7 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
         # multi-chip slab run (--mesh N): TreePM + SPH + cooling/SF
         # (spawns into local dead rows) + winds + metal return + BH
         # + neutrino LRA + lightcone, all distributed
-        for opt in ("ExcursionSetReionOn", "SplitGravityTimestepsOn",
+        for opt in ("SplitGravityTimestepsOn",
                     "HierarchicalGravity"):
             if ps.get_int(opt):
                 print(f"WARNING: {opt} is not yet wired into the "

@@ -181,6 +181,10 @@ class SlabSimulation:
     zreion_table: object = None  # uv_fluctuations.ZreionTable
     metal_cool: object = None    # uv_fluctuations.MetalCoolingTable
     helium: object = None        # helium_reion.HeliumReion (QSO)
+    excursion: object = None     # excursion.ExcursionSetParams
+    j21_coeffs: object = None    # uv_fluctuations.J21Coeffs
+    excursion_zstop: float = 5.0
+    excursion_xhi: object = None  # (vol, mass) neutral fractions
     sfrpar: object = None
     coolunits: object = None
     rng_key: object = None
@@ -336,6 +340,13 @@ class SlabSimulation:
             # HeIII ionization flag (QSO helium reionization)
             f["heiii"] = jax.device_put(
                 np.zeros(idsd.shape[0], bool), sh)
+            # excursion-set state: per-gas max J21, first-ionization
+            # redshift (-1 = never), FOF halo mass for escape
+            # fractions (refreshed at FOF cadence)
+            f["j21"] = jax.device_put(zs.copy(), sh)
+            f["zrei"] = jax.device_put(
+                np.full(idsd.shape[0], -1.0, np.float32), sh)
+            f["hmass"] = jax.device_put(zs.copy(), sh)
             f["gen"] = jax.device_put(
                 np.zeros(idsd.shape[0], np.int32), sh)
             sim.has_gas = True
@@ -928,7 +939,18 @@ class SlabSimulation:
         redshift = 1.0 / atime - 1.0
         uvbg = (self.treecool.uvbg(redshift, self.coolpar)
                 if self.treecool else UVBG())
-        if self.zreion_table is not None:
+        if (self.excursion is not None and self.j21_coeffs is not None
+                and redshift > self.excursion_zstop):
+            # excursion-set per-particle J21 UVB (cooling_uvfluc.cpp
+            # get_local_UVBG_from_J21) — elementwise on the sharded
+            # j21/zrei fields
+            from ..physics.uv_fluctuations import uvbg_from_j21
+            uvbg = uvbg_from_j21(uvbg, f["j21"], f["zrei"],
+                                 redshift, self.excursion.AlphaUV,
+                                 self.j21_coeffs,
+                                 fbar=self.coolpar.fBar
+                                 if self.coolpar else 0.17)
+        elif self.zreion_table is not None:
             # fluctuating UVB: per-particle rates gated on z_reion
             # (cooling_uvfluc.cpp) — elementwise on the sharded rows,
             # zero communication (the zreion grid is replicated)
@@ -1034,6 +1056,94 @@ class SlabSimulation:
                             f["entropy"])
             f["entropy"] = ent
             f["ne"] = jnp.where(upd, ne, f["ne"])
+
+    def _excursion_program(self, cst):
+        """Jitted shard_map for one distributed find_HII_bubbles
+        pass (parallel/excursion_slab.calculate_uvbg_slab)."""
+        key = ("excursion", cst, self.caps.key())
+        prog = self._programs.get(key)
+        if prog is not None:
+            return prog
+        from .excursion_slab import calculate_uvbg_slab
+        mesh = self.mesh
+        ndev = mesh.devices.size
+        caps = self.caps
+        balance = self.balance_domains and ndev > 1
+        in_specs = [P("dp"), P("dp", None), P("dp"), P("dp"),
+                    P("dp"), P("dp"), P(), P()]
+        out_specs = (P("dp"), P(), P(), P())
+
+        def body(mask, ipos, mass, ptyp, sfr, fesc, zsq, sfrn,
+                 cuts):
+            return calculate_uvbg_slab(
+                ipos, mass, ptyp, sfr, fesc, zsq, sfrn, cst, ndev,
+                mask=mask, cuts_in=cuts, route_kcap=caps.pm_kcap)
+
+        if balance:
+            run = partial(shard_map, mesh=mesh,
+                          in_specs=(*in_specs, P()),
+                          out_specs=out_specs, check_vma=False)(
+                lambda m, ip, ms, pt, sf, fe, zq, sn, cuts: body(
+                    m, ip, ms, pt, sf, fe, zq, sn, cuts))
+        else:
+            run = partial(shard_map, mesh=mesh,
+                          in_specs=tuple(in_specs),
+                          out_specs=out_specs, check_vma=False)(
+                lambda m, ip, ms, pt, sf, fe, zq, sn: body(
+                    m, ip, ms, pt, sf, fe, zq, sn, None))
+        prog = jax.jit(run)
+        self._programs[key] = prog
+        return prog
+
+    def excursion_step(self):
+        """One excursion-set UVBG pass at PM cadence while
+        z > ExcursionSetZStop (run.cpp:653-660; the slab analog of
+        GasPhysics.excursion_step).  Escape fractions come from the
+        per-row FOF halo mass field (refreshed at FOF cadence);
+        updates the monotone per-gas J21 and first-ionization
+        redshift fields."""
+        if self.excursion is None or not self.has_gas:
+            return
+        atime = self.atime()
+        redshift = 1.0 / atime - 1.0
+        if redshift <= self.excursion_zstop:
+            return
+        from ..physics.excursion import escape_fractions
+        from ..utils.units import default_units
+        from .excursion_slab import (excursion_consts,
+                                     excursion_epoch_scalars)
+        units = getattr(self, "units", None) or default_units()
+        cst = excursion_consts(self.excursion, self.CP, units,
+                               self.boxsize)
+        zsq, sfrn = excursion_epoch_scalars(self.excursion, self.CP,
+                                            units, atime)
+        if cst.n % self.mesh.devices.size:
+            raise ValueError(
+                f"UVBGdim {cst.n} must divide the device count "
+                f"{self.mesh.devices.size} for the slab FFT")
+        f = self.fields
+        alive = self._alive()
+        fesc = escape_fractions(f["hmass"], self.excursion,
+                                units.UnitMass_in_g,
+                                self.CP.HubbleParam)
+        prog = self._excursion_program(cst)
+        args = (alive, f["ipos"], f["mass"], f["ptyp"], f["sfr"],
+                fesc, zsq, sfrn)
+        if self.balance_domains and self.mesh.devices.size > 1:
+            j21p, vxhi, mxhi, n_lost = prog(*args, self._cuts_dev)
+        else:
+            j21p, vxhi, mxhi, n_lost = prog(*args)
+        if int(n_lost) > 0:
+            raise RuntimeError(
+                f"excursion layout-route overflow: {int(n_lost)} "
+                f"rows at pm_kcap {self.caps.pm_kcap}")
+        is_gas = (f["ptyp"] == 0) & alive
+        j21g = jnp.where(is_gas, j21p, 0.0)
+        f["j21"] = jnp.maximum(f["j21"], j21g)
+        f["zrei"] = jnp.where(
+            is_gas & (f["zrei"] < 0) & (j21g > 0),
+            jnp.float32(redshift), f["zrei"])
+        self.excursion_xhi = (float(vxhi), float(mxhi))
 
     def helium_step(self, group_masses, group_cm):
         """QSO-bubble HeIII ionization at FOF cadence, distributed
@@ -1692,6 +1802,10 @@ class SlabSimulation:
                     # sigma-based winds refresh vdisp once per PM
                     # step (run.cpp:662-663)
                     self._update_vdisp_slab()
+                    # excursion-set J21 recomputed at PM cadence
+                    # (run.cpp:653-660 uvbg block)
+                    if self.excursion is not None:
+                        self.excursion_step()
                 # per-row dtime: the particle's OWN bin dloga when the
                 # bin is at a kick boundary, else 0 (sfr_eff.cpp
                 # cooling_and_starformation get_dloga_for_bin — the
