@@ -296,6 +296,8 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
             headroom=ps.get_double("PartAllocFactor"))
     sim.nu_table = nu_table
     sim.resumed = resumed
+    sim.hierarchical = bool(ps.get_int("SplitGravityTimestepsOn")
+                            or ps.get_int("HierarchicalGravity"))
     # anti-correlation box shift, a fraction of a PM cell
     # (run.cpp:426-428), honored on --mesh too
     sim.random_offset_frac = (ps.get_double("RandomParticleOffset")
@@ -816,12 +818,6 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
         # multi-chip slab run (--mesh N): TreePM + SPH + cooling/SF
         # (spawns into local dead rows) + winds + metal return + BH
         # + neutrino LRA + lightcone, all distributed
-        for opt in ("SplitGravityTimestepsOn",
-                    "HierarchicalGravity"):
-            if ps.get_int(opt):
-                print(f"WARNING: {opt} is not yet wired into the "
-                      "--mesh slab loop and will be IGNORED "
-                      "(single-device runs support it)")
         nu_table = _build_nu_table(ps, cp, units, boxsize, nmesh,
                                    atime, restart_flag, snapnum,
                                    icfile)

@@ -149,6 +149,7 @@ class SlabSimulation:
     nu_table: object = None        # neutrinos_lra.DeltaTotTable
     walltime: object = None
     balance_domains: bool = False  # cost-balanced slab cuts
+    hierarchical: bool = False     # Gadget-4 split gravity timesteps
     # anti-correlation random box shift (partmanager.h:79-82, redrawn
     # each PM step run.cpp:426-428): fraction of the box; the uint32
     # offset is EXACT so outputs subtract it losslessly.  The global
@@ -1622,12 +1623,13 @@ class SlabSimulation:
             if is_timebin_active(b, ti_next):
                 self.times.ti_lastactivedrift[b] = ti_next
 
-    def _apply_half_kick(self):
+    def _apply_half_kick(self, skip_grav: bool = False):
         gk, hk, dte = gravkick_tables(self.CP, self.timeline,
                                       self.times)
-        self.fields["vel"] = _kick_bins(
-            self.fields["vel"], self.fields["gacc"],
-            self.fields["tbin"], gk, self._alive())
+        if not skip_grav:
+            self.fields["vel"] = _kick_bins(
+                self.fields["vel"], self.fields["gacc"],
+                self.fields["tbin"], gk, self._alive())
         if self.has_gas:
             # hydro kick + entropy half-update (do_hydro_kick)
             f = self.fields
@@ -1717,6 +1719,236 @@ class SlabSimulation:
         tb = np.asarray(self.fields["tbin"])
         return bins_active[tb] & np.asarray(self._alive())
 
+    # -------- hierarchical (split) gravity timesteps --------
+    # (Gadget-4 scheme, timestep.cpp:247-566, distributed: each
+    # level's force is one masked-source slab stencil pass)
+
+    def _largest_active_bin(self) -> int:
+        times = self.times
+        for b in range(TIMEBINS, -1, -1):
+            if is_timebin_active(b, times.ti_current) and \
+                    dti_from_timebin(b) <= max(times.pm_length, 1):
+                return b
+        return TIMEBINS
+
+    def _hier_accel_program(self):
+        """Jitted shard_map: masked-source short-range gravity on the
+        CURRENT slab layout (no migration exchange — rows are already
+        homed by this step's force program; ghosts ride the halo
+        exchange inside stencil_forces_slab)."""
+        key = ("hier", self.caps.key())
+        prog = self._programs.get(key)
+        if prog is not None:
+            return prog
+        from .sharded import stencil_forces_slab, stencil_static_config
+        from ..gravity.stencil import default_tbc
+        mesh = self.mesh
+        ndev = mesh.devices.size
+        caps = self.caps
+        C = self.capacity
+        g = self.gravity
+        sp = self.gravity.short()
+        if self.window_tables is None and \
+                self.gravity.window_type == "exact":
+            self.window_tables = get_window_tables(self.gravity)
+        wt = self.window_tables
+        if caps.st_tbc == 0:
+            _, _, T = stencil_static_config(C, g.refine_sub, 7, sp)
+            caps.st_tbc = default_tbc(T, g.refine_sub)
+            key = ("hier", caps.key())
+        balance = self.balance_domains and ndev > 1
+
+        def body(ipos, mass_sel, cuts):
+            acc, _pot, tinfo = stencil_forces_slab(
+                {"ipos": ipos, "mass": mass_sel}, sp, wt, ndev,
+                caps.gcap or C, caps.st_tbc, caps.st_pcaps,
+                caps.st_ncaps, sub=g.refine_sub, cuts_in=cuts)
+            return acc, tinfo
+
+        if balance:
+            run = partial(shard_map, mesh=mesh,
+                          in_specs=(P("dp", None), P("dp"), P()),
+                          out_specs=(P("dp", None),
+                                     {"halo_lost": P(),
+                                      "walk_overflow": P(),
+                                      "st_diag": P()}),
+                          check_vma=False)(
+                lambda ip, ms, cuts: body(ip, ms, cuts))
+        else:
+            run = partial(shard_map, mesh=mesh,
+                          in_specs=(P("dp", None), P("dp")),
+                          out_specs=(P("dp", None),
+                                     {"halo_lost": P(),
+                                      "walk_overflow": P(),
+                                      "st_diag": P()}),
+                          check_vma=False)(
+                lambda ip, ms: body(ip, ms, None))
+        prog = jax.jit(run)
+        self._programs[key] = prog
+        return prog
+
+    def _active_source_accel(self, sel):
+        """Short-range gravity with ONLY the selected rows as sources
+        AND targets (force_tree_active_moments semantics — the
+        active-set symmetry keeps each level momentum-conserving).
+        sel: host bool mask over rows."""
+        f = self.fields
+        mass_sel = jnp.where(jnp.asarray(sel), f["mass"], 0.0)
+        for _ in range(6):
+            prog = self._hier_accel_program()
+            if self.balance_domains and self.mesh.devices.size > 1:
+                acc, tinfo = prog(f["ipos"], mass_sel,
+                                  self._cuts_dev)
+            else:
+                acc, tinfo = prog(f["ipos"], mass_sel)
+            if (int(tinfo["halo_lost"]) > 0
+                    or int(tinfo["walk_overflow"]) > 0):
+                info = {"unsent": 0, "dropped": 0,
+                        "halo_lost": tinfo["halo_lost"],
+                        "st_diag": tinfo["st_diag"]}
+                if self._grow_from_diag(info):
+                    continue
+            return acc
+        raise RuntimeError("hierarchical gravity: caps did not "
+                           "converge after 6 regrows")
+
+    def _hier_grav_kick(self, sel, accel, ti: int, largest: int):
+        """Half-step forward for bin ti, half-step back for ti+1
+        (apply_hierarchical_grav_kick, timestep.cpp:247-289)."""
+        times = self.times
+        dti = dti_from_timebin(ti)
+        gk = self.timeline.exact_gravkick_factor(
+            self.CP, times.ti_kick[ti], times.ti_kick[ti] + dti // 2)
+        if ti < largest:
+            lower = dti_from_timebin(ti + 1)
+            gk -= self.timeline.exact_gravkick_factor(
+                self.CP, times.ti_kick[ti + 1],
+                times.ti_kick[ti + 1] + lower // 2)
+        f = self.fields
+        fac = jnp.where(jnp.asarray(sel) & self._alive(),
+                        jnp.float32(gk), 0.0)
+        f["vel"] = f["vel"] + accel * fac[:, None]
+
+    def _hier_second_half(self):
+        """Closing gravity kicks with per-level active-source forces
+        (hierarchical_gravity_accelerations, timestep.cpp:483-566)."""
+        largest = self._largest_active_bin()
+        active = np.asarray(self._active_mask())
+        tb = np.asarray(self.fields["tbin"])
+        accel = None
+        last_count = -1
+        for ti in range(largest, max(self.times.mintimebin, 1) - 1,
+                        -1):
+            sel = active & (tb <= ti)
+            cnt = int(sel.sum())
+            if cnt == 0:
+                break
+            if cnt != last_count:
+                accel = self._active_source_accel(sel)
+                last_count = cnt
+            self._hier_grav_kick(sel, accel, ti, largest)
+            if ti == largest:
+                # the top-level (all-active) force is the stored one
+                # used for timesteps next step
+                self.fields["gacc"] = accel
+
+    def _hier_first_half(self, first_step: bool) -> int:
+        """Assign gravity timebins and do the opening kicks
+        (hierarchical_gravity_and_timesteps, timestep.cpp:307-480).
+        Distributed mirror of simulation._hier_first_half; the bin
+        bookkeeping is host-side on gathered [N] scalars (device-count
+        invariant — the histogram push-down sees the GLOBAL bins)."""
+        times = self.times
+        is_pm = times.is_pm()
+        f = self.fields
+        atime = self.atime()
+        alive_h = np.asarray(self._alive())
+        if is_pm:
+            asmth_internal = (self.gravity.asmth * self.boxsize
+                              / self.gravity.nmesh)
+            ptype = (np.asarray(f["ptyp"], np.int8) if self.has_gas
+                     else np.full(alive_h.shape[0], 1, np.int8))
+            dloga_pm = long_range_dloga(
+                f["vel"], f["mass"], ptype, alive_h, atime, self.CP,
+                self.boxsize, asmth_internal, self.tsp)
+            dti = round_down_power_of_two(
+                self.timeline.dti_from_dloga(dloga_pm,
+                                             times.ti_current))
+            dti_max = (self.timeline.find_next_ti_sync(
+                times.ti_current) - times.pm_kick)
+            times.pm_length = min(dti, dti_max)
+            times.pm_start = times.pm_kick
+
+        largest = self._largest_active_bin()
+        hubble = float(self.CP.hubble_function(atime))
+        accel_tot = f["gacc"] + f["gpm"]
+        dloga = gravity_dloga(accel_tot, atime, hubble,
+                              self.gravity.softening,
+                              self.tsp.ErrTolIntAccuracy)
+        if self.has_gas:
+            from ..core.integrate import hydro_dloga
+            dl_h = hydro_dloga(f["hsml"], f["mvsig"], f["dth"],
+                               atime, hubble, self.tsp.CourantFac)
+            is_gas = (f["ptyp"] == 0) & self._alive()
+            dloga = jnp.where(is_gas, jnp.minimum(dloga, dl_h),
+                              dloga)
+        self.fields["oldacc"] = (
+            jnp.linalg.norm(accel_tot, axis=-1) / self.gravity.G)
+        active = np.asarray(self._active_mask())
+        if first_step:
+            active = alive_h
+        newbins, bad = assign_timebins(
+            np.asarray(dloga), np.asarray(f["tbin"], np.int32),
+            active & alive_h, times, self.timeline,
+            self.tsp.MinSizeTimestep)
+        newbins = np.minimum(newbins, largest)
+
+        # push-down: on PM steps, collapse a sparse top bin into the
+        # one below so the top-level force need not be recomputed
+        if is_pm:
+            counts = np.bincount(newbins[active & alive_h],
+                                 minlength=TIMEBINS + 2)
+            push_down = largest
+            for ti in range(largest, 0, -1):
+                if counts[ti] // 3 <= counts[ti - 1]:
+                    push_down = ti - 1
+                    counts[ti - 1] += counts[ti]
+                else:
+                    break
+            if push_down != largest and push_down >= 1:
+                newbins = np.minimum(newbins, push_down)
+                largest = push_down
+        self.fields["tbin"] = jax.device_put(
+            newbins.astype(np.int32),
+            NamedSharding(self.mesh, P("dp")))
+        occupied = newbins[alive_h]
+        if occupied.size:
+            times.mintimebin = int(occupied.min())
+            times.maxtimebin = int(occupied.max())
+        if is_pm and times.pm_length < dti_from_timebin(
+                times.maxtimebin):
+            times.pm_length = dti_from_timebin(times.maxtimebin)
+
+        # opening kicks: top bin uses the stored (all-source) accel
+        tb = newbins
+        sel = active & alive_h & (tb <= largest)
+        if sel.any():
+            self._hier_grav_kick(sel, self.fields["gacc"],
+                                 largest, largest)
+        accel = None
+        last_count = -1
+        for ti in range(largest - 1, 0, -1):
+            sel = active & alive_h & (tb <= ti)
+            cnt = int(sel.sum())
+            if cnt == 0:
+                times.mintimebin = max(times.mintimebin, ti + 1)
+                break
+            if cnt != last_count:
+                accel = self._active_source_accel(sel)
+                last_count = cnt
+            self._hier_grav_kick(sel, accel, ti, largest)
+        return bad
+
     def _rebalance_cuts(self):
         """Re-cut slab boundaries from the drifted column histogram
         (PM-step cadence — the reference re-decomposes at the same
@@ -1783,9 +2015,13 @@ class SlabSimulation:
                 # distributed SPH on the freshly slab-owned gas
                 # (run.cpp:482-505; predictors use last-step accels)
                 self._gas_density_hydro(first)
+            if self.hierarchical and not first:
+                # per-level closing kicks with active-source forces
+                # (the forces-stage gacc is superseded per level)
+                self._hier_second_half()
 
             if not first:
-                self._apply_half_kick()
+                self._apply_half_kick(skip_grav=self.hierarchical)
             update_kick_times(times)
             if is_pm and not first:
                 self._apply_pm_half_kick()
@@ -1860,12 +2096,15 @@ class SlabSimulation:
                     is None:
                 break
 
-            bad = self._find_timesteps(first_step=first)
+            if self.hierarchical:
+                bad = self._hier_first_half(first_step=first)
+            else:
+                bad = self._find_timesteps(first_step=first)
             self._wt("Timeline")
             if bad:
                 raise RuntimeError(f"{bad} bad timesteps at step "
                                    f"{self.step_count}")
-            self._apply_half_kick()
+            self._apply_half_kick(skip_grav=self.hierarchical)
             if is_pm:
                 self._apply_pm_half_kick()
             self.step_count += 1

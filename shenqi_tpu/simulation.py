@@ -775,8 +775,7 @@ class Simulation:
                    "entropy": ent, "dt_entropy": dts,
                    "max_signal_vel": mvs, "density": rho,
                    "egywt": np.asarray(g.egy_wt_density),
-                   "dhsml_egy": np.asarray(g.dhsml_egy_density),
-                   "dhsml": np.asarray(g.dhsml_density),
+                   "dhsml_egy": np.asarray(g.dhsml_egy),
                    "divv": np.asarray(g.div_vel),
                    "curlv": np.asarray(g.curl_vel),
                    "hacc": np.asarray(g.hydro_accel),
@@ -792,9 +791,8 @@ class Simulation:
                    "mintimebin": self.times.mintimebin,
                    "sfr_all": np.asarray(g.sfr),
                    "ne": np.asarray(g.ne),
-                   "entvar_state": np.asarray(
-                       getattr(g, "entvar", np.zeros(0)))
-                   if hasattr(g, "entvar") else np.zeros(0)}
+                   "dt_hsml": np.asarray(g.dt_hsml),
+                   "delay_time": np.asarray(g.delay_time)}
             ddir = os.environ.get("SHENQI_TRACE_DUMP_DIR", "/tmp")
             fn = os.path.join(
                 ddir, f"trace_dump_step{self.step_count}.npz")
