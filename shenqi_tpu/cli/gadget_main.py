@@ -280,7 +280,8 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
     from ..parallel.slab_sim import SlabSimulation
     from ..parallel.sharded import make_mesh
     from ..io.sharded_io import save_snapshot_sharded
-    from ..fof.slab import make_fof_slab, compile_groups_from_slab
+    from ..fof.slab import (make_fof_slab,
+                            compile_groups_slab_distributed)
     from ..io.fofio import save_fof
 
     mesh = make_mesh(mesh_devices)
@@ -543,9 +544,11 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
                 glabel, finfo = fof_fn[0](fof_fields, s._cuts_dev)
             else:
                 glabel, finfo = fof_fn[0](fof_fields)
-            groups, _pid = compile_groups_from_slab(
-                glabel, dict(f, ipos=s.output_ipos()), boxsize,
-                min_length=ps.get_int("FOFHaloMinLength"))
+            # device-side catalog reduction (fof.cpp:903 analog):
+            # the host only materializes the G-sized catalog
+            groups, _pid = compile_groups_slab_distributed(
+                s.mesh, glabel, dict(f, ipos=s.output_ipos()),
+                boxsize, min_length=ps.get_int("FOFHaloMinLength"))
             pig = os.path.join(
                 outdir, f"{ps.get_string('FOFFileBase')}"
                 f"_{snap_counter[0]:03d}")
@@ -598,8 +601,8 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
                 glabel, _ = fof_fn[0](ffields, s._cuts_dev)
             else:
                 glabel, _ = fof_fn[0](ffields)
-            groups, _pid = compile_groups_from_slab(
-                glabel, f, boxsize, min_length=min_len)
+            groups, _pid = compile_groups_slab_distributed(
+                s.mesh, glabel, f, boxsize, min_length=min_len)
             return groups
 
         def _seed_from_groups(s, groups):

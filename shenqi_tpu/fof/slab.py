@@ -264,3 +264,275 @@ def compile_groups_from_slab(glabel, fields, boxsize: float,
                             np.ones(len(m), bool), boxsize,
                             min_length=min_length)
     return groups, pid
+
+
+# ---------------- distributed catalog reduction ----------------
+# (fof_reduce_groups / fof.cpp:903: group properties are reduced by
+# routing per-group partial sums to the label's owner device — the
+# mpsort-by-MinID analog — so the global particle state never
+# materializes on one host.  Two stages: a LOCAL segment reduction
+# dedups each device's rows to one partial record per component, then
+# route_rows ships partials to owner = label % D for the cross-device
+# combine with periodic CM unwrap.)
+
+def _segment_reduce_local(lab, pid, posf, vel, mass, ptyp, alive,
+                          boxsize):
+    """Per-device partial group sums, one record per distinct label.
+
+    Returns (partials dict of [C]-sized per-SEGMENT arrays, seg_valid,
+    rowctx) — rowctx keeps the sorted per-row state so the caller can
+    recompute CM offsets against the GLOBAL reference once the owner
+    has broadcast it back (exact per-particle wrap parity with
+    fof_finish_group_properties).  ref = position of the segment's
+    min-pid row; isref flags the partial holding the global min-pid
+    particle."""
+    C = lab.shape[0]
+    lab = jnp.where(alive, lab, NOLABEL)
+    order = jnp.lexsort((pid, lab))
+    labs = lab[order]
+    pids = pid[order]
+    poss = posf[order]
+    vels = vel[order]
+    ms = jnp.where(alive[order], mass[order], 0.0)
+    ts = ptyp[order]
+
+    newseg = jnp.concatenate([
+        jnp.ones(1, bool), labs[1:] != labs[:-1]])
+    seg = jnp.cumsum(newseg.astype(jnp.int32)) - 1       # [C]
+    seg_lab = jnp.full(C, NOLABEL, jnp.uint32).at[seg].min(
+        labs, mode="promise_in_bounds")
+    seg_valid = seg_lab != NOLABEL
+
+    # reference position: the segment's FIRST sorted row (min pid)
+    ref = jnp.zeros((C, 3), jnp.float32).at[seg].add(
+        jnp.where(newseg[:, None], poss, 0.0),
+        mode="promise_in_bounds")
+    isref = jnp.zeros(C, bool).at[seg].max(
+        newseg & (pids == labs), mode="promise_in_bounds")
+
+    msum = jnp.zeros(C, jnp.float32).at[seg].add(
+        ms, mode="promise_in_bounds")
+    mvsum = jnp.zeros((C, 3), jnp.float32).at[seg].add(
+        ms[:, None] * vels, mode="promise_in_bounds")
+    cnt = jnp.zeros(C, jnp.int32).at[seg].add(
+        (ms > 0).astype(jnp.int32), mode="promise_in_bounds")
+    onehot = (ts[:, None] == jnp.arange(6)[None, :])
+    mbt = jnp.zeros((C, 6), jnp.float32).at[seg].add(
+        jnp.where(onehot, ms[:, None], 0.0),
+        mode="promise_in_bounds")
+    cbt = jnp.zeros((C, 6), jnp.int32).at[seg].add(
+        (onehot & (ms > 0)[:, None]).astype(jnp.int32),
+        mode="promise_in_bounds")
+    part = {"lab": seg_lab, "ref": ref, "isref": isref,
+            "msum": msum, "mvsum": mvsum,
+            "cnt": cnt, "mbt": mbt, "cbt": cbt}
+    rowctx = {"seg": seg, "poss": poss, "ms": ms}
+    return part, seg_valid, rowctx
+
+
+def reduce_groups_slab(glabel, fields, boxsize: float, ndev: int,
+                       kcap: int, axis_name: str = "dp"):
+    """Device-side group-catalog reduction (shard_map body).
+
+    glabel [C] uint32 min-pid labels (fof_label_slab); fields: ipos
+    uint32 [C,3], vel [C,3], mass [C], ptyp [C] i32, pid [C] u32.
+    Returns (owner dict of [K2]-sized per-GROUP arrays with `valid`,
+    n_lost) where K2 = C + ndev*kcap; each group appears on exactly
+    one device (label % D).
+    """
+    from ..parallel.domain import route_back, route_rows
+
+    ipos = fields["ipos"]
+    C = ipos.shape[0]
+    posf = ipos.astype(jnp.float32) * jnp.float32(
+        boxsize / POS_SCALE)
+    alive = (fields["mass"] > 0) & (glabel != NOLABEL)
+    part, seg_valid, rowctx = _segment_reduce_local(
+        glabel, fields["pid"].astype(jnp.uint32), posf,
+        fields["vel"], fields["mass"],
+        fields.get("ptyp", jnp.ones(C, jnp.int32)), alive, boxsize)
+
+    me = jax.lax.axis_index(axis_name)
+    dest = (part["lab"] % jnp.uint32(ndev)).astype(jnp.int32)
+    recv, rvalid, state, n_lost = route_rows(
+        part, dest, seg_valid, ndev, kcap, axis_name)
+
+    # owner combine: local partials that stayed + received ones
+    stay = seg_valid & (dest == me)
+    comb = {k: jnp.concatenate([part[k], recv[k]])
+            for k in part}
+    cvalid = jnp.concatenate([stay, rvalid])
+    N2 = C + ndev * kcap
+
+    lab2 = jnp.where(cvalid, comb["lab"], NOLABEL)
+    order = jnp.argsort(lab2)
+    labs = lab2[order]
+    newseg = jnp.concatenate([
+        jnp.ones(1, bool), labs[1:] != labs[:-1]])
+    seg = jnp.cumsum(newseg.astype(jnp.int32)) - 1
+    seg_lab = jnp.full(N2, NOLABEL, jnp.uint32).at[seg].min(
+        labs, mode="promise_in_bounds")
+    gvalid = seg_lab != NOLABEL
+
+    def sc(a, w=None):
+        v = a[order]
+        if w is not None:
+            v = jnp.where(w[order].reshape(
+                (-1,) + (1,) * (v.ndim - 1)), v, 0)
+        return jnp.zeros((N2,) + a.shape[1:], a.dtype).at[seg].add(
+            v, mode="promise_in_bounds")
+
+    # the global reference: exactly one partial per group carries the
+    # min-pid particle (isref)
+    REF = sc(comb["ref"], comb["isref"] & cvalid)
+    msum_o = jnp.where(cvalid[order], comb["msum"][order], 0.0)
+    M = jnp.zeros(N2, jnp.float32).at[seg].add(
+        msum_o, mode="promise_in_bounds")
+    MV = sc(comb["mvsum"], cvalid)
+    CNT = sc(comb["cnt"], cvalid)
+    MBT = sc(comb["mbt"], cvalid)
+    CBT = sc(comb["cbt"], cvalid)
+
+    # ---- exact per-particle CM unwrap ----
+    # Broadcast each group's GLOBAL reference back to the devices
+    # holding its partials (route_back along the delivery lanes), so
+    # member offsets wrap against REF exactly like the host/reference
+    # per-particle convention (fof_finish_group_properties) — a
+    # partial-granularity wrap diverges for groups wider than box/2.
+    inv = jnp.zeros(N2, jnp.int32).at[order].set(
+        jnp.arange(N2, dtype=jnp.int32))
+    REF_rows = REF[seg][inv]                  # comb-row order
+    refg_local = REF_rows[:C]                 # local partial slots
+    refg_back = route_back(REF_rows[C:], state, axis_name)
+    REFg = jnp.where((dest == me)[:, None], refg_local, refg_back)
+
+    segl, poss, ms = rowctx["seg"], rowctx["poss"], rowctx["ms"]
+    d2 = poss - REFg[segl]
+    d2 -= boxsize * jnp.round(d2 / boxsize)
+    mdsum2 = jnp.zeros((C, 3), jnp.float32).at[segl].add(
+        ms[:, None] * d2, mode="promise_in_bounds")
+    # second route along the SAME lanes (deterministic perm)
+    recv2, _rv2, _st2, _ = route_rows(
+        {"md": mdsum2}, dest, seg_valid, ndev, kcap, axis_name)
+    md_comb = jnp.concatenate([mdsum2, recv2["md"]])
+    MD = jnp.zeros((N2, 3), jnp.float32).at[seg].add(
+        jnp.where(cvalid[order, None], md_comb[order], 0.0),
+        mode="promise_in_bounds")
+
+    cm = (REF + MD / jnp.maximum(M, 1e-35)[:, None]) % boxsize
+    vcm = MV / jnp.maximum(M, 1e-35)[:, None]
+    return {"lab": seg_lab, "len": CNT, "mass": M, "cm": cm,
+            "vcm": vcm, "mbt": MBT, "cbt": CBT, "first_pos": REF,
+            "valid": gvalid}, n_lost
+
+
+def make_group_reduce_slab(mesh, boxsize: float, kcap: int,
+                           axis_name: str = "dp"):
+    """Jitted shard_map wrapper over reduce_groups_slab."""
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    ndev = mesh.devices.size
+    field_specs = {"ipos": P("dp", None), "vel": P("dp", None),
+                   "mass": P("dp"), "ptyp": P("dp"), "pid": P("dp")}
+    out_tab = {k: P("dp", *([None] * e)) for k, e in
+               (("lab", 0), ("len", 0), ("mass", 0), ("cm", 1),
+                ("vcm", 1), ("mbt", 1), ("cbt", 1),
+                ("first_pos", 1), ("valid", 0))}
+
+    def body(glabel, fields):
+        return reduce_groups_slab(glabel, fields, boxsize, ndev,
+                                  kcap, axis_name)
+
+    run = partial(shard_map, mesh=mesh,
+                  in_specs=(P("dp"), field_specs),
+                  out_specs=(out_tab, P()), check_vma=False)(body)
+    return jax.jit(run)
+
+
+def compile_groups_slab_distributed(mesh, glabel, fields,
+                                    boxsize: float,
+                                    min_length: int = 32,
+                                    kcap: int = None,
+                                    _cache={}):
+    """Distributed drop-in for compile_groups_from_slab.
+
+    The per-group reduction runs device-side (reduce_groups_slab);
+    the host only materializes the G-sized catalog plus one int
+    column (per-row group numbers), never the global particle state.
+    Returns (FOFGroups over the ALIVE rows, alive-row pids).
+    """
+    from .fof import FOFGroups
+
+    ndev = mesh.devices.size
+    C_total = fields["mass"].shape[0]
+    if kcap is None:
+        kcap = max(C_total // ndev // max(ndev // 2, 1), 4096)
+    f = {"ipos": fields["ipos"], "vel": fields["vel"],
+         "mass": fields["mass"],
+         "ptyp": (fields["ptyp"].astype(jnp.int32)
+                  if "ptyp" in fields
+                  else jnp.ones(C_total, jnp.int32)),
+         "pid": (fields.get("pid", fields.get("id_lo"))
+                 ).astype(jnp.uint32)}
+    for _ in range(6):
+        key = (id(mesh), boxsize, kcap)
+        prog = _cache.get(key)
+        if prog is None:
+            prog = make_group_reduce_slab(mesh, boxsize, kcap)
+            _cache[key] = prog
+        tab, n_lost = prog(glabel, f)
+        if int(n_lost) == 0:
+            break
+        kcap = min(kcap * 2, C_total)
+    else:
+        raise RuntimeError("group reduction route overflow at "
+                           f"kcap={kcap}")
+
+    valid = np.asarray(tab["valid"])
+    lens = np.asarray(tab["len"])[valid]
+    keep = lens >= min_length
+    lab_k = np.asarray(tab["lab"])[valid][keep]
+    lens_k = lens[keep]
+    # group numbering 1..G by descending length, ties by label
+    # (fof_assign_grnr semantics)
+    order = np.lexsort((lab_k, -lens_k))
+    G = len(order)
+    lengths = lens_k[order].astype(np.int64)
+    masses = np.asarray(tab["mass"])[valid][keep][order].astype(
+        np.float64)
+    cm = np.asarray(tab["cm"])[valid][keep][order].astype(np.float64)
+    vcm = np.asarray(tab["vcm"])[valid][keep][order].astype(
+        np.float64)
+    mbt = np.asarray(tab["mbt"])[valid][keep][order].astype(
+        np.float64)
+    cbt = np.asarray(tab["cbt"])[valid][keep][order].astype(np.int64)
+    fpos = np.asarray(tab["first_pos"])[valid][keep][order].astype(
+        np.float64)
+
+    # per-row group number: host lookup label -> grnr over the ALIVE
+    # rows (one uint32 + one int32 column of bookkeeping)
+    lab_rows = np.asarray(glabel)
+    mass_rows = np.asarray(fields["mass"])
+    alive = mass_rows > 0
+    lut_lab = lab_k[order]
+    s = np.argsort(lut_lab)
+    pos_s = np.searchsorted(lut_lab[s], lab_rows[alive])
+    pos_s = np.clip(pos_s, 0, max(G - 1, 0))
+    hit = np.zeros(alive.sum(), np.int64)
+    if G:
+        m = lut_lab[s][pos_s] == lab_rows[alive]
+        hit[m] = s[pos_s[m]] + 1
+    group_id = hit
+
+    pid_rows = np.asarray(
+        fields.get("pid", fields.get("id_lo"))).astype(
+            np.uint32)[alive]
+    groups = FOFGroups(ngroups=G, lengths=lengths, masses=masses,
+                       cm=cm, vel=vcm, mass_by_type=mbt,
+                       length_by_type=cbt, group_id=group_id,
+                       first_pos=fpos, sfr=None)
+    return groups, pid_rows

@@ -174,3 +174,84 @@ def test_slab_fof_invariant_under_random_offset():
         np.int64).astype(np.uint32)
     shifted = (ipos.astype(np.uint32) + off[None, :])
     np.testing.assert_array_equal(base, labels(shifted))
+
+
+def test_distributed_group_reduction_matches_host_compile():
+    """compile_groups_slab_distributed (device-side reduction routed
+    by label ownership, fof.cpp:903 mpsort-by-MinID analog) must
+    reproduce the host-side compile_groups_from_slab catalog."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from shenqi_tpu.fof.slab import (compile_groups_from_slab,
+                                     compile_groups_slab_distributed)
+    pos = _config(seed=23)
+    n = len(pos)
+    rng = np.random.RandomState(4)
+    ipos = np.asarray(float_to_ipos(pos, BOX))
+    mean_sep = BOX / np.cbrt(n)
+    b = 0.2 * mean_sep * 4
+    mesh = make_mesh(8)
+    fields = {
+        "ipos": ipos,
+        "mass": rng.uniform(0.5, 2.0, n).astype(np.float32),
+        "vel": rng.normal(0, 5, (n, 3)).astype(np.float32),
+        "ptyp": (rng.randint(0, 2, n) * 1).astype(np.int32),
+        "pid": np.arange(n, dtype=np.int32),
+    }
+    sharded, C = distribute_slabs(mesh, fields, block=64)
+    run = make_fof_slab(mesh, b, BOX, nlevels=8, ncrit=32)
+    glabel, info = run({"ipos": sharded["ipos"],
+                        "mass": sharded["mass"],
+                        "pid": sharded["pid"]})
+    assert int(info["halo_lost"]) == 0
+
+    host_groups, host_pid = compile_groups_from_slab(
+        glabel, sharded, BOX, min_length=8)
+    dist_groups, dist_pid = compile_groups_slab_distributed(
+        mesh, glabel, sharded, BOX, min_length=8, kcap=4096)
+
+    assert dist_groups.ngroups == host_groups.ngroups
+    G = dist_groups.ngroups
+    assert G > 2
+
+    def canon(g):
+        key = np.lexsort((np.round(g.cm[:, 2], 3),
+                          np.round(g.cm[:, 1], 3),
+                          np.round(g.cm[:, 0], 3), -g.lengths))
+        return key
+
+    kh, kd = canon(host_groups), canon(dist_groups)
+    np.testing.assert_array_equal(host_groups.lengths[kh],
+                                  dist_groups.lengths[kd])
+    np.testing.assert_allclose(dist_groups.masses[kd],
+                               host_groups.masses[kh], rtol=2e-5)
+    # CMs agree (periodic): f32 device sums vs f64 host sums
+    dcm = dist_groups.cm[kd] - host_groups.cm[kh]
+    dcm -= BOX * np.round(dcm / BOX)
+    bad = np.abs(dcm).max(axis=1) > 1e-2 * mean_sep
+    if bad.any():
+        i = np.argmax(np.abs(dcm).max(axis=1))
+        print("BAD PAIRING?", i, host_groups.lengths[kh][i],
+              dist_groups.lengths[kd][i], host_groups.cm[kh][i],
+              dist_groups.cm[kd][i])
+    assert np.abs(dcm).max() < 1e-2 * mean_sep
+    np.testing.assert_allclose(dist_groups.vel[kd],
+                               host_groups.vel[kh], rtol=5e-4,
+                               atol=1e-3)
+    np.testing.assert_allclose(dist_groups.mass_by_type[kd],
+                               host_groups.mass_by_type[kh],
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_array_equal(dist_groups.length_by_type[kd],
+                                  host_groups.length_by_type[kh])
+
+    # per-row membership partitions are identical: compare group ids
+    # through each catalog's canonical order
+    np.testing.assert_array_equal(host_pid, dist_pid)
+    inv_h = np.zeros(G + 1, np.int64)
+    inv_h[host_groups.group_id[host_groups.group_id > 0]] = 0  # touch
+    remap_h = np.zeros(G + 1, np.int64)
+    remap_h[1 + kh] = np.arange(1, G + 1)
+    remap_d = np.zeros(G + 1, np.int64)
+    remap_d[1 + kd] = np.arange(1, G + 1)
+    np.testing.assert_array_equal(remap_h[host_groups.group_id],
+                                  remap_d[dist_groups.group_id])
