@@ -2105,6 +2105,10 @@ class SlabSimulation:
                 raise RuntimeError(f"{bad} bad timesteps at step "
                                    f"{self.step_count}")
             self._apply_half_kick(skip_grav=self.hierarchical)
+            # second kick-time advance (run.cpp:809; see
+            # simulation.py — the missing advance made predictor
+            # intervals grow without bound)
+            update_kick_times(times)
             if is_pm:
                 self._apply_pm_half_kick()
             self.step_count += 1

@@ -973,6 +973,15 @@ class Simulation:
                 raise RuntimeError(f"{bad} bad timesteps at step "
                                    f"{self.step_count}")
             self._apply_half_kick(skip_grav=self.hierarchical)
+            # SECOND kick-time advance (run.cpp:809): each active bin
+            # advances dti/2 per half-kick, dti total per period.
+            # With only the first advance (run.cpp:578) Ti_kick lags
+            # ti_current by half the ELAPSED time, so the predictor
+            # intervals [Ti_kick, ti] grow without bound and
+            # EntVarPred/VelPred explode — the star-small a=0.111
+            # entropy fireball (three rounds of symptom-chasing, one
+            # missing line).
+            update_kick_times(times)
             if is_pm:
                 self._apply_pm_half_kick()
             self.step_count += 1

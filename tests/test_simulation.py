@@ -68,3 +68,37 @@ def test_treepm_simulation_growth():
         sim.particles.mask)]
     assert tb.min() >= 1
     assert sim.step_count > 3
+
+
+def test_kick_times_stay_synchronized():
+    """Ti_kick must advance dti/2 at BOTH half-kicks (run.cpp:578 +
+    809): with only one advance per step it lags ti_current by half
+    the elapsed time and the predictor intervals [Ti_kick, ti] grow
+    without bound — EntVarPred/VelPred then explode on deep-timebin
+    gas (the star-small a=0.111 entropy fireball, root-caused round
+    4).  After any number of steps every occupied bin's kick time
+    sits within half its bin period of the current time."""
+    from shenqi_tpu.core.timeline import dti_from_timebin
+    units = default_units()
+    cp = Cosmology(Omega0=0.288, OmegaLambda=0.712,
+                   OmegaBaryon=0.0472, HubbleParam=0.7, RadiationOn=1)
+    a_ic = 0.1
+    cp.init(TimeBegin=a_ic, units=units)
+    power = InputPower.from_file(CLASS_PK, cp, units.UnitLength_in_cm)
+    pos, vel, ids, mass = generate_dm_ics(
+        12, BOX, seed=181170, power=power, CP=cp, time_ic=a_ic,
+        unitary=True, use_peculiar=True)
+    timeline = Timeline.setup([0.14], a_ic, 0.14)
+    sim = Simulation.from_arrays(pos, vel * a_ic, mass, ids, cp, BOX,
+                                 nmesh=24, timeline=timeline,
+                                 atime=a_ic)
+    sim.run(max_steps=25)
+    times = sim.times
+    tb = np.asarray(sim.particles.timebin)[
+        np.asarray(sim.particles.mask)]
+    assert sim.step_count >= 10
+    for b in np.unique(tb):
+        lag = times.ti_current - times.ti_kick[int(b)]
+        assert 0 <= lag <= dti_from_timebin(int(b)) // 2, (
+            f"bin {b}: Ti_kick lags ti by {lag} "
+            f"(> half period {dti_from_timebin(int(b)) // 2})")
