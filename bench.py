@@ -499,7 +499,9 @@ def _emit(state, tree_side, pm_side, pm_mesh):
             base = rec["value"]
     if base is not None:
         vs_baseline = value / base
-    else:
+    elif not os.path.exists(baseline_file):
+        # anchor only when none exists: a mismatched-config run (e.g.
+        # a small smoke test) must never overwrite the real anchor
         try:
             with open(baseline_file, "w") as f:
                 json.dump({"value": value, "metric": metric,

@@ -272,7 +272,8 @@ def _build_nu_table(ps, cp, units, boxsize, nmesh, atime,
 def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
               pos, vel, mass, ids, boxsize, nmesh, atime, outdir,
               mesh_devices: int, max_steps: int, species=None,
-              gas_u0=None, nu_table=None, resumed=False):
+              gas_u0=None, nu_table=None, resumed=False,
+              procgrid=None):
     """Multi-chip run: the slab simulation loop (TreePM + adiabatic
     SPH when gas is present) with sharded snapshot/FOF/P(k) outputs
     (run.cpp:331-822 distributed; the product wiring for
@@ -297,6 +298,7 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
             headroom=ps.get_double("PartAllocFactor"))
     sim.nu_table = nu_table
     sim.resumed = resumed
+    sim.procgrid = procgrid
     sim.hierarchical = bool(ps.get_int("SplitGravityTimestepsOn")
                             or ps.get_int("HierarchicalGravity"))
     # anti-correlation box shift, a fraction of a PM cell
@@ -681,7 +683,8 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
 
 def run_gadget(paramfile: str, restart_flag: int = 2,
                snapnum: int = -1, max_steps: int = 10 ** 9,
-               strict: bool = False, mesh_devices: int = 0):
+               strict: bool = False, mesh_devices: int = 0,
+               procgrid=None):
     ps = gadget_params()
     ps.parse_file(paramfile, strict=strict)
     outdir = ps.get_string("OutputDir")
@@ -847,7 +850,8 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
                          nmesh, atime, outdir, mesh_devices,
                          max_steps, species=species, gas_u0=gas_u0,
                          nu_table=nu_table,
-                         resumed=(restart_flag == 1))
+                         resumed=(restart_flag == 1),
+                         procgrid=procgrid)
 
     if has_gas:
         from ..simulation_gas import GasPhysics
@@ -1455,17 +1459,29 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
 def main(argv=None):
     argv = list(argv) if argv is not None else sys.argv[1:]
     mesh_devices = 0
+    procgrid = None
     if "--mesh" in argv:
         i = argv.index("--mesh")
-        mesh_devices = int(argv[i + 1])
+        spec = argv[i + 1]
+        if "x" in spec:
+            # 2-D PM processor grid (petapm.cpp:217-255): domains
+            # stay 1-D x-slabs over d1*d2 devices, the PM FFT runs
+            # on the (d1, d2) brick layout
+            d1, d2 = (int(v) for v in spec.split("x"))
+            mesh_devices = d1 * d2
+            procgrid = (d1, d2)
+        else:
+            mesh_devices = int(spec)
         del argv[i: i + 2]
     if len(argv) < 1:
         print("usage: python -m shenqi_tpu.cli.gadget_main paramfile "
-              "[RestartFlag] [SnapNum] [--mesh N]", file=sys.stderr)
+              "[RestartFlag] [SnapNum] [--mesh N | --mesh AxB]",
+              file=sys.stderr)
         return 1
     restart = int(argv[1]) if len(argv) > 1 else 2
     snapnum = int(argv[2]) if len(argv) > 2 else -1
-    run_gadget(argv[0], restart, snapnum, mesh_devices=mesh_devices)
+    run_gadget(argv[0], restart, snapnum, mesh_devices=mesh_devices,
+               procgrid=procgrid)
     return 0
 
 

@@ -150,6 +150,11 @@ class SlabSimulation:
     walltime: object = None
     balance_domains: bool = False  # cost-balanced slab cuts
     hierarchical: bool = False     # Gadget-4 split gravity timesteps
+    # 2-D PM processor grid (d1, d2) with d1*d2 == device count
+    # (petapm.cpp:217-255): the particle domain stays 1-D x-slabs on
+    # the flat axis; only the PM stage routes rows to the (d1, d2)
+    # brick layout (pfft2d.pm_forces_brick_dp) and back
+    procgrid: object = None
     # anti-correlation random box shift (partmanager.h:79-82, redrawn
     # each PM step run.cpp:426-428): fraction of the box; the uint32
     # offset is EXACT so outputs subtract it losslessly.  The global
@@ -454,11 +459,20 @@ class SlabSimulation:
             ps = None
             pm_lost = jnp.zeros((), jnp.int32)
             if with_pm:
-                gpm, ps, pm_lost = pm_forces_slab(
-                    fields["ipos"], fields["mass"], cfg_pm, ndev,
-                    halo=2, mask=alive, want_power=True,
-                    cuts_in=cuts, route_kcap=caps.pm_kcap,
-                    nu_k=nu_k, nu_fac=nu_fac)
+                if self.procgrid is not None:
+                    from .pfft2d import pm_forces_brick_dp
+                    d1, d2 = self.procgrid
+                    gpm, ps, pm_lost = pm_forces_brick_dp(
+                        fields["ipos"], fields["mass"], cfg_pm,
+                        d1, d2, halo=2, mask=alive,
+                        want_power=True, route_kcap=caps.pm_kcap,
+                        nu_k=nu_k, nu_fac=nu_fac)
+                else:
+                    gpm, ps, pm_lost = pm_forces_slab(
+                        fields["ipos"], fields["mass"], cfg_pm,
+                        ndev, halo=2, mask=alive, want_power=True,
+                        cuts_in=cuts, route_kcap=caps.pm_kcap,
+                        nu_k=nu_k, nu_fac=nu_fac)
                 fields = dict(fields, gpm=gpm)
             if use_stencil:
                 from .sharded import stencil_forces_slab
@@ -587,10 +601,14 @@ class SlabSimulation:
         balance = self.balance_domains and ndev > 1
         field_specs = {name: P("dp", *([None] * (a.ndim - 1)))
                        for name, a in self.fields.items()}
-        out_specs = ((P(), P(), P(), P()),
+        out_specs = (field_specs,
+                     (P(), P(), P(), P()),
                      {"unsent": P(), "dropped": P(), "pm_lost": P()})
 
         def body(fields, cuts):
+            # one exchange serves BOTH this measurement and the force
+            # program that follows (advisor r3: the nu path used to
+            # re-exchange + re-deposit the same rows every PM step)
             fields, xinfo = exchange(fields, ndev, caps.kcap,
                                      cuts_in=cuts)
             alive = fields["mass"] > 0
@@ -600,7 +618,7 @@ class SlabSimulation:
                 route_kcap=caps.pm_kcap)
             info = {"unsent": xinfo["unsent"],
                     "dropped": xinfo["dropped"], "pm_lost": pm_lost}
-            return (ps.k, ps.power, ps.nmodes, ps.norm), info
+            return fields, (ps.k, ps.power, ps.nmodes, ps.norm), info
 
         if balance:
             run = partial(shard_map, mesh=mesh,
@@ -627,7 +645,7 @@ class SlabSimulation:
                 out = prog(self.fields, self._cuts_dev)
             else:
                 out = prog(self.fields)
-            info = out[1]
+            info = out[2]
             if int(info["dropped"]) > 0:
                 raise RuntimeError(
                     f"slab capacity overflow in nu power measure: "
@@ -646,7 +664,10 @@ class SlabSimulation:
         else:
             raise RuntimeError("nu power-measure caps failed to "
                                f"converge: {self.caps}")
-        k, power, nmodes, norm = out[0]
+        # rows are now exchange-homed: the force program this step
+        # reuses them (its own exchange still runs but moves nothing)
+        self.fields = out[0]
+        k, power, nmodes, norm = out[1]
         nt = self.nu_table
         kk = np.asarray(k, np.float64) * (2 * np.pi / self.boxsize)
         pw = np.asarray(power, np.float64)
@@ -658,8 +679,22 @@ class SlabSimulation:
         atime = self.atime()
         nt.update(atime, delta_cdm)
         fac1d = nt.potential_factor(atime, delta_cdm)
-        return (jnp.asarray(np.asarray(nt.wavenum, np.float32)),
-                jnp.asarray(np.asarray(fac1d, np.float32)))
+        # DC mode: the reference does NOT apply the response factor at
+        # k=0 but rescales Norm by (Mtot/Mcdm)^2 (gravpm.cpp:412,431)
+        # — prepend a synthetic (k=0, MtotbyMcdm) point so interp
+        # hits it exactly at kmag=0 and nothing else
+        mtot_by_mcdm = self.CP.Omega0 / (
+            self.CP.Omega0
+            - atime ** 3 * self.CP.ONu.get_omega_nu_nopart(atime))
+        # the extra (eps, fac1d[0]) knot keeps every k>0 mode on the
+        # flat left-clamp the single-device path uses
+        w0 = float(np.asarray(nt.wavenum)[0])
+        kk_tab = np.concatenate([[0.0, 1e-3 * w0],
+                                 np.asarray(nt.wavenum)])
+        fac_tab = np.concatenate([[mtot_by_mcdm, fac1d[0]],
+                                  np.asarray(fac1d)])
+        return (jnp.asarray(kk_tab.astype(np.float32)),
+                jnp.asarray(fac_tab.astype(np.float32)))
 
     def _forces(self, with_pm: bool, first: bool = False):
         """Run the force program, regrowing static caps on overflow."""

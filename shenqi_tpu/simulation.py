@@ -324,8 +324,16 @@ class Simulation:
                 * (2 * np.pi / self.boxsize)
             nu3d = np.interp(kmag.ravel(), nt.wavenum, fac1d,
                              left=fac1d[0], right=fac1d[-1])
-            nu_factor = jnp.asarray(
-                nu3d.reshape(kmag.shape).astype(np.float32))
+            nu3d = nu3d.reshape(kmag.shape)
+            # DC mode: no response factor at k=0; instead the P(k)
+            # Norm (= |rho_k(0)|^2) carries (Mtot/Mcdm)^2
+            # (gravpm.cpp:412,431) — scaling the DC amplitude by
+            # Mtot/Mcdm achieves exactly that (forces see fac=0 at
+            # k=0 anyway)
+            nu3d[0, 0, 0] = self.CP.Omega0 / (
+                self.CP.Omega0
+                - atime ** 3 * self.CP.ONu.get_omega_nu_nopart(atime))
+            nu_factor = jnp.asarray(nu3d.astype(np.float32))
         accel, pot, ps = pm_forces(p.ipos, p.mass, self.gravity.pm(),
                                    mask=p.mask, nu_factor=nu_factor)
         self.particles = dataclasses.replace(p, grav_pm=accel,

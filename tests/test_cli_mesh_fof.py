@@ -78,3 +78,43 @@ def test_mesh_fof_catalog_matches_single(tmp_path):
     l8 = np.sort(np.asarray(c8["LengthByType"]).sum(axis=1))
     # group memberships agree up to rare boundary-force knife edges
     assert np.mean(l1 != l8) < 0.1
+
+
+def test_mesh_procgrid_4x2_matches_mesh8(tmp_path):
+    """--mesh 4x2 (2-D PM processor grid on the flat domain axis,
+    petapm.cpp:217-255) runs the FULL product loop and tracks the
+    --mesh 8 run: same planned snapshot, near-identical positions."""
+    import jax
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from shenqi_tpu.io.snapshot import read_snapshot
+    out = str(tmp_path)
+    gp = tmp_path / "paramfile.genic"
+    gp.write_text(GENIC_PARAM.format(out=out))
+    run_genic(str(gp))
+
+    p8 = tmp_path / "p8.gadget"
+    p8.write_text(GADGET_PARAM.format(out=out, outdir=out + "/mesh8"))
+    run_gadget(str(p8), mesh_devices=8)
+    p42 = tmp_path / "p42.gadget"
+    p42.write_text(GADGET_PARAM.format(out=out,
+                                       outdir=out + "/mesh4x2"))
+    run_gadget(str(p42), mesh_devices=8, procgrid=(4, 2))
+
+    h8, b8 = read_snapshot(os.path.join(out, "mesh8", "PART_000"))
+    h42, b42 = read_snapshot(os.path.join(out, "mesh4x2",
+                                          "PART_000"))
+    assert h8.Time == pytest.approx(h42.Time, rel=1e-9)
+    i8 = np.argsort(np.asarray(b8[1]["ID"]))
+    i42 = np.argsort(np.asarray(b42[1]["ID"]))
+    p_8 = np.asarray(b8[1]["Position"])[i8]
+    p_42 = np.asarray(b42[1]["Position"])[i42]
+    box = h8.BoxSize
+    d = p_8 - p_42
+    d -= box * np.round(d / box)
+    disp = np.linalg.norm(d, axis=1)
+    sep = box / 16
+    # same trajectory to a tiny fraction of the mean separation (the
+    # PM forces differ only by FFT layout summation order)
+    assert np.median(disp) < 1e-3 * sep
+    assert disp.max() < 3e-2 * sep

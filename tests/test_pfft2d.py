@@ -115,3 +115,55 @@ def test_pm_forces_brick_matches_single_device(d1, d2):
     # the k=0 norm must equal (sum mass)^2 like the 1-D pencil
     assert float(norm) == pytest.approx(float(mass.sum()) ** 2,
                                         rel=1e-4)
+
+
+@pytest.mark.parametrize("d1,d2", [(4, 2), (2, 4), (8, 1), (1, 8)])
+def test_pm_forces_brick_dp_matches_single_device(d1, d2):
+    """Flat-axis procgrid PM (pm_forces_brick_dp, the product wiring
+    for --mesh AxB): forces from the 1-D domain layout routed through
+    the (d1,d2) brick must match the single-device pm_forces."""
+    from shenqi_tpu.parallel.domain import distribute_slabs
+    from shenqi_tpu.parallel.pfft2d import pm_forces_brick_dp
+    from shenqi_tpu.parallel.sharded import make_mesh
+    if jax.device_count() < d1 * d2:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.RandomState(7)
+    n = 3000
+    pos = np.concatenate([
+        rng.uniform(0, BOX, (n // 2, 3)),
+        rng.normal([0.3 * BOX] * 3, 0.05 * BOX, (n - n // 2, 3))
+        % BOX])
+    ipos = np.asarray(float_to_ipos(pos, BOX))
+    mass = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    cfg = PMConfig(nmesh=N, boxsize=BOX, G=G, asmth=1.5)
+    ref, _, ps_ref = pm_forces(jnp.asarray(ipos), jnp.asarray(mass),
+                               cfg, want_potential=False)
+    ref = np.asarray(ref)
+
+    mesh = make_mesh(d1 * d2)
+    fields = {"ipos": ipos, "mass": mass,
+              "pid": np.arange(n, dtype=np.int32)}
+    sharded, C = distribute_slabs(mesh, fields, block=64)
+
+    def body(ip, ms):
+        acc, ps, lost = pm_forces_brick_dp(
+            ip, ms, cfg, d1, d2, mask=ms > 0, want_power=True)
+        return acc, (ps.k, ps.power, ps.nmodes), lost
+
+    run = jax.jit(shard_map(
+        body, mesh=mesh, in_specs=(P("dp", None), P("dp")),
+        out_specs=(P("dp", None), (P(), P(), P()), P()),
+        check_vma=False))
+    acc, (kk, pw, nm), lost = run(sharded["ipos"], sharded["mass"])
+    assert int(lost) == 0
+    got = np.zeros((n, 3), np.float32)
+    pid = np.asarray(sharded["pid"])
+    alive = np.asarray(sharded["mass"]) > 0
+    got[pid[alive]] = np.asarray(acc)[alive]
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=2e-4 * scale)
+    # P(k) parity too
+    sel = np.asarray(ps_ref.nmodes) > 0
+    np.testing.assert_allclose(np.asarray(pw)[sel],
+                               np.asarray(ps_ref.power)[sel],
+                               rtol=1e-4)

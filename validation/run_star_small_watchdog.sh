@@ -27,7 +27,7 @@ export JAX_ENABLE_COMPILATION_CACHE=true
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
 export SHENQI_TRACE_IDS=441802,441738,441737
 
-WORK=${WORK:-/root/repo/.work/star_small_r3g}
+WORK=${WORK:-/root/repo/.work/star_small_r4}
 STALE_S=1500          # kill after 25 min of log silence (cold step-0
                       # compile is ~13 min; resumes hit the jax cache)
 MAX_ATTEMPTS=16
@@ -74,7 +74,7 @@ print('TPU OK')" 2>&1 | grep -q 'TPU OK'; then ok=1; break; fi
   echo "[$(stamp)] attempt $attempt ended rc=$rc"
 
   if [ -f "$WORK/RESULT.txt" ]; then
-    cp "$WORK/RESULT.txt" validation/RESULT_star_small_r3.txt
+    cp "$WORK/RESULT.txt" validation/RESULT_star_small_r4.txt
     echo "[$(stamp)] RESULT copied to validation/ (rc=$rc)"
     break
   fi
