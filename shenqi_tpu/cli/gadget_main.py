@@ -1404,7 +1404,10 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
         a = s.atime()
         wt.measure("Misc")
         _dump_power(s)
-        energy_statistics(fd_energy, a, s.particles)
+        from ..utils.stats import (energy_statistics_fast,
+                                   bh_statistics_fast)
+        energy_statistics_fast(fd_energy, a, s.particles,
+                               sph=s.gas)
         if fd_sfr is not None and s.gas is not None:
             # reference writes a line only when stars could form
             # (sfr_eff.cpp:390 `if(FdSfr && total_sm > 0)`)
@@ -1419,27 +1422,11 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
             if st is not None:
                 s.gas_physics.last_sfr_stats = None
         if fd_bh is not None and s.gas is not None:
-            ng = s.gas.ngas
-            p = s.particles
-            alive_bh = (np.asarray(p.mask)
-                        & (np.asarray(p.ptype) == 5))
             # reference emits nothing before the first BH is seeded
-            # (blackhole.cpp:221-223 early return on totbh == 0)
-            if alive_bh.any():
-                blackhole_statistics(fd_bh, a, s.gas.bh_mass,
-                                     s.gas.bh_mdot, alive_bh, units)
-            if fd_bhdet is not None and alive_bh.any():
-                from ..core.particles import ipos_to_float
-                ids64 = ((np.asarray(p.id_hi).astype(np.uint64)
-                          << np.uint64(32))
-                         | np.asarray(p.id_lo).astype(np.uint64))
-                dens = np.zeros(p.mask.shape[0], np.float32)
-                dens[:ng] = np.asarray(s.gas.density)
-                bh_details(fd_bhdet, a, ids64, s.gas.bh_mass,
-                           s.gas.bh_mdot, dens,
-                           np.asarray(ipos_to_float(p.ipos,
-                                                    boxsize)),
-                           np.asarray(p.vel), alive_bh)
+            # (blackhole.cpp:221-223 early return on totbh == 0);
+            # one device gather covers blackholes.txt + BHDetails
+            bh_statistics_fast(fd_bh, fd_bhdet, a, s.particles,
+                               s.gas, boxsize, units)
         wt.write_cpu_log(fd_cpu, a)
         wt.reset_step()
 

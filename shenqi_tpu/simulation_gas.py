@@ -37,6 +37,157 @@ from .physics.sfr import (SFRParams, CoolingUnits, starformation_step,
 from .physics.winds import WindParams, winds_subgrid_step, winds_decay, \
     is_decoupled
 
+# max split-spawns handled by the on-device star-conversion path per
+# step; more (or a full free-slot pool) falls back to the host path.
+_KSPAWN = 512
+
+
+def _sf_stats_reduce(gas_alive, sfr, form, whole, mstar, dtime,
+                     mask_full):
+    """All per-step SF bookkeeping reductions in ONE device program:
+    one host pull instead of six (each pull is a full tunnel
+    round-trip on the axon TPU).  Returns
+    [sfr_sum, sm_sum, spawned_mass, n_sf, n_act, dt_sum,
+     n_split, n_whole, n_free] as f32 (counts < 2^24 — exact)."""
+    f = jnp.float32
+    return jnp.stack([
+        jnp.sum(jnp.where(gas_alive, sfr, 0.0)).astype(f),
+        jnp.sum(jnp.where(gas_alive, sfr * dtime, 0.0)).astype(f),
+        jnp.sum(jnp.where(gas_alive & form, mstar, 0.0)).astype(f),
+        jnp.sum(gas_alive & (sfr > 0)).astype(f),
+        jnp.sum(gas_alive & (dtime > 0)).astype(f),
+        jnp.sum(jnp.where(gas_alive, dtime, 0.0)).astype(f),
+        jnp.sum(form & ~whole).astype(f),
+        jnp.sum(form & whole).astype(f),
+        jnp.sum(~mask_full).astype(f)])
+
+
+def _convert_stars_kernel(kspawn, ipos, vel, hsml, tb, idlo, idhi,
+                          mass, mask, ptype, birth, enr, m0, smet,
+                          gen, sfr, delay, bhm, bhmd, gmet,
+                          form, whole, mstar, atime):
+    """Device-side gas->star conversion (make_particle_star +
+    slots_split_particle analog, sfr_eff.cpp:604).  The host path
+    (`GasPhysics._convert_stars`) pulls+pushes ~20 full-length arrays
+    over the tunnel every SF step; this does the same masked updates
+    as one jitted program.  kspawn is a static cap on split spawns —
+    the caller guarantees n_split <= kspawn and enough free rows.
+
+    Semantics mirror the host path exactly: whole conversions flip
+    the gas row in place; splits copy the parent row onto the first
+    free (dead) rows in ascending order, take mass_of_star, bump the
+    parent generation, and tag the child ID with the generation in
+    the top byte."""
+    n = mask.shape[0]
+    ngas = sfr.shape[0]
+    conv_w = form & whole
+    conv_s = form & ~whole
+    full_w = jnp.zeros((n,), bool).at[:ngas].set(conv_w)
+    gmet_full = jnp.zeros((n,), gmet.dtype).at[:ngas].set(gmet)
+    at32 = jnp.asarray(atime, birth.dtype)
+
+    # --- whole conversions: flip in place ---
+    ptype = jnp.where(full_w, STAR, ptype)
+    birth = jnp.where(full_w, at32, birth)
+    enr = jnp.where(full_w, 0.0, enr)
+    m0 = jnp.where(full_w, mass, m0)
+    smet = jnp.where(full_w, gmet_full, smet)
+    sfr = jnp.where(conv_w, 0.0, sfr)
+
+    # --- split spawns onto the first free rows ---
+    nspawn = jnp.sum(conv_s)
+    src = jnp.nonzero(conv_s, size=kspawn, fill_value=ngas)[0]
+    lane = jnp.arange(kspawn) < nspawn
+    free = jnp.nonzero(~mask, size=kspawn, fill_value=n)[0]
+    dst = jnp.where(lane, free, n)            # n = out of bounds -> drop
+    srcc = jnp.minimum(src, ngas - 1)         # clamped gather index
+    src_w = jnp.where(lane, src, n)
+    ms = jnp.where(lane, mstar[srcc], 0.0)
+    gen_child = gen[srcc] + 1
+
+    # parent: loses the star mass, generation bumps
+    mass = mass.at[src_w].add(-ms, mode="drop")
+    gen = gen.at[src_w].set(jnp.where(lane, gen_child, 0),
+                            mode="drop")
+    # child row: copy of the parent, stellar bookkeeping reset
+    mask = mask.at[dst].set(True, mode="drop")
+    ptype = ptype.at[dst].set(STAR, mode="drop")
+    mass = mass.at[dst].set(jnp.where(lane, mstar[srcc], 0.0),
+                            mode="drop")
+    ipos = ipos.at[dst].set(ipos[srcc], mode="drop")
+    vel = vel.at[dst].set(vel[srcc], mode="drop")
+    hsml = hsml.at[dst].set(hsml[srcc], mode="drop")
+    tb = tb.at[dst].set(tb[srcc], mode="drop")
+    idlo = idlo.at[dst].set(idlo[srcc], mode="drop")
+    idhi = idhi.at[dst].set(
+        idhi[srcc] | (gen_child.astype(jnp.uint32) << 24),
+        mode="drop")
+    birth = birth.at[dst].set(at32, mode="drop")
+    enr = enr.at[dst].set(0.0, mode="drop")
+    m0 = m0.at[dst].set(ms, mode="drop")
+    smet = smet.at[dst].set(gmet[srcc], mode="drop")
+    # reused gas-prefix rows become stars: scrub stale gas state
+    dst_g = jnp.where(dst < ngas, dst, n)
+    sfr = sfr.at[dst_g].set(0.0, mode="drop")
+    delay = delay.at[dst_g].set(0.0, mode="drop")
+    bhm = bhm.at[dst_g].set(0.0, mode="drop")
+    bhmd = bhmd.at[dst_g].set(0.0, mode="drop")
+
+    return (ipos, vel, hsml, tb, idlo, idhi, mass, mask, ptype,
+            birth, enr, m0, smet, gen, sfr, delay, bhm, bhmd)
+
+
+def _metal_return_act(mask, ptype, birth, last, ag, tg, atime,
+                      min_window):
+    """Device-side enrichment-activity decision (metal_return.cpp
+    metal_return_priv->StellarAges gating): stellar ages from a
+    precomputed t(a) grid, activity = age window since last
+    enrichment > min_window.  Returns (count, act mask, ages)."""
+    t1 = jnp.interp(jnp.maximum(jnp.asarray(atime, jnp.float32),
+                                ag[0]), ag, tg)
+    t0 = jnp.interp(jnp.maximum(birth, ag[0]), ag, tg)
+    age = jnp.where(birth > 0, t1 - t0, 0.0)
+    star = mask & (ptype == STAR) & (birth > 0)
+    act = star & (age - last > min_window)
+    return jnp.sum(act), act, age
+
+
+def _metal_return_gather(nbkt, act, age, zmet, m0, totret, last):
+    """Gather the per-active-star scalars into a pow2 bucket on
+    device — the host loop then sees KB, not the full arrays."""
+    n = act.shape[0]
+    idx = jnp.nonzero(act, size=nbkt, fill_value=n)[0]
+    c = jnp.minimum(idx, n - 1)
+    return idx, zmet[c], last[c], age[c], m0[c], totret[c]
+
+
+def _metal_return_apply(idx, lane, updm, mret, zret, last, totret,
+                        last_new, totret_new, sipos, shsml, fw,
+                        gipos, gmass, alive, metallicity, mass,
+                        m0_s, boxsize, kernel, metal_return_step):
+    """Apply one enrichment round on device: scatter the updated
+    enrichment clocks, kernel-scatter the ejecta onto gas
+    (metal_return_step), and subtract the returned mass from the
+    stars with the 10%-of-birth-mass floor."""
+    n = mass.shape[0]
+    ngg = gmass.shape[0]
+    tgt_u = jnp.where(lane & updm, idx, n)
+    last = last.at[tgt_u].set(last_new, mode="drop")
+    totret = totret.at[tgt_u].set(totret_new, mode="drop")
+    dm, dz = metal_return_step(sipos, shsml, mret, zret, fw,
+                               gipos, gmass, alive, boxsize, kernel)
+    old_gmass = jnp.maximum(gmass, 1e-35)
+    new_metal = jnp.where(
+        alive, (metallicity * gmass + dz) / (old_gmass + dm),
+        metallicity)
+    new_mass = mass.at[:ngg].add(jnp.where(alive, dm, 0.0))
+    idx_c = jnp.minimum(idx, n - 1)
+    cur = new_mass[idx_c]
+    val = jnp.maximum(cur - mret, 0.1 * m0_s)
+    tgt = jnp.where(lane, idx, n)
+    new_mass = new_mass.at[tgt].set(val, mode="drop")
+    return last, totret, new_metal, new_mass
+
 
 @dataclass
 class GasState:
@@ -147,6 +298,22 @@ class GasPhysics:
     def next_key(self):
         self.rng_key, sub = jax.random.split(self.rng_key)
         return sub
+
+    def _get_jit(self, name, make_fn, **jit_kw):
+        """Cached per-instance jit wrapper: the subgrid physics params
+        (sp/coolpar/cu/windpar — plain mutable dataclasses, constant
+        for a run) are closed over as compile-time constants, so the
+        whole source step runs as ONE fused XLA program instead of
+        hundreds of eager dispatches over the axon tunnel."""
+        cache = getattr(self, "_jit_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_jit_cache", cache)
+        fn = cache.get(name)
+        if fn is None:
+            fn = jax.jit(make_fn(), **jit_kw)
+            cache[name] = fn
+        return fn
 
     # ---------- density + hydro ----------
     def density_hydro(self, sim, gas: GasState, active=None):
@@ -563,37 +730,57 @@ class GasPhysics:
                                    jnp.float32(lm))
 
         if self.sfr_on:
-            res = starformation_step(
+            sf_jit = self._get_jit("sf_step", lambda: (
+                lambda key, density, egywt, entropy, mass, ne, met,
+                gen, dtime, a3inv, redshift, uvbg, is_gas,
+                gradrho_mag, hsml, pids, extra_heat:
+                starformation_step(
+                    key, density, egywt, entropy, mass, ne, met,
+                    gen, dtime, a3inv, redshift, uvbg, self.sfrpar,
+                    self.coolpar, self.coolunits, is_gas,
+                    gradrho_mag=gradrho_mag, hsml=hsml, pids=pids,
+                    extra_heat=extra_heat)))
+            res = sf_jit(
                 self.next_key(), gas.density, gas.egy_wt_density,
                 gas.entropy, p.mass[:ng], gas.ne, gas.metallicity,
                 gas.generation, dtime, a3inv, redshift, uvbg,
-                self.sfrpar, self.coolpar, self.coolunits, gas_alive,
-                gradrho_mag=gas.gradrho_mag, hsml=p.hsml[:ng],
-                pids=p.id_lo[:ng], extra_heat=extra_heat)
+                gas_alive, gas.gradrho_mag, p.hsml[:ng],
+                p.id_lo[:ng], extra_heat)
             gas = dataclasses.replace(
                 gas, entropy=res.entropy, ne=res.ne,
                 metallicity=res.metallicity, sfr=res.sfr)
-            nstars = self._convert_stars(sim, gas, res, atime)
 
             # per-step SF statistics for sfr.txt (sfr_eff.cpp
-            # write_sfr_txt inputs); one host pull per source step
-            sfr_sum = float(jnp.sum(jnp.where(gas_alive, res.sfr,
-                                              0.0)))
+            # write_sfr_txt inputs) + star-conversion dispatch
+            # counters: ONE packed device reduction, one host pull
+            stats_jit = self._get_jit("sf_stats",
+                                      lambda: _sf_stats_reduce)
+            sv = np.asarray(stats_jit(
+                gas_alive, res.sfr, res.form_star, res.convert_whole,
+                res.mass_of_star, dtime, p.mask))
+            n_split, n_whole = int(sv[6]), int(sv[7])
+            n_free = int(sv[8])
+            if n_split == 0 and n_whole == 0:
+                nstars = 0
+            elif n_split <= _KSPAWN and n_free >= n_split:
+                nstars = self._convert_stars_device(
+                    sim, gas, res, atime, n_split, n_whole)
+            else:
+                if n_free < n_split:
+                    self._grow_star_capacity(
+                        sim, gas, max(n_split - n_free, 1))
+                nstars = self._convert_stars(sim, gas, res, atime)
+
             unit_sfr = max(self.sfrpar.UnitSfr_in_solar_per_year,
                            1e-35)
-            total_sm = float(jnp.sum(jnp.where(
-                gas_alive, res.sfr * dtime, 0.0))) / unit_sfr
-            spawned = float(jnp.sum(jnp.where(
-                gas_alive & res.form_star, res.mass_of_star, 0.0)))
-            n_sf = int(jnp.sum(gas_alive & (res.sfr > 0)))
-            n_act = int(jnp.sum(gas_alive & (dtime > 0)))
-            avg_dt = float(jnp.sum(jnp.where(gas_alive, dtime, 0.0))
-                           ) / max(n_act, 1)
+            n_sf, n_act = int(sv[3]), int(sv[4])
             self.last_sfr_stats = {
-                "total_sm": total_sm, "totsfrrate": sfr_sum,
-                "rate_in_msunperyear": sfr_sum,
-                "total_sum_mass_stars": spawned,
-                "avg_dtime": avg_dt, "total_sum_part": n_sf,
+                "total_sm": float(sv[1]) / unit_sfr,
+                "totsfrrate": float(sv[0]),
+                "rate_in_msunperyear": float(sv[0]),
+                "total_sum_mass_stars": float(sv[2]),
+                "avg_dtime": float(sv[5]) / max(n_act, 1),
+                "total_sum_part": n_sf,
                 "tot_newstars": nstars}
 
             if self.winds_on and self.windpar:
@@ -602,11 +789,18 @@ class GasPhysics:
                 if self.windpar.has(WIND_SUBGRID):
                     sm = res.sfr * dtime / jnp.maximum(
                         self.sfrpar.UnitSfr_in_solar_per_year, 1e-35)
-                    wres = winds_subgrid_step(
+                    wsg_jit = self._get_jit("winds_subgrid", lambda: (
+                        lambda key, vel3, ent, dens, delay, mass, sm,
+                        vdisp, atime, a3inv, eligible, pids:
+                        winds_subgrid_step(
+                            key, vel3, ent, dens, delay, mass, sm,
+                            vdisp, atime, a3inv, self.windpar,
+                            eligible=eligible, pids=pids)))
+                    wres = wsg_jit(
                         self.next_key(), sim.particles.vel[:ng],
                         gas.entropy, gas.density, gas.delay_time,
                         sim.particles.mass[:ng], sm, gas.vdisp, atime,
-                        a3inv, self.windpar,
+                        a3inv,
                         # reference queues gas that formed mass but
                         # did NOT convert (sfr_eff.cpp:271 newstar<0
                         # -> flag -2); converting rows become stars
@@ -622,33 +816,58 @@ class GasPhysics:
                     # varies per step — pad to a power-of-two bucket
                     # (mass-0 lanes kick nothing) so the dense pair
                     # kernel compiles O(log) times, not once per count
-                    sidx = np.nonzero(np.asarray(res.form_star))[0]
-                    ns0 = len(sidx)
-                    nbkt = max(8, 1 << (max(ns0, 1) - 1).bit_length())
-                    sidx = np.pad(sidx, (0, nbkt - ns0))
-                    smask = jnp.asarray(
-                        np.arange(nbkt) < ns0)
-                    p2 = sim.particles
-                    # split spawns carry mass_of_star, not the
-                    # parent's full mass (sfr_wind_copy uses the
-                    # star's mass)
-                    star_m = jnp.where(res.convert_whole,
-                                       p2.mass[:ng],
-                                       res.mass_of_star)
-                    vel3, ent, delay0 = winds_star_feedback(
-                        self.next_key(), p2.ipos[sidx],
-                        jnp.maximum(p2.hsml[sidx], 1e-3),
-                        jnp.where(smask, star_m[sidx], 0.0),
-                        gas.vdisp[sidx],
-                        p2.ipos[:ng], p2.mass[:ng], p2.vel[:ng],
-                        gas.entropy, gas.density, gas.delay_time,
-                        gas_alive & ~res.form_star, sim.boxsize,
-                        atime, a3inv, self.windpar)
+                    if nstars == 0:
+                        # no new stars -> zero kicks; only the
+                        # delay-time decay below applies
+                        vel3 = sim.particles.vel[:ng]
+                        ent, delay0 = gas.entropy, gas.delay_time
+                        sidx = None
+                    else:
+                        sidx = np.nonzero(
+                            np.asarray(res.form_star))[0]
+                    ns0 = 0 if sidx is None else len(sidx)
+                    if ns0:
+                        nbkt = max(8, 1 << (max(ns0, 1) - 1)
+                                   .bit_length())
+                        sidx = np.pad(sidx, (0, nbkt - ns0))
+                        smask = jnp.asarray(
+                            np.arange(nbkt) < ns0)
+                        p2 = sim.particles
+                        # split spawns carry mass_of_star, not the
+                        # parent's full mass (sfr_wind_copy uses the
+                        # star's mass)
+                        star_m = jnp.where(res.convert_whole,
+                                           p2.mass[:ng],
+                                           res.mass_of_star)
+                        wsf_jit = self._get_jit(
+                            "winds_star_fb", lambda: (
+                                lambda key, sipos, shsml, smass,
+                                svdisp, gipos, gmass, gvel, ent,
+                                dens, delay, elig, atime, a3inv:
+                                winds_star_feedback(
+                                    key, sipos, shsml, smass,
+                                    svdisp, gipos, gmass, gvel,
+                                    ent, dens, delay, elig,
+                                    sim.boxsize, atime, a3inv,
+                                    self.windpar)))
+                        vel3, ent, delay0 = wsf_jit(
+                            self.next_key(), p2.ipos[sidx],
+                            jnp.maximum(p2.hsml[sidx], 1e-3),
+                            jnp.where(smask, star_m[sidx], 0.0),
+                            gas.vdisp[sidx],
+                            p2.ipos[:ng], p2.mass[:ng], p2.vel[:ng],
+                            gas.entropy, gas.density,
+                            gas.delay_time,
+                            gas_alive & ~res.form_star,
+                            atime, a3inv)
                 vel_new = sim.particles.vel.at[:ng].set(vel3)
                 sim.particles = dataclasses.replace(sim.particles,
                                                     vel=vel_new)
-                delay = winds_decay(delay0, gas.density,
-                                    a3inv, dtime, self.windpar)
+                wd_jit = self._get_jit("winds_decay", lambda: (
+                    lambda delay0, dens, a3inv, dtime:
+                    winds_decay(delay0, dens, a3inv, dtime,
+                                self.windpar)))
+                delay = wd_jit(delay0, gas.density, a3inv, dtime)
                 gas = dataclasses.replace(gas, entropy=ent,
                                           delay_time=delay)
             return gas, nstars
@@ -681,6 +900,24 @@ class GasPhysics:
         return gas, 0
 
     # ---------- metal return (metal_return.cpp analog) ----------
+    def _age_grid_device(self, sim):
+        """t(a) grid as device arrays for the jitted age/activity
+        program (same grid `_age_myr` caches on host)."""
+        dg = getattr(self, "_t_grid_dev", None)
+        if dg is None:
+            if getattr(self, "_t_grid", None) is None:
+                ag = np.geomspace(0.01, 1.0, 257)
+                tg = np.zeros_like(ag)
+                for i in range(1, len(ag)):
+                    tg[i] = tg[i - 1] + sim.CP.age_myr(ag[i - 1],
+                                                       ag[i])
+                self._t_grid = (ag, tg)
+            ag, tg = self._t_grid
+            dg = (jnp.asarray(ag, jnp.float32),
+                  jnp.asarray(tg, jnp.float32))
+            object.__setattr__(self, "_t_grid_dev", dg)
+        return dg
+
     def _age_myr(self, sim, a0, a1):
         """Vectorized cosmic-time difference via a cached t(a) grid."""
         grid = getattr(self, "_t_grid", None)
@@ -715,86 +952,96 @@ class GasPhysics:
         ntot = p.n
         atime = sim.atime()
         # stars live on flipped gas rows OR spawned rows past the
-        # real particles — scan the full array
-        star = (np.asarray(p.mask)
-                & (np.asarray(p.ptype) == STAR)
-                & (np.asarray(gas.birth_a)[:ntot] > 0))
-        if not star.any():
+        # real particles — scan the full array.  The activity
+        # decision runs ON DEVICE (one scalar pull); the heavy
+        # full-array pulls of the old host path cost seconds per
+        # step over the axon tunnel.
+        ag, tg = self._age_grid_device(sim)
+        act_jit = self._get_jit("mr_act", lambda: (
+            lambda mask, ptype, birth, last, atime:
+            _metal_return_act(mask, ptype, birth, last, ag, tg,
+                              atime, self.min_enrich_window_myr)))
+        nact_d, act_d, age_d = act_jit(p.mask, p.ptype, gas.birth_a,
+                                       gas.last_enrich_myr, atime)
+        ns0 = int(nact_d)
+        if ns0 == 0:
             return gas
-        birth = np.asarray(gas.birth_a)
-        last = np.array(gas.last_enrich_myr)
-        age_now = np.zeros(ntot)
-        age_now[star] = self._age_myr(sim, birth[star],
-                                      np.full(star.sum(), atime))
-        # only stars with a meaningful new window enrich this call
-        act = star & (age_now - last > self.min_enrich_window_myr)
-        if not act.any():
-            return gas
-        idx = np.nonzero(act)[0]
         # pow2 bucket so the dense pair kernels compile O(log) times
         # rather than once per distinct active-star count
-        ns0 = len(idx)
         nbkt = max(8, 1 << (ns0 - 1).bit_length())
-        idx = np.pad(idx, (0, nbkt - ns0))
         lane = np.arange(nbkt) < ns0
 
-        # kernel-weight environment first: a star with no gas inside
-        # its hsml cannot scatter; defer its enrichment to a later
-        # step so returned mass is conserved by construction
+        from functools import partial
         from .physics.blackhole import bh_gas_environment
         from .physics.metal_return import metal_return_step
+        gather_jit = self._get_jit(
+            f"mr_gather_{nbkt}",
+            lambda: partial(_metal_return_gather, nbkt))
+        idx_d, zmet_s, last_s, age_s, m0_s, totret_s = gather_jit(
+            act_d, age_d, gas.star_metallicity, gas.mass0,
+            gas.total_returned, gas.last_enrich_myr)
+
+        # kernel-weight environment: a star with no gas inside its
+        # hsml cannot scatter; defer its enrichment to a later step
+        # so returned mass is conserved by construction
         gas_alive = (p.mask & (p.ptype == GAS))[:ng]
-        star_ipos = p.ipos[idx]
+        idx_c = jnp.minimum(idx_d, ntot - 1)
+        star_ipos = p.ipos[idx_c]
         star_hsml = jnp.where(jnp.asarray(lane),
-                              jnp.maximum(p.hsml[idx], 1e-3), 0.0)
+                              jnp.maximum(p.hsml[idx_c], 1e-3), 0.0)
         gmass = jnp.where(gas_alive, p.mass[:ng], 0.0)
-        env = bh_gas_environment(star_ipos, star_hsml, p.ipos[:ng],
-                                 gmass, gas.density,
-                                 p.vel[:ng], gas_alive, sim.boxsize)
-        fw = np.asarray(env.feedback_weight)
+        env_jit = self._get_jit("mr_env", lambda: (
+            lambda sipos, shsml, gipos, gmass, dens, gvel, alive:
+            bh_gas_environment(sipos, shsml, gipos, gmass, dens,
+                               gvel, alive, sim.boxsize)))
+        env = env_jit(star_ipos, star_hsml, p.ipos[:ng], gmass,
+                      gas.density, p.vel[:ng], gas_alive)
+        # ONE small pull: per-star subset scalars + kernel weights
+        fw, zmet_s, last_h, age_s, m0_s, totret_h = [
+            np.array(x) for x in jax.device_get(
+                (env.feedback_weight, zmet_s, last_s, age_s, m0_s,
+                 totret_s))]
         has_ngb = fw > 1e-30
 
         h = sim.CP.HubbleParam
-        zmet = np.asarray(gas.star_metallicity)
-        m0 = np.asarray(gas.mass0)
-        totret = np.array(gas.total_returned)
-        mret = np.zeros(len(idx), np.float32)
-        zret = np.zeros(len(idx), np.float32)
-        for j, i in enumerate(idx):
-            if j >= ns0 or not has_ngb[j]:
+        mret = np.zeros(nbkt, np.float32)
+        zret = np.zeros(nbkt, np.float32)
+        upd = np.zeros(nbkt, bool)
+        for j in range(ns0):
+            if not has_ngb[j]:
                 continue
             mfrac, zfrac, _ = self.metals.star_return(
-                float(zmet[i]), float(last[i]), float(age_now[i]), h)
+                float(zmet_s[j]), float(last_h[j]), float(age_s[j]),
+                h)
             # cap: never return more than 90% of the birth mass total
-            mfrac = min(mfrac, max(0.9 - totret[i], 0.0))
-            mret[j] = mfrac * m0[i]
-            zret[j] = min(zfrac, mfrac) * m0[i]
-            totret[i] += mfrac
-            last[i] = age_now[i]
-        gas.last_enrich_myr = jnp.asarray(last)
-        gas.total_returned = jnp.asarray(totret)
+            mfrac = min(mfrac, max(0.9 - totret_h[j], 0.0))
+            mret[j] = mfrac * m0_s[j]
+            zret[j] = min(zfrac, mfrac) * m0_s[j]
+            totret_h[j] += mfrac
+            last_h[j] = age_s[j]
+            upd[j] = True
+        apply_jit = self._get_jit("mr_apply", lambda: (
+            lambda idx, lane, updm, mret, zret, last, totret,
+            last_new, totret_new, sipos, shsml, fw, gipos, gmass,
+            alive, metallicity, mass, m0_s:
+            _metal_return_apply(
+                idx, lane, updm, mret, zret, last, totret, last_new,
+                totret_new, sipos, shsml, fw, gipos, gmass, alive,
+                metallicity, mass, m0_s, sim.boxsize, self.kernel,
+                metal_return_step)))
+        last_u, totret_u, new_metal, new_mass = apply_jit(
+            idx_d, jnp.asarray(lane), jnp.asarray(upd),
+            jnp.asarray(mret), jnp.asarray(zret),
+            gas.last_enrich_myr, gas.total_returned,
+            jnp.asarray(last_h), jnp.asarray(totret_h),
+            star_ipos, star_hsml, env.feedback_weight,
+            p.ipos[:ng], gmass, gas_alive, gas.metallicity, p.mass,
+            jnp.asarray(m0_s))
+        gas.last_enrich_myr = last_u
+        gas.total_returned = totret_u
         if mret.sum() <= 0:
             return gas
-
-        dm, dz = metal_return_step(
-            star_ipos, star_hsml, jnp.asarray(mret),
-            jnp.asarray(zret), env.feedback_weight, p.ipos[:ng],
-            gmass, gas_alive, sim.boxsize, self.kernel)
-        # apply: gas gains mass+metals; stars lose the ejected mass
-        old_gmass = jnp.maximum(gmass, 1e-35)
-        new_metal = jnp.where(
-            gas_alive,
-            (gas.metallicity * gmass + dz) / (old_gmass + dm),
-            gas.metallicity)
-        new_mass = p.mass.at[:ng].add(jnp.where(gas_alive, dm, 0.0))
-        mass_after = np.array(new_mass)
-        for j, i in enumerate(idx):
-            if j >= ns0:
-                continue
-            mass_after[i] = max(mass_after[i] - mret[j],
-                                0.1 * m0[i])
-        sim.particles = dataclasses.replace(
-            p, mass=jnp.asarray(mass_after))
+        sim.particles = dataclasses.replace(p, mass=new_mass)
         return dataclasses.replace(gas, metallicity=new_metal)
 
     # ---------- excursion-set reionization (uvbg.cpp analog) -------
@@ -895,10 +1142,24 @@ class GasPhysics:
             return gas
         p = sim.particles
         ng = gas.ngas
-        bh_rows = np.asarray(p.mask) & (np.asarray(p.ptype) == BH)
-        if not bh_rows.any():
+        # device-side BH census: one small pull instead of two
+        # full-array pulls per step (BHs are absent for most of a
+        # run and never more than a handful here)
+        cnt_jit = self._get_jit("bh_census", lambda: (
+            lambda mask, ptype: (
+                jnp.sum(mask & (ptype == BH)),
+                jnp.nonzero(mask & (ptype == BH), size=64,
+                            fill_value=mask.shape[0])[0])))
+        nbh_d, idx_d = jax.device_get(cnt_jit(p.mask, p.ptype))
+        nbh = int(nbh_d)
+        if nbh == 0:
             return gas
-        idx = np.nonzero(bh_rows)[0]
+        if nbh <= 64:
+            idx = np.asarray(idx_d)[:nbh]
+        else:   # huge BH population: host fallback
+            bh_rows = np.asarray(p.mask) & (np.asarray(p.ptype)
+                                            == BH)
+            idx = np.nonzero(bh_rows)[0]
         # per-BH dtime: the BH's own bin dloga when active, else 0
         # (blackhole.cpp integrates Mdot over get_dloga_for_bin)
         dtime = jnp.broadcast_to(jnp.asarray(dtime, jnp.float32),
@@ -912,60 +1173,76 @@ class GasPhysics:
         hsml_bh = jnp.minimum(
             hsml_bh, self.bhpar.BlackHoleMaxAccretionRadius)
 
-        env = bh_gas_environment(p.ipos[idx], hsml_bh, p.ipos[:ng],
-                                 gmass, gas.entropy, p.vel[:ng],
-                                 gas_alive, sim.boxsize)
-        bhm = gas.bh_mass[idx]
-        mdot = bh_accretion(bhm, p.vel[idx], env, atime,
-                            sim.gravity.G, self.bhpar)
-        bhm_new = bhm + mdot * dtime
+        def _bh_phys(key, bh_ipos, hsml_bh, bh_vel, bhm, bh_dynmass,
+                     dtime_bh, gipos, gmass, gdens, gentropy, gvel,
+                     alive, atime, a3inv):
+            # env gather -> accretion -> feedback -> swallow draw,
+            # fused into one program (the dense nbh x ngas pair
+            # intermediates never hit HBM unfused)
+            env = bh_gas_environment(bh_ipos, hsml_bh, gipos, gmass,
+                                     gentropy, gvel, alive,
+                                     sim.boxsize)
+            mdot = bh_accretion(bhm, bh_vel, env, atime,
+                                sim.gravity.G, self.bhpar)
+            bhm_new = bhm + mdot * dtime_bh
+            c_int = LIGHTCGS / self.bhpar.UnitVelocity_in_cm_per_s
+            energy = (self.bhpar.BlackHoleFeedbackFactor * 0.1
+                      * mdot * dtime_bh * c_int ** 2)
+            dent = bh_thermal_feedback(
+                bh_ipos, hsml_bh, energy, env.feedback_weight,
+                gipos, gmass, jnp.maximum(gdens, 1e-35), alive,
+                sim.boxsize, a3inv)
+            swallowed_by, gain = bh_swallow_gas(
+                key, bh_ipos, hsml_bh, bhm_new, bh_dynmass, env,
+                gipos, gmass, alive, sim.boxsize)
+            return (bhm_new, mdot, dent, swallowed_by, gain,
+                    env.entropy, env.density)
+
+        bhp_jit = self._get_jit("bh_phys", lambda: _bh_phys)
+        (bhm_new, mdot, dent, swallowed_by, gain, env_entropy,
+         env_density) = bhp_jit(
+            self.next_key(), p.ipos[idx], hsml_bh, p.vel[idx],
+            gas.bh_mass[idx], p.mass[idx], dtime, p.ipos[:ng],
+            gmass, gas.density, gas.entropy, p.vel[:ng], gas_alive,
+            atime, a3inv)
         bh_mass = gas.bh_mass.at[idx].set(bhm_new)
         bh_mdot = gas.bh_mdot.at[idx].set(mdot)
-
-        # thermal feedback: E = eps_f * 0.1 Mdot c^2 dt (internal)
-        c_int = LIGHTCGS / self.bhpar.UnitVelocity_in_cm_per_s
-        energy = (self.bhpar.BlackHoleFeedbackFactor * 0.1 * mdot
-                  * dtime * c_int ** 2)
-        dent = bh_thermal_feedback(p.ipos[idx], hsml_bh, energy,
-                                   env.feedback_weight, p.ipos[:ng],
-                                   gmass, jnp.maximum(gas.density,
-                                                      1e-35),
-                                   gas_alive, sim.boxsize, a3inv)
-        entropy = jnp.where(gas_alive, gas.entropy + dent, gas.entropy)
-
-        # stochastic swallowing closes the subgrid/dynamic mass gap
-        swallowed_by, gain = bh_swallow_gas(
-            self.next_key(), p.ipos[idx], hsml_bh, bhm_new,
-            p.mass[idx], env, p.ipos[:ng], gmass, gas_alive,
-            sim.boxsize)
-        sw = np.asarray(swallowed_by)
-        mass_np = np.array(p.mass)
-        mask_np = np.array(p.mask)
-        eaten_gas = np.nonzero(sw >= 0)[0]
-        if eaten_gas.size:
-            mass_np[idx] += np.asarray(gain)
-            mask_np[eaten_gas] = False
-            mass_np[eaten_gas] = 0.0
+        entropy = jnp.where(gas_alive, gas.entropy + dent,
+                            gas.entropy)
+        # swallow/merger bookkeeping touches only per-BH smalls and
+        # the (rare) eaten rows: pull scalars + idx-sized arrays,
+        # never the full mass/mask arrays
+        n_eaten = int(jnp.sum(swallowed_by >= 0))
+        mass_dev = p.mass
+        mask_dev = p.mask
+        if n_eaten:
+            mass_dev = mass_dev.at[:ng].set(
+                jnp.where(swallowed_by >= 0, 0.0, mass_dev[:ng]))
+            mask_dev = mask_dev.at[:ng].set(
+                jnp.where(swallowed_by >= 0, False, mask_dev[:ng]))
+            mass_dev = mass_dev.at[idx].add(gain)
 
         # BH-BH mergers (host-side; BHs are rare)
         from .core.particles import ipos_to_float
         ids64 = (np.asarray(p.id_hi[idx]).astype(np.uint64) << np.uint64(32)) \
             | np.asarray(p.id_lo[idx]).astype(np.uint64)
-        cs = bh_soundspeed(env.entropy, env.density, atime)
+        cs = bh_soundspeed(env_entropy, env_density, atime)
         eaten_by, msub2, mdyn2 = bh_mergers(
             ipos_to_float(np.asarray(p.ipos[idx]), sim.boxsize),
             np.asarray(p.vel[idx]), np.asarray(hsml_bh),
-            np.asarray(bhm_new), mass_np[idx], ids64, atime,
-            np.asarray(cs), sim.boxsize)
-        if (eaten_by >= 0).any():
+            np.asarray(bhm_new), np.asarray(mass_dev[idx]), ids64,
+            atime, np.asarray(cs), sim.boxsize)
+        any_merge = bool((eaten_by >= 0).any())
+        if any_merge:
             bh_mass = bh_mass.at[idx].set(jnp.asarray(msub2))
-            mass_np[idx] = mdyn2
+            mass_dev = mass_dev.at[idx].set(jnp.asarray(mdyn2))
             dead = idx[eaten_by >= 0]
-            mask_np[dead] = False
-            mass_np[dead] = 0.0
+            mask_dev = mask_dev.at[dead].set(False)
+            mass_dev = mass_dev.at[dead].set(0.0)
 
-        sim.particles = dataclasses.replace(
-            p, mass=jnp.asarray(mass_np), mask=jnp.asarray(mask_np))
+        if n_eaten or any_merge:
+            sim.particles = dataclasses.replace(
+                p, mass=mass_dev, mask=mask_dev)
 
         # dynamical friction from the collisionless background
         if self.bh_dynfric_on:
@@ -1017,6 +1294,45 @@ class GasPhysics:
             ncrit=sim.gravity.tree_ncrit)
         vd = jnp.where(gas_alive, sigma, gas.vdisp)
         return dataclasses.replace(gas, vdisp=vd)
+
+    def _convert_stars_device(self, sim, gas: GasState, res, atime,
+                              n_split: int, n_whole: int) -> int:
+        """On-device gas->star conversion fast path.  Same semantics
+        as `_convert_stars` (the host oracle, kept for the rare
+        capacity-growth fallback and for tests) without the ~20
+        full-array host round-trips per SF step.  Caller guarantees
+        n_split <= _KSPAWN and enough free rows exist."""
+        from functools import partial
+        p = sim.particles
+        kern = self._get_jit(
+            "convert_stars",
+            lambda: partial(_convert_stars_kernel, _KSPAWN))
+        (ipos, vel, hsml, tb, idlo, idhi, mass, mask, ptype,
+         birth, enr, m0, smet, gen, sfr, delay, bhm, bhmd) = kern(
+            p.ipos, p.vel, p.hsml, p.timebin, p.id_lo, p.id_hi,
+            p.mass, p.mask, p.ptype, gas.birth_a,
+            gas.last_enrich_myr, gas.mass0, gas.star_metallicity,
+            gas.generation, gas.sfr, gas.delay_time, gas.bh_mass,
+            gas.bh_mdot, gas.metallicity, res.form_star,
+            res.convert_whole, res.mass_of_star, atime)
+        sim.particles = dataclasses.replace(
+            p, ipos=ipos, vel=vel, hsml=hsml, timebin=tb,
+            id_lo=idlo, id_hi=idhi, mass=mass, mask=mask,
+            ptype=ptype)
+        gas.birth_a = birth
+        gas.last_enrich_myr = enr
+        gas.mass0 = m0
+        gas.star_metallicity = smet
+        gas.generation = gen
+        gas.sfr = sfr
+        gas.delay_time = delay
+        gas.bh_mass = bhm
+        gas.bh_mdot = bhmd
+        if not hasattr(sim, "star_formation_times"):
+            sim.star_formation_times = []
+        nstars = n_whole + n_split
+        sim.star_formation_times.extend([atime] * nstars)
+        return nstars
 
     def _convert_stars(self, sim, gas: GasState, res, atime) -> int:
         """Turn gas into stars (make_particle_star analog,

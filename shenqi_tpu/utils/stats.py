@@ -10,6 +10,50 @@ import numpy as np
 from .constants import GAMMA_MINUS1
 
 
+def _energy_reduce(mask, mass, vel, pot, ptype, dens, entr, atime):
+    """Device-side energy sums (one host pull of 3 scalars instead
+    of ~7 full-array pulls per step over the axon tunnel)."""
+    import jax.numpy as jnp
+    m = jnp.where(mask, mass, 0.0)
+    ekin = 0.5 * jnp.sum(m * jnp.sum(vel ** 2, axis=1)) / atime ** 2
+    epot = 0.5 * jnp.sum(m * pot)
+    eint = jnp.float32(0.0)
+    if dens is not None:
+        ngg = dens.shape[0]
+        gm = mask[:ngg] & (ptype[:ngg] == 0)
+        u = jnp.nan_to_num(entr * jnp.maximum(dens, 1e-35)
+                           ** GAMMA_MINUS1 / GAMMA_MINUS1)
+        eint = jnp.sum(jnp.where(gm, mass[:ngg] * u, 0.0))
+    return jnp.stack([eint, epot, ekin])
+
+
+_energy_reduce_jit = None
+
+
+def energy_statistics_fast(fd, atime, particles, sph=None):
+    """energy.txt line via a single jitted device reduction."""
+    import jax
+    global _energy_reduce_jit
+    if _energy_reduce_jit is None:
+        _energy_reduce_jit = jax.jit(_energy_reduce,
+                                     static_argnames=())
+    dens = sph.density if sph is not None else None
+    entr = sph.entropy if sph is not None else None
+    if dens is None:
+        # no-gas trace: reuse the same program shape with dummies
+        vals = _energy_reduce_jit(
+            particles.mask, particles.mass, particles.vel,
+            particles.potential, particles.ptype, None, None, atime)
+    else:
+        vals = _energy_reduce_jit(
+            particles.mask, particles.mass, particles.vel,
+            particles.potential, particles.ptype, dens, entr, atime)
+    eint, epot, ekin = [float(x) for x in np.asarray(vals)]
+    fd.write(f"{atime:g} {np.nan_to_num(eint):g} {epot:g} "
+             f"{ekin:g}\n")
+    fd.flush()
+
+
 def energy_statistics(fd, atime, particles, sph=None, boxsize=None):
     """Append one line to energy.txt: time, total internal energy,
     potential energy, kinetic energy (stats.cpp energy_statistics
@@ -57,6 +101,84 @@ def sfr_statistics(fd, atime, total_sm, totsfrrate,
              f"{avg_dtime:g} {int(total_sum_part)} "
              f"{int(tot_newstars)}\n")
     fd.flush()
+
+
+_KBH = 64
+_bh_gather_jit = None
+
+
+def _bh_gather(mask, ptype, bh_mass, bh_mdot, dens_g, ipos, vel,
+               id_lo, id_hi, boxsize):
+    """Gather all alive-BH rows into a fixed 64-lane bucket on
+    device: one small host pull replaces the ~8 full-array pulls the
+    per-step blackholes.txt/BHDetails writers used to make."""
+    import jax.numpy as jnp
+    from ..core.particles import ipos_to_float
+    n = mask.shape[0]
+    alive = mask & (ptype == 5) & (bh_mass > 0)
+    nbh = jnp.sum(alive)
+    idx = jnp.nonzero(alive, size=_KBH, fill_value=n)[0]
+    c = jnp.minimum(idx, n - 1)
+    lane = jnp.arange(_KBH) < nbh
+    dens = jnp.zeros((n,), dens_g.dtype).at[:dens_g.shape[0]] \
+        .set(dens_g)
+    pos = ipos_to_float(ipos[c], boxsize)
+    return (nbh,
+            jnp.where(lane, bh_mass[c], 0.0),
+            jnp.where(lane, bh_mdot[c], 0.0),
+            jnp.where(lane, dens[c], 0.0),
+            jnp.where(lane[:, None], pos, 0.0),
+            jnp.where(lane[:, None], vel[c], 0.0),
+            jnp.where(lane, id_lo[c], 0),
+            jnp.where(lane, id_hi[c], 0))
+
+
+def bh_statistics_fast(fd_bh, fd_bhdet, atime, particles, gas,
+                       boxsize, units):
+    """blackholes.txt + BHDetails records from one device gather."""
+    import jax
+    global _bh_gather_jit
+    if _bh_gather_jit is None:
+        _bh_gather_jit = jax.jit(_bh_gather, static_argnames=())
+    p = particles
+    out = jax.device_get(_bh_gather_jit(
+        p.mask, p.ptype, gas.bh_mass, gas.bh_mdot, gas.density,
+        p.ipos, p.vel, p.id_lo, p.id_hi, boxsize))
+    nbh = int(out[0])
+    if nbh == 0:
+        return 0
+    m, md, dens, pos, vel, idlo, idhi = [np.asarray(x)[:nbh]
+                                         for x in out[1:]]
+    from .constants import (GRAVITY, LIGHTCGS, PROTONMASS, THOMPSON,
+                            SOLAR_MASS, SEC_PER_YEAR)
+    mtot = float(m.sum())
+    mdot = float(md.sum())
+    medd = float((md / np.maximum(m, 1e-35)).sum())
+    mdot_msun_yr = mdot * (units.UnitMass_in_g / SOLAR_MASS) \
+        / (units.UnitTime_in_s / SEC_PER_YEAR)
+    medd /= ((4 * np.pi * GRAVITY * LIGHTCGS * PROTONMASS
+              / (0.1 * LIGHTCGS ** 2 * THOMPSON))
+             * units.UnitTime_in_s)
+    if fd_bh is not None:
+        fd_bh.write(f"{atime:g} {nbh} {mtot:g} {mdot:g} "
+                    f"{mdot_msun_yr:g} {medd:g}\n")
+        fd_bh.flush()
+    if fd_bhdet is not None:
+        rec = np.zeros(nbh, dtype=[
+            ("ID", "<u8"), ("Time", "<f8"), ("Mass", "<f4"),
+            ("Mdot", "<f4"), ("Density", "<f4"), ("Pos", "<f4", 3),
+            ("Vel", "<f4", 3)])
+        rec["ID"] = (idhi.astype(np.uint64) << np.uint64(32)) \
+            | idlo.astype(np.uint64)
+        rec["Time"] = atime
+        rec["Mass"] = m
+        rec["Mdot"] = md
+        rec["Density"] = dens
+        rec["Pos"] = pos
+        rec["Vel"] = vel
+        rec.tofile(fd_bhdet)
+        fd_bhdet.flush()
+    return nbh
 
 
 def blackhole_statistics(fd, atime, bh_mass, bh_mdot, alive, units):
