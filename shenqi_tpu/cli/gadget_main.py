@@ -556,6 +556,41 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
                 f"_{snap_counter[0]:03d}")
             save_fof(pig, groups, shdr, a)
             print(f"FOF at a={a:g}: {groups.ngroups} groups -> {pig}")
+
+        # lensing potential planes inside the distributed loop
+        # (run.cpp:743-750, plane.cpp): the NGP deposit runs over
+        # the SHARDED ipos — XLA reduces the replicated R x R grid
+        # across devices itself — and is integer-exact, so the
+        # planes are bit-identical to the single-device loop's
+        if ps.get_int("WritePlaneOn"):
+            from functools import partial as _partial
+            import jax as _jax
+            from ..physics.plane import (PlaneParams,
+                                         plane_counts_ipos,
+                                         write_planes_deposit)
+            pcuts = [float(x) for x in ps.get_string(
+                "PlaneCutPoints").split(",") if x.strip()]
+            pnormals = [int(x) for x in ps.get_string(
+                "PlaneNormals").split(",") if x.strip()]
+            par = PlaneParams(
+                Resolution=ps.get_int("PlaneResolution"),
+                Thickness=ps.get_double("PlaneThickness"),
+                CutPoints=pcuts, Normals=pnormals or [0, 1, 2])
+            alive_d = f["mass"] > 0
+
+            def _deposit(normal, center, thickness):
+                dep = _jax.jit(_partial(
+                    plane_counts_ipos, boxsize=boxsize,
+                    normal=normal, center=center,
+                    thickness=thickness,
+                    resolution=par.Resolution))
+                return dep(s.output_ipos(), alive_d)
+
+            ntot = int(np.asarray(alive_d).sum())
+            write_planes_deposit(snap_counter[0], a, cp, _deposit,
+                                 ntot, boxsize, outdir,
+                                 units.UnitVelocity_in_cm_per_s,
+                                 units.UnitLength_in_cm, par)
         snap_counter[0] += 1
 
     sim.on_snapshot = on_snapshot
@@ -1225,9 +1260,15 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
         print(f"FOF at a={a:g}: {groups.ngroups} groups -> {pig}")
         fof_physics(s, groups)
 
-        # lensing potential planes at snapshot times (plane.cpp)
+        # lensing potential planes at snapshot times (plane.cpp);
+        # the deposit runs on device (plane_counts_ipos), shared
+        # bit-for-bit with the --mesh loop's sharded deposit
         if ps.get_int("WritePlaneOn"):
-            from ..physics.plane import PlaneParams, write_planes
+            from functools import partial as _partial
+            import jax as _jax
+            from ..physics.plane import (PlaneParams,
+                                         plane_counts_ipos,
+                                         write_planes_deposit)
             cuts = [float(x) for x in ps.get_string(
                 "PlaneCutPoints").split(",") if x.strip()]
             normals = [int(x) for x in ps.get_string(
@@ -1236,12 +1277,20 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
                 Resolution=ps.get_int("PlaneResolution"),
                 Thickness=ps.get_double("PlaneThickness"),
                 CutPoints=cuts, Normals=normals or [0, 1, 2])
-            posd = (np.asarray(p.ipos, np.float64)
-                    * (boxsize / 2 ** 32))
-            write_planes(snap_counter[0] - 1, a, cp, posd,
-                         np.asarray(p.mask), boxsize, outdir,
-                         units.UnitVelocity_in_cm_per_s,
-                         units.UnitLength_in_cm, par)
+
+            def _deposit(normal, center, thickness):
+                fn = _jax.jit(_partial(
+                    plane_counts_ipos, boxsize=boxsize,
+                    normal=normal, center=center,
+                    thickness=thickness,
+                    resolution=par.Resolution))
+                return fn(s.output_ipos(), p.mask)
+
+            ntot = int(np.asarray(p.mask).sum())
+            write_planes_deposit(snap_counter[0] - 1, a, cp,
+                                 _deposit, ntot, boxsize, outdir,
+                                 units.UnitVelocity_in_cm_per_s,
+                                 units.UnitLength_in_cm, par)
 
     def fof_physics(s, groups):
         """FOF-cadence physics: BH seeding, HeIII bubbles, excursion

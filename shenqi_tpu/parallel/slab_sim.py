@@ -2004,153 +2004,94 @@ class SlabSimulation:
 
     # ---------------- main loop ----------------
     def run(self, max_steps: int = 10 ** 9):
-        """run.cpp:331-822 protocol, every stage distributed."""
-        first = self.step_count == 0
-        while max_steps > 0:
-            max_steps -= 1
-            times = self.times
-            self._wt("Misc")
-            if not first:
-                ti_next = find_next_kick(times.ti_current,
-                                         times.mintimebin)
-                ti_next = min(ti_next,
-                              times.pm_start + times.pm_length)
-                a0 = self.atime()
-                self._drift_all(ti_next)
-                if self.on_drift is not None:
-                    # lightcone crossings etc. (lightcone.cpp rides
-                    # the drift exactly like the single-device loop)
-                    self.on_drift(self, a0, self.atime())
-                self._wt("Drift")
-            is_pm = times.is_pm()
-            hci_action = 0
-            if is_pm and self.hci is not None:
-                # query HCI requests only on PM steps (run.cpp:408);
-                # the query is host-side so every device sees the
-                # same verdict (hci.cpp broadcasts from rank 0)
-                from ..utils import hci as hcimod
-                hci_action = self.hci.query()
-                if hci_action == hcimod.HCI_TERMINATE:
-                    self.hci_exit = "terminate"
-                    break
+        """run.cpp:331-822 protocol, every stage distributed.  The
+        stage ORDER is single-sited in core/step_protocol
+        (run_protocol), shared with the single-device loop; this
+        class provides the distributed stage implementations via the
+        proto_* adapters below."""
+        from ..core.step_protocol import run_protocol
+        return run_protocol(self, max_steps)
 
-            # forces (exchange + PM on PM steps + tree every step);
-            # PM steps first re-cut the slab boundaries to the
-            # drifted particle load
-            if is_pm:
-                # reference redraws the box shift at each full domain
-                # decomposition, i.e. every PM step (run.cpp:426-428)
-                self._apply_random_offset()
-            if is_pm and self.balance_domains \
-                    and self.mesh.devices.size > 1 and not first:
-                self._rebalance_cuts()
-            self._forces(with_pm=is_pm, first=first)
-            self._wt("Tree")
-            if self.has_gas:
-                # distributed SPH on the freshly slab-owned gas
-                # (run.cpp:482-505; predictors use last-step accels)
-                self._gas_density_hydro(first)
-            if self.hierarchical and not first:
-                # per-level closing kicks with active-source forces
-                # (the forces-stage gacc is superseded per level)
-                self._hier_second_half()
+    # ---------- step-protocol adapters (core/step_protocol) -------
+    def proto_drift(self, ti_next):
+        a0 = self.atime()
+        self._drift_all(ti_next)
+        if self.on_drift is not None:
+            # lightcone crossings etc. (lightcone.cpp rides the
+            # drift exactly like the single-device loop)
+            self.on_drift(self, a0, self.atime())
 
-            if not first:
-                self._apply_half_kick(skip_grav=self.hierarchical)
-            update_kick_times(times)
-            if is_pm and not first:
-                self._apply_pm_half_kick()
+    def proto_forces(self, is_pm, first):
+        """Forces (exchange + PM on PM steps + tree every step); PM
+        steps first re-cut the slab boundaries to the drifted
+        particle load."""
+        if is_pm:
+            # reference redraws the box shift at each full domain
+            # decomposition, i.e. every PM step (run.cpp:426-428)
+            self._apply_random_offset()
+        if is_pm and self.balance_domains \
+                and self.mesh.devices.size > 1 and not first:
+            self._rebalance_cuts()
+        self._forces(with_pm=is_pm, first=first)
+        self._wt("Tree")
+        if self.has_gas:
+            # distributed SPH on the freshly slab-owned gas
+            # (run.cpp:482-505; predictors use last-step accels)
+            self._gas_density_hydro(first)
+        if self.hierarchical and not first:
+            # per-level closing kicks with active-source forces
+            # (the forces-stage gacc is superseded per level)
+            self._hier_second_half()
 
-            # FOF-cadence physics on PM steps: BH seeding searches
-            # (run.cpp:637-660)
-            if is_pm and not first and self.on_pm_step is not None:
-                self.on_pm_step(self)
+    def proto_sources(self, is_pm, first):
+        if not (self.has_gas and not first
+                and (self.cooling_on or self.sfr_on)):
+            return
+        times = self.times
+        if is_pm:
+            # sigma-based winds refresh vdisp once per PM step
+            # (run.cpp:662-663)
+            self._update_vdisp_slab()
+            # excursion-set J21 recomputed at PM cadence
+            # (run.cpp:653-660 uvbg block)
+            if self.excursion is not None:
+                self.excursion_step()
+        # per-row dtime: the particle's OWN bin dloga when the bin
+        # is at a kick boundary, else 0 (sfr_eff.cpp
+        # cooling_and_starformation get_dloga_for_bin — the global
+        # min-bin dloga under-applies the eEOS relaxation and lets
+        # shock-heated SF gas run away)
+        hubble = float(self.CP.hubble_function(self.atime()))
+        dt_tab = np.array(
+            [self.timeline.get_dloga_for_bin(
+                b, times.ti_current) / hubble
+             for b in range(TIMEBINS + 1)], np.float32)
+        dt_tab *= active_bins_mask(times.ti_current)
+        dt_rows = jnp.asarray(dt_tab)[jnp.clip(
+            self.fields["tbin"].astype(jnp.int32), 1,
+            TIMEBINS)]
+        self._gas_source_terms(dt_rows)
+        self._wt("Cooling")
+        # black holes: accretion/feedback/swallow/mergers
+        self._slab_blackhole_step(dt_rows)
+        self._wt("BH")
+        # stellar mass + metal return (metal_return.cpp)
+        self._slab_metal_return()
+        self._wt("MetalReturn")
 
-            # Strang-split sources after the kick (run.cpp:604-681)
-            if self.has_gas and not first \
-                    and (self.cooling_on or self.sfr_on):
-                if is_pm:
-                    # sigma-based winds refresh vdisp once per PM
-                    # step (run.cpp:662-663)
-                    self._update_vdisp_slab()
-                    # excursion-set J21 recomputed at PM cadence
-                    # (run.cpp:653-660 uvbg block)
-                    if self.excursion is not None:
-                        self.excursion_step()
-                # per-row dtime: the particle's OWN bin dloga when the
-                # bin is at a kick boundary, else 0 (sfr_eff.cpp
-                # cooling_and_starformation get_dloga_for_bin — the
-                # global min-bin dloga under-applies the eEOS
-                # relaxation and lets shock-heated SF gas run away)
-                hubble = float(self.CP.hubble_function(self.atime()))
-                dt_tab = np.array(
-                    [self.timeline.get_dloga_for_bin(
-                        b, times.ti_current) / hubble
-                     for b in range(TIMEBINS + 1)], np.float32)
-                dt_tab *= active_bins_mask(times.ti_current)
-                dt_rows = jnp.asarray(dt_tab)[jnp.clip(
-                    self.fields["tbin"].astype(jnp.int32), 1,
-                    TIMEBINS)]
-                self._gas_source_terms(dt_rows)
-                self._wt("Cooling")
-                # black holes: accretion/feedback/swallow/mergers
-                self._slab_blackhole_step(dt_rows)
-                self._wt("BH")
-                # stellar mass + metal return (metal_return.cpp)
-                self._slab_metal_return()
-                self._wt("MetalReturn")
+    def proto_snapshot(self, atime):
+        if self.on_snapshot:
+            self.on_snapshot(self, atime)
 
-            sp = self.timeline.find_current_sync_point(
-                times.ti_current)
-            if sp is not None and sp.write_snapshot \
-                    and not (first and self.resumed):
-                if self.on_snapshot:
-                    self.on_snapshot(self, self.atime())
-                self.snapshots.append(self.atime())
-                self._wt("Snapshot")
+    def proto_checkpoint(self, cb, atime):
+        cb(self, atime)
 
-            # HCI-requested checkpoint/stop (run.cpp:700-761)
-            if hci_action:
-                from ..utils import hci as hcimod
-                planned = (sp is not None and sp.write_snapshot
-                           and not (first and self.resumed))
-                if hcimod.wants_checkpoint(hci_action) and not planned:
-                    cb = self.on_checkpoint or self.on_snapshot
-                    if cb:
-                        cb(self, self.atime())
-                    self.snapshots.append(self.atime())
-                    self._wt("Snapshot")
-                if hcimod.wants_break(hci_action):
-                    self.hci_exit = {
-                        hcimod.HCI_STOP: "stop",
-                        hcimod.HCI_TIMEOUT: "timeout",
-                    }.get(hci_action, "terminate")
-                    break
+    def proto_pre_timestep(self):
+        pass
 
-            if self.timeline.find_next_sync_point(times.ti_current) \
-                    is None:
-                break
-
-            if self.hierarchical:
-                bad = self._hier_first_half(first_step=first)
-            else:
-                bad = self._find_timesteps(first_step=first)
-            self._wt("Timeline")
-            if bad:
-                raise RuntimeError(f"{bad} bad timesteps at step "
-                                   f"{self.step_count}")
-            self._apply_half_kick(skip_grav=self.hierarchical)
-            # second kick-time advance (run.cpp:809; see
-            # simulation.py — the missing advance made predictor
-            # intervals grow without bound)
-            update_kick_times(times)
-            if is_pm:
-                self._apply_pm_half_kick()
-            self.step_count += 1
-            first = False
-            if self.on_step:
-                self.on_step(self)
-        return self
+    def proto_bad_timestep(self, bad):
+        raise RuntimeError(f"{bad} bad timesteps at step "
+                           f"{self.step_count}")
 
     # ---------------- host-side views ----------------
     def gather_alive(self) -> dict:

@@ -97,6 +97,124 @@ def cut_plane_gaussian_grid(pos, active, num_particles_tot,
     return pot * (cosmo_norm * dens_norm), n_plane
 
 
+def plane_counts_ipos(ipos, alive, boxsize, normal: int,
+                      center: float, thickness: float,
+                      resolution: int):
+    """NGP plane deposit straight from uint32 fixed-point positions.
+
+    Pure-jnp and jit/shard-friendly: slab membership and bin indices
+    are computed in exact integer arithmetic (uint32 wraparound for
+    the periodic slab test; (ipos*R)>>32 via 16-bit limbs for the
+    bins), so the result is bit-identical for any device count or
+    sharding — on a sharded ipos the scatter-add runs per shard and
+    XLA reduces the replicated R x R grid itself.  This is the
+    distributed-loop plane path the reference runs inside run()
+    (run.cpp:743-750, plane.cpp:120-318); the FFT/normalization
+    stays on host (cut_plane_from_counts, output cadence only).
+
+    Returns (counts [R,R] int32, n_plane int32 scalar).
+    """
+    import jax.numpy as jnp
+    d0, d1 = (normal + 1) % 3, (normal + 2) % 3
+    ip = ipos.astype(jnp.uint32)
+    # periodic slab membership along the normal, exact in uint32
+    off = int(round(((center - thickness / 2) % boxsize)
+                    / boxsize * 2 ** 32)) & 0xFFFFFFFF
+    tfrac = thickness / boxsize
+    if tfrac >= 1.0:
+        in_slab = alive
+    else:
+        thick_u = int(round(tfrac * 2 ** 32))
+        rel = ip[:, normal] - jnp.uint32(off)   # wraps mod 2^32
+        in_slab = alive & (rel < jnp.uint32(thick_u))
+
+    # bin = floor(ipos * R / 2^32) exactly, via 16-bit limbs
+    # (uint64 needs x64 mode; R <= 65535 keeps every product in u32)
+    def _bin(col):
+        hi = col >> jnp.uint32(16)
+        lo = col & jnp.uint32(0xFFFF)
+        r = jnp.uint32(resolution)
+        return ((hi * r + ((lo * r) >> jnp.uint32(16)))
+                >> jnp.uint32(16)).astype(jnp.int32)
+
+    i0 = _bin(ip[:, d0])
+    i1 = _bin(ip[:, d1])
+    flat = i0 * resolution + i1
+    oob = resolution * resolution
+    tgt = jnp.where(in_slab, flat, oob)
+    counts = jnp.zeros((oob,), jnp.int32).at[tgt].add(
+        1, mode="drop").reshape(resolution, resolution)
+    return counts, jnp.sum(in_slab).astype(jnp.int32)
+
+
+def cut_plane_from_counts(counts, num_particles_tot,
+                          comoving_distance, boxsize, CP, atime,
+                          thickness: float, resolution: int,
+                          smooth: float = 1.0):
+    """FFT + normalization half of cut_plane_gaussian_grid, fed by a
+    precomputed NGP count grid (host f64; output cadence only)."""
+    cell = boxsize / resolution
+    density = np.asarray(counts, np.float64)
+    bin_norm = thickness
+    dnf = (1.0 / num_particles_tot
+           * boxsize ** 3 / (cell * cell * bin_norm))
+    density = density * dnf
+
+    rho_k = np.fft.rfft2(density)
+    i = np.arange(resolution)
+    lx = np.where(i < resolution // 2, i, i - resolution) \
+        / resolution
+    ly = np.arange(resolution // 2 + 1) / resolution
+    l2 = lx[:, None] ** 2 + ly[None, :] ** 2
+    l2[0, 0] = 1.0
+    rho_k[0, 0] = 0.0                   # drop the uniform mode
+    factor = (-2.0 * (cell * cell / comoving_distance ** 2)
+              / (l2 * 4 * np.pi ** 2))
+    factor = factor * np.exp(-0.5 * (2 * np.pi * smooth) ** 2 * l2)
+    pot = np.fft.irfft2(rho_k * factor, s=(resolution, resolution))
+
+    h0_cgs = 100 * CP.HubbleParam * 3.2407793e-20
+    cosmo_norm = (1.5 * h0_cgs ** 2 * omega_source(CP, atime)
+                  / LIGHTCGS ** 2)
+    dens_norm = (bin_norm * comoving_distance
+                 * (CM_PER_KPC / CP.HubbleParam) ** 2 / atime)
+    return pot * (cosmo_norm * dens_norm)
+
+
+def write_planes_deposit(snapnum: int, atime: float, CP, deposit,
+                         ntot: int, boxsize: float, outdir: str,
+                         unit_velocity: float,
+                         unit_length_in_cm: float, par: PlaneParams):
+    """write_planes with a caller-supplied deposit:
+    `deposit(normal, center, thickness) -> (counts, n_plane)` —
+    the single-device loop passes a local jitted plane_counts_ipos,
+    the --mesh loop the same program over its sharded ipos, so both
+    loops share one code path and produce identical planes."""
+    import os
+    thickness = par.Thickness if par.Thickness > 0 else boxsize
+    cuts = list(par.CutPoints)
+    if not cuts:
+        cuts = [(0.5 + i) * thickness
+                for i in range(int(boxsize / thickness))]
+    redshift = 1.0 / atime - 1.0
+    chi = CP.comoving_distance(atime, 1.0, unit_velocity)
+    written = []
+    for ci, cut in enumerate(cuts):
+        for normal in par.Normals:
+            counts, n_plane = deposit(normal, cut, thickness)
+            pot = cut_plane_from_counts(
+                counts, ntot, max(chi, 1e-10), boxsize, CP, atime,
+                thickness, par.Resolution)
+            fn = os.path.join(
+                outdir, f"snap{snapnum}_potentialPlane{ci}_"
+                        f"normal{normal}.fits")
+            write_fits_plane(fn, np.asarray(pot), CP, redshift, chi,
+                             boxsize, int(n_plane),
+                             unit_length_in_cm, par.DoubleOut)
+            written.append(fn)
+    return written
+
+
 # ---------------- minimal FITS image writer ----------------
 
 def _fits_card(key: str, value, comment: str = "") -> bytes:

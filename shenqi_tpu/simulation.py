@@ -808,192 +808,122 @@ class Simulation:
             print(f"[trace dump] wrote {fn}", flush=True)
 
     def run(self, max_steps: int = 10 ** 9):
-        """Evolve until the last sync point (or max_steps)."""
-        first = self.step_count == 0
-        while max_steps > 0:
-            max_steps -= 1
-            times = self.times
-            self._wt("Misc")
-            if not first:
-                ti_next = find_next_kick(times.ti_current,
-                                         times.mintimebin)
-                ti_next = min(ti_next, times.pm_start + times.pm_length)
-                self._drift_all(ti_next)
-                self._wt("Drift")
-            is_pm = times.is_pm()
-            hci_action = 0
-            if is_pm and self.hci is not None:
-                # query HCI requests only on PM steps, where kicks
-                # and drifts are synced (run.cpp:406-413)
-                from .utils import hci as hcimod
-                hci_action = self.hci.query()
-                if hci_action == hcimod.HCI_TERMINATE:
-                    # human triggered termination: no checkpoint
-                    self.hci_exit = "terminate"
-                    break
-            if is_pm:
-                # reference redraws the box shift at each full domain
-                # decomposition, i.e. every PM step (run.cpp:426-428)
-                self._apply_random_offset()
+        """Evolve until the last sync point (or max_steps).  The KDK
+        stage ORDER lives in ONE place for both run loops
+        (core/step_protocol.run_protocol, the run.cpp:331-822
+        analog); this class provides the stage implementations via
+        the proto_* adapters below."""
+        from .core.step_protocol import run_protocol
+        return run_protocol(self, max_steps)
 
-            # forces: gas first (density w/ adaptive hsml + hydro,
-            # run.cpp:482-505), then gravity
-            if self.gas is not None and self.gas_physics is not None:
-                # density/hydro queue ONLY the active-bin gas
-                # (run.cpp:488-505 ActiveParticles); first step and
-                # PM-sync steps naturally activate everyone
-                import os as _os
-                all_sph = _os.environ.get("SHENQI_ACTIVE_SPH",
-                                          "1") == "0"
-                act = None if (first or all_sph) else np.asarray(
-                    self._active_mask())
-                self.gas = self.gas_physics.density_hydro(
-                    self, self.gas, active=act)
-                if getattr(self, "_gas_entropy_is_u", False):
-                    # first pass: convert initial u to entropy and
-                    # recompute the pressure-dependent parts next step
-                    self.init_gas_entropy()
-                self._wt("SPH")
-            if is_pm:
-                self._compute_pm()
-                self._wt("PMgrav")
-            if self.hierarchical:
-                if first:
-                    self._compute_tree(first_step=True)
-                else:
-                    # per-level active-source closing kicks
-                    self._hier_second_half()
+    # ---------- step-protocol adapters (core/step_protocol) -------
+    def proto_drift(self, ti_next):
+        self._drift_all(ti_next)
+
+    def proto_forces(self, is_pm, first):
+        """Gas first (density w/ adaptive hsml + hydro,
+        run.cpp:482-505), then gravity."""
+        if is_pm:
+            # reference redraws the box shift at each full domain
+            # decomposition, i.e. every PM step (run.cpp:426-428)
+            self._apply_random_offset()
+        if self.gas is not None and self.gas_physics is not None:
+            # density/hydro queue ONLY the active-bin gas
+            # (run.cpp:488-505 ActiveParticles); first step and
+            # PM-sync steps naturally activate everyone
+            import os as _os
+            all_sph = _os.environ.get("SHENQI_ACTIVE_SPH",
+                                      "1") == "0"
+            act = None if (first or all_sph) else np.asarray(
+                self._active_mask())
+            self.gas = self.gas_physics.density_hydro(
+                self, self.gas, active=act)
+            if getattr(self, "_gas_entropy_is_u", False):
+                # first pass: convert initial u to entropy and
+                # recompute the pressure-dependent parts next step
+                self.init_gas_entropy()
+            self._wt("SPH")
+        if is_pm:
+            self._compute_pm()
+            self._wt("PMgrav")
+        if self.hierarchical:
+            if first:
+                self._compute_tree(first_step=True)
             else:
-                self._compute_tree(first_step=first)
-            self._wt("Tree")
+                # per-level active-source closing kicks
+                self._hier_second_half()
+        else:
+            self._compute_tree(first_step=first)
+        self._wt("Tree")
 
-            if not first:
-                self._apply_half_kick(skip_grav=self.hierarchical)
-            update_kick_times(times)
-            if is_pm and not first:
-                self._apply_pm_half_kick()
+    def proto_sources(self, is_pm, first):
+        """Strang-split sources (cooling/SFR/winds/BH/metal return,
+        run.cpp:604-681)."""
+        if self.gas is None or self.gas_physics is None or first:
+            return
+        times = self.times
+        if is_pm:
+            # sigma-based winds refresh vdisp once per PM step
+            # (run.cpp:662-663)
+            self.gas = self.gas_physics.update_vdisp(self, self.gas)
+            # excursion-set J21 recomputed at PM cadence when halo
+            # masses are available (uvbg.cpp via gravpm)
+            hm = getattr(self, "halo_mass", None)
+            if hm is not None and getattr(
+                    self.gas_physics, "excursion", None):
+                self.gas = self.gas_physics.excursion_step(
+                    self, self.gas, hm)
+        # Reference semantics: sources act on ACTIVE rows with their
+        # OWN bin's dloga (sfr_eff.cpp cooling_and_starformation:
+        # get_dloga_for_bin(TimeBinHydro)).  Using the global min-bin
+        # dloga for everyone under-applies the eEOS relaxation
+        # exp(-dtime/trelax) by dti(bin)/dti(minbin) — with trelax <<
+        # dtime_bin the thermostat that pins viscously shock-heated
+        # SF gas back to the effective EOS never engages, and a
+        # heated pair runs away (star-small a=0.111 fireball).
+        hubble = float(self.CP.hubble_function(self.atime()))
+        dt_tab = np.array(
+            [self.timeline.get_dloga_for_bin(
+                b, times.ti_current) / hubble
+             for b in range(TIMEBINS + 1)], np.float32)
+        dt_tab *= active_bins_mask(times.ti_current)
+        ngg = self.gas.ngas
+        sbins = jnp.clip(
+            self.particles.timebin[:ngg].astype(jnp.int32),
+            1, TIMEBINS)
+        dtime = jnp.asarray(dt_tab)[sbins]
+        self.gas, nstars = self.gas_physics.source_terms(
+            self, self.gas, dtime)
+        self._wt("Cooling")
+        # black holes: accretion/feedback/swallow/mergers
+        self.gas = self.gas_physics.blackhole_step(
+            self, self.gas, dtime)
+        self._wt("BH")
+        # stellar mass + metal return (metal_return.cpp)
+        self.gas = self.gas_physics.metal_return(self, self.gas)
+        self._wt("MetalReturn")
 
-            # FOF-cadence physics on PM steps: BH seeding searches,
-            # HeIII bubbles, excursion UVBG (run.cpp:637-660)
-            if is_pm and not first and self.on_pm_step is not None:
-                self.on_pm_step(self)
+    def proto_snapshot(self, atime):
+        # reclaim dead rows before writing (run.cpp:704 runs
+        # slots_gc ahead of the snapshot)
+        if self.gas is not None and self.gas_physics is not None:
+            self.gas_physics.slots_gc(self, self.gas)
+        if self.on_snapshot:
+            self.on_snapshot(self, atime)
 
-            # Strang-split source terms (cooling/SFR/winds,
-            # run.cpp:604-681)
-            if self.gas is not None and self.gas_physics is not None \
-                    and not first:
-                if is_pm:
-                    # sigma-based winds refresh vdisp once per PM step
-                    # (run.cpp:662-663)
-                    self.gas = self.gas_physics.update_vdisp(self,
-                                                             self.gas)
-                    # excursion-set J21 recomputed at PM cadence when
-                    # halo masses are available (uvbg.cpp via gravpm)
-                    hm = getattr(self, "halo_mass", None)
-                    if hm is not None and getattr(
-                            self.gas_physics, "excursion", None):
-                        self.gas = self.gas_physics.excursion_step(
-                            self, self.gas, hm)
-                # Reference semantics: sources act on ACTIVE rows with
-                # their OWN bin's dloga (sfr_eff.cpp
-                # cooling_and_starformation: get_dloga_for_bin(
-                # TimeBinHydro)).  Using the global min-bin dloga for
-                # everyone under-applies the eEOS relaxation
-                # exp(-dtime/trelax) by dti(bin)/dti(minbin) — with
-                # trelax << dtime_bin the thermostat that pins
-                # viscously shock-heated SF gas back to the effective
-                # EOS never engages, and a heated pair runs away
-                # (star-small a=0.111 fireball).
-                hubble = float(self.CP.hubble_function(self.atime()))
-                dt_tab = np.array(
-                    [self.timeline.get_dloga_for_bin(
-                        b, times.ti_current) / hubble
-                     for b in range(TIMEBINS + 1)], np.float32)
-                dt_tab *= active_bins_mask(times.ti_current)
-                ngg = self.gas.ngas
-                sbins = jnp.clip(
-                    self.particles.timebin[:ngg].astype(jnp.int32),
-                    1, TIMEBINS)
-                dtime = jnp.asarray(dt_tab)[sbins]
-                self.gas, nstars = self.gas_physics.source_terms(
-                    self, self.gas, dtime)
-                self._wt("Cooling")
-                # black holes: accretion/feedback/swallow/mergers
-                self.gas = self.gas_physics.blackhole_step(
-                    self, self.gas, dtime)
-                self._wt("BH")
-                # stellar mass + metal return (metal_return.cpp)
-                self.gas = self.gas_physics.metal_return(self, self.gas)
-                self._wt("MetalReturn")
+    def proto_checkpoint(self, cb, atime):
+        if self.gas is not None and self.gas_physics is not None:
+            self.gas_physics.slots_gc(self, self.gas)
+        cb(self, atime)
 
-            # sync point outputs
-            sp = self.timeline.find_current_sync_point(times.ti_current)
-            if sp is not None and sp.write_snapshot \
-                    and not (first and self.resumed):
-                # reclaim dead rows before writing (run.cpp:704 runs
-                # slots_gc ahead of the snapshot)
-                if self.gas is not None and self.gas_physics is not None:
-                    self.gas_physics.slots_gc(self, self.gas)
-                if self.on_snapshot:
-                    self.on_snapshot(self, self.atime())
-                self.snapshots.append(self.atime())
-                self._wt("Snapshot")
+    def proto_pre_timestep(self):
+        self._trace_ids("post-sph")
 
-            # HCI-requested checkpoint (run.cpp:700 WriteSnapshot |=
-            # action->write_snapshot): write an unplanned dump unless
-            # this step's planned sync point just wrote one
-            if hci_action:
-                from .utils import hci as hcimod
-                planned = (sp is not None and sp.write_snapshot
-                           and not (first and self.resumed))
-                if hcimod.wants_checkpoint(hci_action) and not planned:
-                    if self.gas is not None \
-                            and self.gas_physics is not None:
-                        self.gas_physics.slots_gc(self, self.gas)
-                    cb = self.on_checkpoint or self.on_snapshot
-                    if cb:
-                        cb(self, self.atime())
-                    self.snapshots.append(self.atime())
-                    self._wt("Snapshot")
-                if hcimod.wants_break(hci_action):
-                    self.hci_exit = {
-                        hcimod.HCI_STOP: "stop",
-                        hcimod.HCI_TIMEOUT: "timeout",
-                    }.get(hci_action, "terminate")
-                    break
-
-            if self.timeline.find_next_sync_point(times.ti_current) \
-                    is None:
-                break
-
-            self._trace_ids("post-sph")
-            if self.hierarchical:
-                bad = self._hier_first_half(first_step=first)
-            else:
-                bad = self._find_timesteps(first_step=first)
-            self._wt("Timeline")
-            if bad:
-                self._trace_ids("bad-step")
-                # emergency dump before aborting (run.cpp:794-797:
-                # dump_snapshot("TIMESTEP-DUMP") then endrun)
-                if getattr(self, "on_bad_timestep", None):
-                    self.on_bad_timestep(self)
-                raise RuntimeError(f"{bad} bad timesteps at step "
-                                   f"{self.step_count}")
-            self._apply_half_kick(skip_grav=self.hierarchical)
-            # SECOND kick-time advance (run.cpp:809): each active bin
-            # advances dti/2 per half-kick, dti total per period.
-            # With only the first advance (run.cpp:578) Ti_kick lags
-            # ti_current by half the ELAPSED time, so the predictor
-            # intervals [Ti_kick, ti] grow without bound and
-            # EntVarPred/VelPred explode — the star-small a=0.111
-            # entropy fireball (three rounds of symptom-chasing, one
-            # missing line).
-            update_kick_times(times)
-            if is_pm:
-                self._apply_pm_half_kick()
-            self.step_count += 1
-            first = False
-            if self.on_step:
-                self.on_step(self)
-        return self
+    def proto_bad_timestep(self, bad):
+        self._trace_ids("bad-step")
+        # emergency dump before aborting (run.cpp:794-797:
+        # dump_snapshot("TIMESTEP-DUMP") then endrun)
+        if getattr(self, "on_bad_timestep", None):
+            self.on_bad_timestep(self)
+        raise RuntimeError(f"{bad} bad timesteps at step "
+                           f"{self.step_count}")

@@ -25,7 +25,9 @@ trap 'rm -f /root/repo/.work/tpu_holder.pid' EXIT
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 export JAX_ENABLE_COMPILATION_CACHE=true
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
-export SHENQI_TRACE_IDS=441802,441738,441737
+# round-5: trace OFF for production — the per-step trace pulls
+# ~10 full arrays over the tunnel (seconds/step); forensics are
+# done offline from snapshots now
 
 WORK=${WORK:-/root/repo/.work/star_small_r4}
 STALE_S=1500          # kill after 25 min of log silence (cold step-0
@@ -51,7 +53,7 @@ print('TPU OK')" 2>&1 | grep -q 'TPU OK'; then ok=1; break; fi
     continue
   fi
 
-  log=$WORK.attempt$attempt.log
+  log=$WORK.r5attempt$attempt.log
   echo "[$(stamp)] attempt $attempt: star-small -> $WORK (log $log)"
   python validation/star_small.py "$WORK" > "$log" 2>&1 &
   pid=$!
@@ -74,7 +76,7 @@ print('TPU OK')" 2>&1 | grep -q 'TPU OK'; then ok=1; break; fi
   echo "[$(stamp)] attempt $attempt ended rc=$rc"
 
   if [ -f "$WORK/RESULT.txt" ]; then
-    cp "$WORK/RESULT.txt" validation/RESULT_star_small_r4.txt
+    cp "$WORK/RESULT.txt" validation/RESULT_star_small_r5.txt
     echo "[$(stamp)] RESULT copied to validation/ (rc=$rc)"
     break
   fi
