@@ -162,8 +162,13 @@ def main():
         print(msg, flush=True)
         lines.append(str(msg))
 
-    log("Generating ICs...")
-    run_genic(gp)
+    icdone = os.path.join(work, "IC", ".complete")
+    if os.path.exists(icdone):
+        log("ICs already present, skipping genic.")
+    else:
+        log("Generating ICs...")
+        run_genic(gp)
+        open(icdone, "w").write("ok\n")
     log("Running dm-small (z=9 -> z=3)...")
     run_gadget(pp)
 

@@ -60,8 +60,13 @@ def main():
 
     log(f"devices: {jax.devices()}")
     assert len(jax.devices()) >= 8, "need 8 virtual CPU devices"
-    log("Generating ICs...")
-    run_genic(gp)
+    icdone = os.path.join(work, "IC", ".complete")
+    if os.path.exists(icdone):
+        log("ICs already present, skipping genic.")
+    else:
+        log("Generating ICs...")
+        run_genic(gp)
+        open(icdone, "w").write("ok\n")
     log("Running dm-small on the 8-device mesh (z=9 -> z=3)...")
     run_gadget(pp, mesh_devices=8)
 
