@@ -65,6 +65,11 @@ print('TPU OK')" 2>&1 | grep -q 'TPU OK'; then ok=1; break; fi
     if ! kill -0 $pid 2>/dev/null; then break; fi
     now=$(date +%s)
     mt=$(stat -c %Y "$log" 2>/dev/null || echo $now)
+    # round-5: the per-step trace is off, so the attempt log goes
+    # silent on a healthy run — the real heartbeat is cpu.txt, which
+    # on_step appends every step
+    mt2=$(stat -c %Y "$WORK/output/cpu.txt" 2>/dev/null || echo 0)
+    [ "$mt2" -gt "$mt" ] && mt=$mt2
     if [ $((now - mt)) -gt $STALE_S ]; then
       echo "[$(stamp)] log stale $((now - mt))s — killing wedged run"
       kill $pid 2>/dev/null; sleep 10
