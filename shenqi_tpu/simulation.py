@@ -357,19 +357,56 @@ class Simulation:
             # single-dispatch path (no mid-step host sync); an
             # on-device ok flag triggers the cap-regrowing slow path
             # on overflow (optimistic execution, stencil.py).
+            #
+            # ACTIVE-set targets (run.cpp:488 ActiveParticles /
+            # treewalk_run over act): only active-bin particles kick
+            # this step, so only they need fresh short-range
+            # accelerations; inactive rows keep their last-sync
+            # value exactly like the reference.  Sources are always
+            # ALL particles (full mass).  Deep-timebin phases (a few
+            # hundred active of 500k) drop from a full 525k-target
+            # eval (~1.7 s) to a compacted pow2 bucket (~0.1-0.3 s)
+            # — the difference between finishing star-small and not.
             from .gravity.stencil import stencilgrav, stencilgrav_fused
             mass = jnp.where(p.mask, p.mass, 0.0)
-            acc, pot, ok = stencilgrav_fused(
-                p.ipos, mass, sp, self.window_tables,
-                sub=self.gravity.refine_sub,
-                tier_cache=self._tier_cache,
-                caps_cache=self._caps_cache, want_pot=False)
-            if not bool(ok):
-                acc, pot, _ = stencilgrav(
+            active = None
+            n_act = None
+            import os as _os
+            if not first_step and _os.environ.get(
+                    "SHENQI_ACTIVE_GRAV", "1") != "0":
+                act_np = np.asarray(self._active_mask())
+                n_all = int(np.asarray(p.mask).sum())
+                n_act = int(act_np.sum())
+                if n_act < n_all // 2:
+                    active = jnp.asarray(act_np)
+            if active is None:
+                acc, pot, ok = stencilgrav_fused(
                     p.ipos, mass, sp, self.window_tables,
                     sub=self.gravity.refine_sub,
                     tier_cache=self._tier_cache,
                     caps_cache=self._caps_cache, want_pot=False)
+                if not bool(ok):
+                    acc, pot, _ = stencilgrav(
+                        p.ipos, mass, sp, self.window_tables,
+                        sub=self.gravity.refine_sub,
+                        tier_cache=self._tier_cache,
+                        caps_cache=self._caps_cache, want_pot=False)
+            else:
+                acc, _, ok = stencilgrav_fused(
+                    p.ipos, mass, sp, self.window_tables,
+                    n_targets=max(n_act, 1),
+                    sub=self.gravity.refine_sub, active=active,
+                    tier_cache=self._tier_cache,
+                    caps_cache=self._caps_cache, want_pot=False)
+                if not bool(ok):
+                    acc, _, _ = stencilgrav(
+                        p.ipos, mass, sp, self.window_tables,
+                        n_targets=max(n_act, 1),
+                        sub=self.gravity.refine_sub, active=active,
+                        tier_cache=self._tier_cache,
+                        caps_cache=self._caps_cache, want_pot=False)
+                # inactive rows keep their stored (last-sync) accel
+                acc = jnp.where(active[:, None], acc, p.grav_accel)
             self.particles = dataclasses.replace(p, grav_accel=acc)
             return
         tree = build_octree(p.ipos, p.mass, p.mask, self.boxsize,
