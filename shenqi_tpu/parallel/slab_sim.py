@@ -412,7 +412,10 @@ class SlabSimulation:
     def _force_program(self, with_pm: bool, first: bool):
         """Build (or fetch) the jitted shard_map force step."""
         with_nu = with_pm and self.nu_table is not None
-        key = (with_pm, first, with_nu, self.caps.key())
+        # 1-D slab nu runs feed the force half the phase-A rho_k +
+        # readout context instead of re-depositing (advisor r3 #1)
+        nu_reuse = with_nu and self.procgrid is None
+        key = (with_pm, first, with_nu, nu_reuse, self.caps.key())
         prog = self._programs.get(key)
         if prog is not None:
             return prog
@@ -438,7 +441,7 @@ class SlabSimulation:
             from ..gravity.stencil import default_tbc
             _, _, T = stencil_static_config(C, g.refine_sub, 7, sp)
             caps.st_tbc = default_tbc(T, g.refine_sub)
-            key = (with_pm, first, with_nu, caps.key())
+            key = (with_pm, first, with_nu, nu_reuse, caps.key())
 
         balance = self.balance_domains and ndev > 1
 
@@ -452,14 +455,33 @@ class SlabSimulation:
         if with_pm:
             out_specs = out_specs + ((P(), P(), P(), P()),)
 
-        def body(fields, cuts, nu_k=None, nu_fac=None):
-            fields, xinfo = exchange(fields, ndev, caps.kcap,
-                                     cuts_in=cuts)
+        def body(fields, cuts, nu_k=None, nu_fac=None, rho_k=None,
+                 pm_ctx=None):
+            if nu_reuse:
+                # phase A (_nu_factor_tables) already exchanged and
+                # deposited this step; rows have not moved since
+                xinfo = {
+                    "unsent": jnp.zeros((), jnp.int32),
+                    "dropped": jnp.zeros((), jnp.int32),
+                    "n_alive": jax.lax.psum(
+                        jnp.sum(fields["mass"] > 0), "dp")}
+            else:
+                fields, xinfo = exchange(fields, ndev, caps.kcap,
+                                         cuts_in=cuts)
             alive = fields["mass"] > 0
             ps = None
             pm_lost = jnp.zeros((), jnp.int32)
             if with_pm:
-                if self.procgrid is not None:
+                if nu_reuse:
+                    from .pfft import pm_forces_from_rhok
+                    ipos_dep, dep_mask, stay, perm, flat = pm_ctx
+                    gpm, ps = pm_forces_from_rhok(
+                        rho_k, ipos_dep, dep_mask, stay, perm,
+                        flat, cfg_pm, ndev, C, caps.pm_kcap,
+                        halo=2, nu_k=nu_k, nu_fac=nu_fac,
+                        want_power=True,
+                        routed=balance)
+                elif self.procgrid is not None:
                     from .pfft2d import pm_forces_brick_dp
                     d1, d2 = self.procgrid
                     gpm, ps, pm_lost = pm_forces_brick_dp(
@@ -499,6 +521,10 @@ class SlabSimulation:
             return out
 
         nu_specs = (P(), P()) if with_nu else ()
+        if nu_reuse:
+            nu_specs = nu_specs + (
+                P(None, "dp", None),
+                (P("dp"), P("dp"), P("dp"), P("dp"), P("dp")))
         if balance:
             run = partial(shard_map, mesh=mesh,
                           in_specs=(field_specs, P()) + nu_specs,
@@ -590,7 +616,7 @@ class SlabSimulation:
         """Jitted shard_map: exchange + distributed deposit/FFT + P(k)
         binning only — the pre-nu-factor CDM power the linear response
         integrates (gravpm.cpp:360 measure_power_spectrum)."""
-        key = ("nupow", self.caps.key())
+        key = ("nupow", self.procgrid is None, self.caps.key())
         prog = self._programs.get(key)
         if prog is not None:
             return prog
@@ -599,19 +625,39 @@ class SlabSimulation:
         caps = self.caps
         cfg_pm = self.gravity.pm()
         balance = self.balance_domains and ndev > 1
+        share = self.procgrid is None   # 1-D slabs share the deposit
         field_specs = {name: P("dp", *([None] * (a.ndim - 1)))
                        for name, a in self.fields.items()}
         out_specs = (field_specs,
                      (P(), P(), P(), P()),
                      {"unsent": P(), "dropped": P(), "pm_lost": P()})
+        if share:
+            # rho_k pencil + deposit context for pm_forces_from_rhok
+            out_specs = out_specs + (
+                P(None, "dp", None),
+                (P("dp"), P("dp"), P("dp"), P("dp"), P("dp")))
 
         def body(fields, cuts):
             # one exchange serves BOTH this measurement and the force
-            # program that follows (advisor r3: the nu path used to
-            # re-exchange + re-deposit the same rows every PM step)
+            # program that follows; with 1-D slabs the DEPOSIT + r2c
+            # are also shared — the force half consumes this rho_k
+            # (gravpm.cpp:360 measures P(k) inside the force solve)
             fields, xinfo = exchange(fields, ndev, caps.kcap,
                                      cuts_in=cuts)
             alive = fields["mass"] > 0
+            if share:
+                from .pfft import pm_depose_slab
+                rho_k, ps, (ipos_dep, dep_mask, stay, perm, flat,
+                            pm_lost) = pm_depose_slab(
+                    fields["ipos"], fields["mass"], cfg_pm, ndev,
+                    halo=2, mask=alive, cuts_in=cuts,
+                    route_kcap=caps.pm_kcap)
+                info = {"unsent": xinfo["unsent"],
+                        "dropped": xinfo["dropped"],
+                        "pm_lost": pm_lost}
+                return (fields, (ps.k, ps.power, ps.nmodes, ps.norm),
+                        info, rho_k,
+                        (ipos_dep, dep_mask, stay, perm, flat))
             ps, pm_lost = measure_cdm_power_slab(
                 fields["ipos"], fields["mass"], cfg_pm, ndev,
                 halo=2, mask=alive, cuts_in=cuts,
@@ -664,9 +710,11 @@ class SlabSimulation:
         else:
             raise RuntimeError("nu power-measure caps failed to "
                                f"converge: {self.caps}")
-        # rows are now exchange-homed: the force program this step
-        # reuses them (its own exchange still runs but moves nothing)
+        # rows are now exchange-homed; with 1-D slabs the deposit's
+        # rho_k + readout context carry over to the force program
+        # (one exchange + one deposit + one r2c per PM step)
         self.fields = out[0]
+        self._nu_pm_ctx = (out[3], out[4]) if len(out) > 3 else None
         k, power, nmodes, norm = out[1]
         nt = self.nu_table
         kk = np.asarray(k, np.float64) * (2 * np.pi / self.boxsize)
@@ -701,6 +749,11 @@ class SlabSimulation:
         nu_args = ()
         if with_pm and self.nu_table is not None:
             nu_args = self._nu_factor_tables()
+            ctx = getattr(self, "_nu_pm_ctx", None)
+            if ctx is not None and self.procgrid is None:
+                # phase-A rho_k + readout context: the force program
+                # skips its exchange, deposit, and r2c
+                nu_args = nu_args + ctx
         for _ in range(8):
             prog = self._force_program(with_pm, first)
             if self.balance_domains and self.mesh.devices.size > 1:

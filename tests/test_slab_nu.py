@@ -141,14 +141,18 @@ LightconeOn = 1
 
 
 @pytest.mark.slow
-def test_mesh_driver_nu_lightcone(tmp_path):
+def test_mesh_driver_nu_lightcone(tmp_path, monkeypatch):
     """--mesh 8 with MassiveNuLinRespOn + LightconeOn: runs end to
     end, carries the response (same P(k) suppression as the
     single-device run), saves the delta_tot history with the sharded
-    snapshot, and writes lightcone crossings."""
+    snapshot, and writes lightcone crossings.  Also asserts the
+    deposit REUSE (advisor r3 #1): the mesh force program must
+    consume phase A's rho_k instead of tracing a second
+    pm_forces_slab deposit per PM step."""
     from shenqi_tpu.cli.genic_main import run_genic
     from shenqi_tpu.cli.gadget_main import run_gadget
     from shenqi_tpu.io.bigfile import BigFile
+    import shenqi_tpu.parallel.slab_sim as ss
 
     out = str(tmp_path)
     gp = tmp_path / "paramfile.genic"
@@ -160,9 +164,20 @@ def test_mesh_driver_nu_lightcone(tmp_path):
                                       outdir=f"{out}/single"))
     sim1 = run_gadget(str(p1))
 
+    # trace-time counter: with the shared deposit, the slab force
+    # program never traces pm_forces_slab (one exchange + one
+    # deposit + one r2c per PM step, gravpm.cpp:360 semantics)
+    slab_calls = []
+    orig_pfs = ss.pm_forces_slab
+    monkeypatch.setattr(
+        ss, "pm_forces_slab",
+        lambda *a, **k: (slab_calls.append(1), orig_pfs(*a, **k))[1])
+
     p2 = tmp_path / "mesh.gadget"
     p2.write_text(GADGET_PARAM.format(out=out, outdir=f"{out}/mesh"))
     sim2 = run_gadget(str(p2), mesh_devices=NDEV)
+    assert not slab_calls, \
+        "nu mesh run re-deposited instead of reusing phase-A rho_k"
 
     # the response evolved on both paths
     nt1, nt2 = sim1.nu_table, sim2.nu_table
