@@ -474,7 +474,9 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
                 "BlackHoleMaxAccretionRadius"),
             UnitTime_in_s=units.UnitTime_in_s,
             UnitVelocity_in_cm_per_s=units.UnitVelocity_in_cm_per_s,
-            HubbleParam=cp.HubbleParam)
+            HubbleParam=cp.HubbleParam,
+            BH_DRAG=ps.get_int("BH_DRAG"))
+        sim.bh_dynfric_on = ps.get_int("BH_DynFrictionMethod") > 0
 
     base = ps.get_string("SnapshotFileBase")
     snapshot_with_fof = bool(ps.get_int("SnapshotWithFOF"))
@@ -1034,7 +1036,8 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
                 UnitTime_in_s=units.UnitTime_in_s,
                 UnitVelocity_in_cm_per_s=(
                     units.UnitVelocity_in_cm_per_s),
-                HubbleParam=cp.HubbleParam)
+                HubbleParam=cp.HubbleParam,
+                BH_DRAG=ps.get_int("BH_DRAG"))
 
         gp = GasPhysics(
             cooling_on=cooling_on, sfr_on=sfr_on, winds_on=winds_on,
@@ -1049,6 +1052,8 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
             sfrpar=sfrpar, windpar=windpar, coolunits=cu,
             metal_return_on=bool(ps.get_int("MetalReturnOn")),
             metals=metals, bh_on=bh_on, bhpar=bhpar,
+            bh_dynfric_on=(bh_on and
+                           ps.get_int("BH_DynFrictionMethod") > 0),
             zreion_table=zreion_table, metal_cool=metal_cool,
             helium=helium, excursion=excursion, j21_coeffs=j21c,
             excursion_zstop=ps.get_double("ExcursionSetZStop"),

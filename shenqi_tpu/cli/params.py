@@ -63,7 +63,7 @@ def gadget_params() -> ParameterSet:
       "exact", "Short-range window: calibrated table or erfc")
     d("FractionalGravitySoftening", OPTIONAL, 1.0 / 30,
       "Softening as fraction of mean separation")
-    i("SplitGravityTimestepsOn", OPTIONAL, 0, "Hierarchical gravity")
+    i("SplitGravityTimestepsOn", OPTIONAL, 1, "Hierarchical gravity")
     i("HierarchicalGravity", OPTIONAL, 0, "Alias of split timesteps")
     # timesteps
     d("ErrTolIntAccuracy", OPTIONAL, 0.02, "Timestep accuracy eta")
@@ -83,11 +83,11 @@ def gadget_params() -> ParameterSet:
     i("DensityOn", OPTIONAL, 1, "Enable density")
     i("DensityIndependentSphOn", OPTIONAL, 1, "Pressure-entropy SPH")
     d("DensityResolutionEta", OPTIONAL, 1.0, "Neighbor number eta")
-    d("MaxNumNgbDeviation", OPTIONAL, 2, "Neighbor count tolerance")
+    d("MaxNumNgbDeviation", OPTIONAL, 0.5, "Neighbor count tolerance")
     d("ArtBulkViscConst", OPTIONAL, 0.75, "Artificial viscosity")
     d("DensityContrastLimit", OPTIONAL, 100, "Grad-h contrast limit")
     e("DensityKernelType", {"cubic": 0, "quintic": 1, "quartic": 2},
-      OPTIONAL, "cubic", "SPH kernel")
+      OPTIONAL, "quintic", "SPH kernel")
     d("MinGasTemp", OPTIONAL, 5, "Temperature floor (K)")
     d("InitGasTemp", OPTIONAL, -1, "Initial gas temperature")
     i("BlackHoleOn", REQUIRED, None, "Black holes master switch")
@@ -142,7 +142,7 @@ def gadget_params() -> ParameterSet:
     d("WindThermalFactor", OPTIONAL, 0, "Thermal wind fraction")
     # black holes
     d("BlackHoleAccretionFactor", OPTIONAL, 100, "Bondi factor alpha")
-    d("BlackHoleEddingtonFactor", OPTIONAL, 3, "Eddington cap")
+    d("BlackHoleEddingtonFactor", OPTIONAL, 2.1, "Eddington cap")
     d("SeedBlackHoleMass", OPTIONAL, 2e-5,
       "Seed BH subgrid mass (params.cpp:190 default)")
     d("MinFoFMassForNewSeed", OPTIONAL, 2, "Halo mass for BH seed")
@@ -154,19 +154,22 @@ def gadget_params() -> ParameterSet:
     d("BlackHoleMaxAccretionRadius", OPTIONAL, 99999., "Accretion radius")
     d("BlackHoleFeedbackFactor", OPTIONAL, 0.05, "Feedback efficiency")
     d("BlackHoleFeedbackRadius", OPTIONAL, 0, "Feedback radius")
-    i("BH_DynFrictionMethod", OPTIONAL, 0, "Dynamic friction source")
+    i("BH_DynFrictionMethod", OPTIONAL, 1, "Dynamic friction source")
     i("BH_DFBoostFactor", OPTIONAL, 1, "DF boost")
     d("BH_DFbmax", OPTIONAL, 20., "DF max impact parameter")
-    i("BH_DRAG", OPTIONAL, 0, "BH drag")
+    i("BH_DRAG", OPTIONAL, 1, "BH drag")
     d("SeedBHDynMass", OPTIONAL, -1, "Seed dynamic mass")
     i("MergeGravBound", OPTIONAL, 1, "Require bound BH mergers")
-    i("WriteBlackHoleDetails", OPTIONAL, 0, "Per-BH detail logs")
+    i("WriteBlackHoleDetails", OPTIONAL, 1, "Per-BH detail logs")
     # FOF
     d("FOFHaloLinkingLength", OPTIONAL, 0.2, "FOF linking length")
     i("FOFHaloMinLength", OPTIONAL, 32, "Minimum halo length")
     i("FOFSaveParticles", OPTIONAL, 1, "Save halo member particles")
     # misc
     i("RandomSeed", OPTIONAL, 42, "RNG seed")
+    # reference default is 1 (params.cpp), but our snapshot path does
+    # not yet produce a Potential block; default 0 so the paramset
+    # reflects actual behavior rather than silently ignoring the flag
     i("OutputPotential", OPTIONAL, 0, "Save gravitational potential")
     i("OutputTimebins", OPTIONAL, 0, "Save timebins in snapshots")
     i("ShowBacktrace", OPTIONAL, 1, "Backtrace on crash")
@@ -177,7 +180,7 @@ def gadget_params() -> ParameterSet:
     i("QSOLightupOn", OPTIONAL, 0, "Alias: QSO helium reionization")
     s("ReionHistFile", OPTIONAL, "", "HeIII reionization history")
     d("QSOMinMass", OPTIONAL, 100., "QSO candidate min halo mass")
-    d("QSOMaxMass", OPTIONAL, 1e6, "QSO candidate max halo mass")
+    d("QSOMaxMass", OPTIONAL, 1000., "QSO candidate max halo mass")
     d("QSOMeanBubble", OPTIONAL, 20000., "Mean HeIII bubble radius")
     d("QSOVarBubble", OPTIONAL, 0., "HeIII bubble radius variance")
     s("MetalYieldDir", OPTIONAL, "", "AGB/SNII yield table dir "
@@ -187,14 +190,14 @@ def gadget_params() -> ParameterSet:
     d("ExcursionSetZStop", OPTIONAL, 5., "Excursion-set stop redshift")
     d("AlphaUV", OPTIONAL, 3., "UV spectral slope for J21 rates")
     i("UVBGdim", OPTIONAL, 64, "Excursion-set grid size")
-    d("ReionRBubbleMax", OPTIONAL, 20000., "Max filter radius")
-    d("ReionRBubbleMin", OPTIONAL, 500., "Min filter radius")
+    d("ReionRBubbleMax", OPTIONAL, 20340., "Max filter radius")
+    d("ReionRBubbleMin", OPTIONAL, 406.8, "Min filter radius")
     d("ReionDeltaRFactor", OPTIONAL, 1.1, "Filter ladder ratio")
     d("ReionNionPhotPerBary", OPTIONAL, 4000., "Ionizing photons/baryon")
-    d("EscapeFractionNorm", OPTIONAL, 0.19, "fesc at 1e10 Msun/h")
-    d("EscapeFractionScaling", OPTIONAL, -0.12, "fesc mass slope")
+    d("EscapeFractionNorm", OPTIONAL, 0.2, "fesc at 1e10 Msun/h")
+    d("EscapeFractionScaling", OPTIONAL, 0.5, "fesc mass slope")
     i("ReionUseParticleSFR", OPTIONAL, 0, "Use SFR grid for J21")
-    d("ReionSFRTimescale", OPTIONAL, 0.5, "Star age / hubble time")
+    d("ReionSFRTimescale", OPTIONAL, 0.1, "Star age / hubble time")
     i("ReionFilterType", OPTIONAL, 0, "0 tophat,1 sharp-k,2 gauss")
     i("RtoMFilterType", OPTIONAL, 0, "0 tophat,1 gaussian")
     i("LightconeOn", OPTIONAL, 0, "Lightcone output")

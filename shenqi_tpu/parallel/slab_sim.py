@@ -1524,7 +1524,8 @@ class SlabSimulation:
         if not (self.bh_on and self.bhpar):
             return
         from ..physics.blackhole import (BHEnv, bh_accretion,
-                                         bh_mergers, bh_soundspeed,
+                                         bh_drag_accel, bh_mergers,
+                                         bh_soundspeed,
                                          dynamical_friction)
         from ..utils.constants import LIGHTCGS
         from ..core.particles import ipos_to_float
@@ -1581,6 +1582,20 @@ class SlabSimulation:
                             atime, self.gravity.G, self.bhpar)
         mdot = jnp.where(jnp.asarray(lane), mdot, 0.0)
         bhm_new = bhm + mdot * dt_bh
+
+        # accretion-momentum drag kick (blackhole.cpp BH_DRAG)
+        if getattr(self.bhpar, "BH_DRAG", 0):
+            dynm = jnp.asarray(np.where(
+                lane, mass_h[idxp], 0.0).astype(np.float32))
+            adrag = bh_drag_accel(jnp.asarray(vel_h[idxp]),
+                                  env.gas_vel, mdot, dynm, bhm,
+                                  atime, self.bhpar)
+            dv = np.zeros_like(vel_h)
+            dt_np = (np.asarray(dt_bh)[:ns0, None] if jnp.ndim(dt_bh)
+                     else float(dt_bh))
+            dv[idx] = np.asarray(adrag)[:ns0] * dt_np
+            f["vel"] = f["vel"] + jax.device_put(
+                jnp.asarray(dv), f["vel"].sharding)
 
         # thermal feedback: E = eps_f * 0.1 Mdot c^2 dt (internal)
         c_int = LIGHTCGS / self.bhpar.UnitVelocity_in_cm_per_s

@@ -37,9 +37,10 @@ from ..sph.kernels import KernelSpec, CUBIC, wk as kern_wk
 @dataclass
 class BHParams:
     BlackHoleAccretionFactor: float = 100.0
-    BlackHoleEddingtonFactor: float = 3.0
+    BlackHoleEddingtonFactor: float = 2.1
+    BH_DRAG: int = 1
     BlackHoleFeedbackFactor: float = 0.05
-    SeedBlackHoleMass: float = 5e-5
+    SeedBlackHoleMass: float = 2e-5
     SeedBHDynMass: float = -1.0
     MinFoFMassForNewSeed: float = 2.0
     MinMStarForNewSeed: float = 5e-4
@@ -289,6 +290,24 @@ def bh_mergers(pos, vel, hsml, mass_subgrid, mass_dyn, ids, atime,
             msub[j] = 0.0
             mdyn[j] = 0.0
     return eaten_by, msub.astype(np.float32), mdyn.astype(np.float32)
+
+
+def bh_drag_accel(bh_vel, env_gas_vel, mdot, dyn_mass, bh_mass,
+                  atime, par: BHParams):
+    """Accretion-momentum drag on the BH (blackhole.cpp:418-429):
+    a_BH = (v_gas - v_BH) * Mdot/M, the BH gaining momentum from the
+    gas it accretes.  BH_DRAG==1 scales by Mdot/M_dyn, ==2 by the
+    Eddington rate over the subgrid mass.  Returns the acceleration
+    in the internal a^2 dx/dt velocity convention (same contract as
+    dynamical_friction: caller multiplies by dloga/H dtime)."""
+    dv_phys = (bh_vel - env_gas_vel) / atime
+    if par.BH_DRAG == 2:
+        fac = (par.BlackHoleEddingtonFactor
+               * eddington_rate(bh_mass, par)
+               / jnp.maximum(bh_mass, 1e-35))
+    else:
+        fac = mdot / jnp.maximum(dyn_mass, 1e-35)
+    return -dv_phys * fac[..., None] * atime
 
 
 def dynamical_friction(bh_vel, star_dm_density, sigma_1d, bh_mass,

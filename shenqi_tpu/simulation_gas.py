@@ -1137,7 +1137,7 @@ class GasPhysics:
         from .physics.blackhole import (
             bh_gas_environment, bh_accretion, bh_thermal_feedback,
             bh_swallow_gas, bh_mergers, bh_soundspeed,
-            dynamical_friction)
+            bh_drag_accel, dynamical_friction)
         if not (self.bh_on and self.bhpar):
             return gas
         p = sim.particles
@@ -1195,12 +1195,15 @@ class GasPhysics:
             swallowed_by, gain = bh_swallow_gas(
                 key, bh_ipos, hsml_bh, bhm_new, bh_dynmass, env,
                 gipos, gmass, alive, sim.boxsize)
+            # accretion-momentum drag (blackhole.cpp:418-429)
+            adrag = bh_drag_accel(bh_vel, env.gas_vel, mdot,
+                                  bh_dynmass, bhm, atime, self.bhpar)
             return (bhm_new, mdot, dent, swallowed_by, gain,
-                    env.entropy, env.density)
+                    env.entropy, env.density, adrag)
 
         bhp_jit = self._get_jit("bh_phys", lambda: _bh_phys)
         (bhm_new, mdot, dent, swallowed_by, gain, env_entropy,
-         env_density) = bhp_jit(
+         env_density, adrag) = bhp_jit(
             self.next_key(), p.ipos[idx], hsml_bh, p.vel[idx],
             gas.bh_mass[idx], p.mass[idx], dtime, p.ipos[:ng],
             gmass, gas.density, gas.entropy, p.vel[:ng], gas_alive,
@@ -1243,6 +1246,13 @@ class GasPhysics:
         if n_eaten or any_merge:
             sim.particles = dataclasses.replace(
                 p, mass=mass_dev, mask=mask_dev)
+
+        # accretion-momentum drag kick (blackhole.cpp BH_DRAG)
+        if getattr(self.bhpar, "BH_DRAG", 0):
+            pall = sim.particles
+            dtk = dtime[:, None] if jnp.ndim(dtime) else dtime
+            sim.particles = dataclasses.replace(
+                pall, vel=pall.vel.at[idx].add(adrag * dtk))
 
         # dynamical friction from the collisionless background
         if self.bh_dynfric_on:
