@@ -419,7 +419,9 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
                         "QSOMaxMass"),
                     mean_bubble=ps.get_double("QSOMeanBubble"),
                     var_bubble=max(ps.get_double("QSOVarBubble"),
-                                   1e-10)))
+                                   1e-10),
+                    heIIIreion_finish_frac=ps.get_double(
+                        "QSOHeIIIReionFinishFrac")))
         # excursion-set reionization (uvbg.cpp), distributed over
         # the pencil FFT (parallel/excursion_slab)
         if ps.get_int("ExcursionSetReionOn"):
@@ -440,6 +442,8 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
                 EscapeFractionScaling=ps.get_double(
                     "EscapeFractionScaling"),
                 ReionUseParticleSFR=ps.get_int("ReionUseParticleSFR"),
+                ReionGammaHaloBias=ps.get_double(
+                    "ReionGammaHaloBias"),
                 ReionSFRTimescale=ps.get_double(
                     "ReionSFRTimescale"))
             sim.excursion_zstop = ps.get_double("ExcursionSetZStop")
@@ -453,7 +457,8 @@ def _run_slab(ps, hdr, cp, units, timeline, tsp, gravity_kw,
             os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))), "data_yields")
         sim.metal_return_on = True
-        sim.metals = MetalReturn.load(ydir)
+        sim.metals = MetalReturn.load(
+            ydir, sn1a_n0=ps.get_double("MetalsSn1aN0"))
     if species is not None and ps.get_int("BlackHoleOn"):
         from ..physics.blackhole import BHParams
         sim.bh_on = True
@@ -854,6 +859,17 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
         use_bh=1 if ps.get_int("TreeUseBH") == 1 else 0,
         window_type=("exact" if ps.get_enum(
             "ShortRangeForceWindowType") == 0 else "erfc"))
+    # softening: honor an explicitly-set fraction (reference name
+    # GravitySoftening, params.cpp:161, in mean DM separations;
+    # spline h = 2.8x that); otherwise the sims derive the same
+    # 1/30 default themselves
+    if ps.is_set("GravitySoftening") or \
+            ps.is_set("FractionalGravitySoftening"):
+        frac = ps.get_double(
+            "GravitySoftening" if ps.is_set("GravitySoftening")
+            else "FractionalGravitySoftening")
+        gravity_kw["softening"] = (
+            2.8 * frac * boxsize / np.cbrt(max(len(pos), 1)))
 
     has_gas = bool((ptype == 0).any()) and ps.get_int("HydroOn")
 
@@ -958,7 +974,8 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
                 os.path.dirname(os.path.dirname(
                     os.path.dirname(os.path.abspath(__file__)))),
                 "data_yields")
-            metals = MetalReturn.load(ydir)
+            metals = MetalReturn.load(
+                ydir, sn1a_n0=ps.get_double("MetalsSn1aN0"))
 
         # fluctuating UVB tables (cooling_uvfluc.cpp)
         zreion_table = None
@@ -986,7 +1003,9 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
                     qso_candidate_max_mass=ps.get_double("QSOMaxMass"),
                     mean_bubble=ps.get_double("QSOMeanBubble"),
                     var_bubble=max(ps.get_double("QSOVarBubble"),
-                                   1e-10)))
+                                   1e-10),
+                    heIIIreion_finish_frac=ps.get_double(
+                        "QSOHeIIIReionFinishFrac")))
 
         # excursion-set reionization (uvbg.cpp)
         excursion = None
@@ -1008,6 +1027,7 @@ def run_gadget(paramfile: str, restart_flag: int = 2,
                 EscapeFractionScaling=ps.get_double(
                     "EscapeFractionScaling"),
                 ReionUseParticleSFR=ps.get_int("ReionUseParticleSFR"),
+                ReionGammaHaloBias=ps.get_double("ReionGammaHaloBias"),
                 ReionSFRTimescale=ps.get_double("ReionSFRTimescale"))
             jcf = ps.get_string("J21CoeffFile")
             if jcf:

@@ -200,6 +200,63 @@ def gadget_params() -> ParameterSet:
     d("ReionSFRTimescale", OPTIONAL, 0.1, "Star age / hubble time")
     i("ReionFilterType", OPTIONAL, 0, "0 tophat,1 sharp-k,2 gauss")
     i("RtoMFilterType", OPTIONAL, 0, "0 tophat,1 gaussian")
+    d("ReionGammaHaloBias", OPTIONAL, 2.0, "Halo bias for J21")
+    d("UVBGTimestep", OPTIONAL, 10., "Myr between UVBG calculations")
+    d("ExcursionSetZStart", OPTIONAL, 25., "Excursion-set start z")
+    # --- remaining reference params accepted for paramfile
+    # compatibility (gadget/params.cpp names + defaults); consumers
+    # check availability at use time, hardcoded-default behaviors
+    # match the declared defaults ---
+    i("OutputEnergyDebug", OPTIONAL, 0, "Energy debug statistics")
+    s("PlaneOutputList", OPTIONAL, "", "Plane output scale factors")
+    i("PlaneMassiveNuCorrection", OPTIONAL, 1, "Nu correction planes")
+    i("PlaneDoubleOut", OPTIONAL, 0, "float64 FITS planes")
+    i("OutputHeliumFractions", OPTIONAL, 0, "He ionic fractions out")
+    i("OutputDebugFields", OPTIONAL, 0, "Debug snapshot fields")
+    d("MinGasHsmlFractional", OPTIONAL, 0, "Min hsml / softening")
+    d("HydroCostFactor", OPTIONAL, 1, "Unused (reference too)")
+    i("BytesPerFile", OPTIONAL, 512 * 1024 * 1024, "Min bytes/file")
+    d("HIReionTemp", OPTIONAL, 0, "HI reionization temp boost")
+    i("TreeGravOn", OPTIONAL, 1, "Enables tree gravity")
+    d("PairwiseActiveFraction", OPTIONAL, 0, "Pairwise if few active")
+    d("GravitySoftening", OPTIONAL, 1.0 / 30,
+      "Softening in mean DM separations (params.cpp:161; alias of "
+      "FractionalGravitySoftening)")
+    i("ParticlesAlwaysSorted", OPTIONAL, 0, "Peano-sort after exch")
+    i("FOFPrimaryLinkTypes", OPTIONAL, 2, "2^type FOF primaries")
+    i("FOFSecondaryLinkTypes", OPTIONAL, 1 + 16 + 32,
+      "2^type FOF secondary attach")
+    d("MaxSeedBlackHoleMass", OPTIONAL, 0, "Power-law seed cap")
+    d("SeedBlackHoleMassIndex", OPTIONAL, -2, "Seed mass power law")
+    i("BlackHoleKineticOn", OPTIONAL, 0, "AGN kinetic feedback")
+    d("BHKE_EddingtonThrFactor", OPTIONAL, 0.05, "Kinetic Edd thr")
+    d("BHKE_EddingtonMFactor", OPTIONAL, 0.002, "Kinetic Edd Mfac")
+    d("BHKE_EddingtonMPivot", OPTIONAL, 0.05, "Kinetic Edd pivot")
+    d("BHKE_EddingtonMIndex", OPTIONAL, 2, "Kinetic Edd index")
+    d("BHKE_EffRhoFactor", OPTIONAL, 0.05, "Kinetic eff rho factor")
+    d("BHKE_EffCap", OPTIONAL, 0.05, "Kinetic efficiency cap")
+    d("BHKE_InjEnergyThr", OPTIONAL, 5, "Kinetic injection thresh")
+    d("BlackHoleFeedbackRadiusMaxPhys", OPTIONAL, 0,
+      "Unused (reference too)")
+    i("MaxBlackHoleDetails", OPTIONAL, 50, "Max GB of BH details")
+    s("BlackHoleFeedbackMethod", OPTIONAL, "spline, mass",
+      "Unused (reference too)")
+    i("BoostSFDenseGas", OPTIONAL, 1, "Shorter tsfr for dense gas")
+    d("BoostSFOverDenseFactor", OPTIONAL, 1000,
+      "Overdensity (vs SF threshold) for the SF boost")
+    d("MaxWindFreeTravelTime", OPTIONAL, 60,
+      "Max wind decoupled time (Myr)")
+    d("QuickLymanAlphaTempThresh", OPTIONAL, 1e5,
+      "QLA SF temperature threshold")
+    i("HeliumHeatOn", OPTIONAL, 0, "He reion extra heating")
+    d("HeliumHeatThresh", OPTIONAL, 10, "He heat overdensity thr")
+    d("HeliumHeatExp", OPTIONAL, 0, "He heat density exponent")
+    d("QSOHeIIIReionFinishFrac", OPTIONAL, 0.995,
+      "HeIII fraction triggering flash finish")
+    d("MetalsSn1aN0", OPTIONAL, 1.3e-3, "SN1a per Msun")
+    d("MetalsMaxNgbDeviation", OPTIONAL, 5.,
+      "Metal-return ngb tolerance")
+    i("MetalsSPHWeighting", OPTIONAL, 1, "Volume-weighted return")
     i("LightconeOn", OPTIONAL, 0, "Lightcone output")
     i("WritePlaneOn", OPTIONAL, 0, "Lensing plane output")
     s("OutputPlaneList", OPTIONAL, "", "Plane output times")

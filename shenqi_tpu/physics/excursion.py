@@ -42,18 +42,18 @@ from ..gravity.pm import _kpos_1d
 @dataclass(frozen=True)
 class ExcursionSetParams:
     UVBGdim: int = 64
-    ReionRBubbleMax: float = 20000.0     # internal length
-    ReionRBubbleMin: float = 500.0
+    ReionRBubbleMax: float = 20340.0     # internal length
+    ReionRBubbleMin: float = 406.8
     ReionDeltaRFactor: float = 1.1
     ReionFilterType: int = 0             # 0 real TH, 1 sharp-k, 2 gauss
     RtoMFilterType: int = 0              # 0 top-hat, 1 gaussian
     ReionGammaHaloBias: float = 2.0
     ReionNionPhotPerBary: float = 4000.0
     AlphaUV: float = 3.0
-    EscapeFractionNorm: float = 0.19     # at 1e10 Msun/h
-    EscapeFractionScaling: float = -0.12
+    EscapeFractionNorm: float = 0.2      # at 1e10 Msun/h
+    EscapeFractionScaling: float = 0.5
     ReionUseParticleSFR: int = 0
-    ReionSFRTimescale: float = 0.5
+    ReionSFRTimescale: float = 0.1
 
 
 class ExcursionResult(NamedTuple):

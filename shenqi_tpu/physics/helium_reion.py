@@ -41,10 +41,10 @@ def q_inst(emax_ev: float, alpha_q: float) -> float:
 class QSOLightupParams:
     QSOLightupOn: bool = True
     qso_candidate_min_mass: float = 100.0   # internal mass units
-    qso_candidate_max_mass: float = 1e6
+    qso_candidate_max_mass: float = 1000.0  # params.cpp:300 default
     mean_bubble: float = 20000.0            # internal length units
     var_bubble: float = 1e6
-    heIIIreion_finish_frac: float = 0.95
+    heIIIreion_finish_frac: float = 0.995   # params.cpp QSOHeIIIReionFinishFrac
 
 
 @dataclass

@@ -56,6 +56,34 @@ EXPECTED = [
 ]
 
 
+def test_reference_param_names_accepted():
+    """The parser is strict (unknown key = error), so every parameter
+    name the reference declares must be declared here too or real
+    reference paramfiles fail to parse.  These names were undeclared
+    until the round-5 compatibility pass."""
+    ps = gadget_params()
+    ps.parse_string("\n".join([
+        "InitCondFile = IC", "Omega0 = 0.3", "BlackHoleOn = 0",
+        "StarformationOn = 0", "CoolingOn = 0", "WindOn = 0",
+        "MetalReturnOn = 0",
+        # formerly-unknown reference names
+        "GravitySoftening = 0.05",
+        "FOFPrimaryLinkTypes = 2",
+        "FOFSecondaryLinkTypes = 49",
+        "BlackHoleKineticOn = 0",
+        "HeliumHeatOn = 0",
+        "MetalsSn1aN0 = 1.3e-3",
+        "QSOHeIIIReionFinishFrac = 0.995",
+        "BoostSFDenseGas = 1",
+        "MaxWindFreeTravelTime = 60",
+        "ExcursionSetZStart = 25",
+        "TreeGravOn = 1",
+        "MinGasHsmlFractional = 0.1",
+    ]), strict=True)
+    assert ps.is_set("GravitySoftening")
+    assert ps.get_double("GravitySoftening") == 0.05
+
+
 def test_defaults_match_reference():
     ps = gadget_params()
     bad = []
